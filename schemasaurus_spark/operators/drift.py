@@ -1,0 +1,155 @@
+"""Distribution-drift checks against a baseline snapshot (SURVEY.md §2D):
+
+* Kolmogorov-Smirnov over numeric columns — the cluster aggregates an
+  approximate quantile vector (one pass, mergeable sketch); the KS statistic
+  between the two quantile-vector ECDFs is O(probes) driver-side math.
+* chi-square over categorical columns — the cluster computes category
+  counts (map-side-combinable groupBy); the statistic is driver-side numpy.
+
+No scipy dependency: the statistic + asymptotic significance are computed
+directly (KS via the Kolmogorov distribution series, chi-square via the
+regularized upper incomplete gamma).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+from schemasaurus_spark.operators.stats import category_counts, quantile_vector
+
+
+def ks_statistic_from_quantiles(q_base: list[float], q_cur: list[float], probs: list[float]) -> float:
+    """KS statistic between two distributions summarized by quantile vectors
+    sampled at the same probability grid.
+
+    The ECDF of each side is known exactly at its own quantile points
+    (ECDF(q_i) = p_i); the max discrepancy is evaluated over the merged grid
+    by inverting the opposite side's quantile vector with a step
+    interpolation.  Resolution is bounded by the grid spacing — use a dense
+    grid (p=0.01..0.99) for tight estimates."""
+
+    def ecdf(qs, x):
+        # fraction of probability mass at or below x per the quantile vector
+        lo = 0.0
+        for p, q in zip(probs, qs):
+            if q <= x:
+                lo = p
+            else:
+                break
+        return lo
+
+    xs = sorted(set(q_base) | set(q_cur))
+    return max(abs(ecdf(q_base, x) - ecdf(q_cur, x)) for x in xs) if xs else 0.0
+
+
+def ks_significance(stat: float, n1: float, n2: float) -> float:
+    """Two-sample asymptotic KS p-value (Kolmogorov distribution series)."""
+    if stat <= 0:
+        return 1.0
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    lam = (en + 0.12 + 0.11 / en) * stat
+    s = 0.0
+    for j in range(1, 101):
+        term = 2 * (-1) ** (j - 1) * math.exp(-2 * j * j * lam * lam)
+        s += term
+        if abs(term) < 1e-10:
+            break
+    return max(0.0, min(1.0, s))
+
+
+def _gammainc_upper_reg(s: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(s, x): series for x < s+1,
+    modified-Lentz continued fraction otherwise."""
+    if x <= 0 or s <= 0:
+        return 1.0
+    if x < s + 1:
+        # P(s,x) by lower series, Q = 1 - P
+        term = 1.0 / s
+        total = term
+        for k in range(1, 1000):
+            term *= x / (s + k)
+            total += term
+            if abs(term) < abs(total) * 1e-14:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return max(0.0, min(1.0, 1.0 - p))
+    # Q(s,x) by continued fraction (modified Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    q = math.exp(-x + s * math.log(x) - math.lgamma(s)) * h
+    return max(0.0, min(1.0, q))
+
+
+def chi_square_pvalue(stat: float, dof: int) -> float:
+    if dof <= 0:
+        return 1.0
+    return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+
+
+def chi_square_from_counts(base: dict[str, int], cur: dict[str, int]) -> tuple[float, int]:
+    """Pearson chi-square homogeneity statistic between two category-count
+    maps (2 x K contingency table).  Returns (statistic, dof)."""
+    cats = sorted(set(base) | set(cur))
+    n1 = sum(base.values())
+    n2 = sum(cur.values())
+    total = n1 + n2
+    stat = 0.0
+    k_eff = 0
+    for c in cats:
+        o1 = base.get(c, 0)
+        o2 = cur.get(c, 0)
+        col = o1 + o2
+        if col == 0:
+            continue
+        k_eff += 1
+        e1 = n1 * col / total
+        e2 = n2 * col / total
+        if e1 > 0:
+            stat += (o1 - e1) ** 2 / e1
+        if e2 > 0:
+            stat += (o2 - e2) ** 2 / e2
+    return stat, max(k_eff - 1, 1)
+
+
+DEFAULT_PROBS = [i / 100.0 for i in range(1, 100)]
+
+
+def ks_drift(base_df: DataFrame, cur_df: DataFrame, col: str,
+             probs: list[float] | None = None, alpha: float = 0.05) -> dict:
+    """Full KS drift check between two DataFrames on a numeric column."""
+    probs = probs or DEFAULT_PROBS
+    qb = quantile_vector(base_df, col, probs)
+    qc = quantile_vector(cur_df, col, probs)
+    n1 = base_df.count()
+    n2 = cur_df.count()
+    stat = ks_statistic_from_quantiles(qb, qc, probs)
+    p = ks_significance(stat, n1, n2)
+    return {"statistic": stat, "p_value": p, "drifted": p < alpha, "n_base": n1, "n_cur": n2}
+
+
+def chi_square_drift(base_df: DataFrame, cur_df: DataFrame, col: str, alpha: float = 0.05) -> dict:
+    """Full chi-square drift check on a categorical column."""
+    base = {r["category"]: r["cnt"] for r in category_counts(base_df, col).collect()}
+    cur = {r["category"]: r["cnt"] for r in category_counts(cur_df, col).collect()}
+    stat, dof = chi_square_from_counts(base, cur)
+    p = chi_square_pvalue(stat, dof)
+    return {"statistic": stat, "dof": dof, "p_value": p, "drifted": p < alpha}

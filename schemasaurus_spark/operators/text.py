@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, n-gram/stopword language ID, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` Column builders (JVM-side, codegen'd) so
+they compose into the same single-scan projection as the validator, and are
+expressible 1:1 in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language (heuristic language ID)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "en", "por", "que"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty/null-safe)."""
+    t = F.trim(text)
+    return F.when(
+        text.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word chunks + digits + punctuation each
+    count, long words count once per 6 chars (a cheap BPE proxy)."""
+    words = F.split(F.trim(text), r"\s+")
+    per_word = F.transform(
+        words, lambda w: F.greatest(F.ceil(F.length(w) / 6.0), F.lit(1))
+    )
+    return F.when(text.isNull() | (F.trim(text) == ""), F.lit(0)).otherwise(
+        F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(text.isNull() | (F.length(text) == 0), F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    hits = F.size(
+        F.filter(
+            F.split(F.lower(text), r"\s+"),
+            lambda w: w.isin(*words),
+        )
+    )
+    return F.when(text.isNull() | (F.trim(text) == ""), F.lit(0.0)).otherwise(
+        hits / token_count(text)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-heavy,
+    contains stopwords (natural language signal)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    score = (length_term + punct_term + stop_term) / 3.0
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(F.round(score, 4))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over STOPWORDS; 'und' when no votes.
+
+    Ties break by language code order (deterministic)."""
+    lowered = F.split(F.lower(text), r"\s+")
+
+    def votes(words: list[str]):
+        # single-arity lambda on purpose: PySpark passes the element index to
+        # 2-arity HOF lambdas, shadowing default args
+        return F.size(F.filter(lowered, lambda w: w.isin(*words)))
+
+    scores = [(code, votes(words)) for code, words in sorted(STOPWORDS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for code, s in reversed(scores):  # earlier codes win ties
+        out = F.when(s == best, F.lit(code)).otherwise(out)
+    return F.when(text.isNull() | (best <= 0), F.lit("und")).otherwise(out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace/case-normalized
+    text — the exact-dedup key (md5 so any SQL engine reproduces it)."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-scan text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

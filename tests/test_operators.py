@@ -1,0 +1,218 @@
+"""Operator suite: stats, uniqueness, referential, drift, dedup, similarity,
+text analysis, media plumbing — invariants + cross-checks against DuckDB
+where SQL-expressible (the same pattern the driver's correctness gate uses)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators import drift, stats, text
+from schemasaurus_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from schemasaurus_spark.operators.media import extract_image_features, synth_media_table
+from schemasaurus_spark.operators.referential import dangling_media_refs, dangling_refs
+from schemasaurus_spark.operators.similarity import brute_force_topk, lsh_topk
+from schemasaurus_spark.operators.uniqueness import duplicate_keys, uniqueness_report
+from schemasaurus_spark.sources.generator import generate_documents, generate_media_catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def flat_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_column_stats_vs_duckdb(spark, flat_docs):
+    import duckdb
+
+    got = {r["column"]: r.asDict() for r in stats.column_stats(flat_docs, ["lang", "n_chars"]).collect()}
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""select count(*) n, sum(case when lang is null then 1 else 0 end) n_nulls,
+                   count(distinct lang) d, min(lang) mn, max(lang) mx
+            from read_parquet('{SF_DIR}/documents.parquet')"""
+    ).fetchone()
+    assert got["lang"]["n"] == exp[0]
+    assert got["lang"]["nulls"] == (exp[1] or 0)
+    assert got["lang"]["distinct"] == exp[2]
+    assert got["lang"]["min"] == exp[3]
+    assert got["lang"]["max"] == exp[4]
+
+
+def test_length_histogram_vs_duckdb(spark, flat_docs):
+    import duckdb
+
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in stats.length_histogram(flat_docs, "n_chars", 0, 1000, 10).collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            f"""select least(greatest(floor((n_chars::double - 0.0) / 100.0)::bigint + 1, 0), 11) b,
+                       count(*)
+                from read_parquet('{SF_DIR}/documents.parquet')
+                where n_chars is not null group by 1"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], ["k"]
+    )
+    got = {r["k"]: r["cnt"] for r in duplicate_keys(df, "k").collect()}
+    assert got == {"a": 3, "b": 2}
+    rep = uniqueness_report(df, "k").collect()[0]
+    assert (rep.n_rows, rep.n_keys, rep.dup_keys, rep.dup_rows) == (6, 3, 2, 5)
+
+
+def test_referential_broadcast_anti(spark):
+    docs = generate_documents(spark, 400, seed=42)
+    catalog = generate_media_catalog(spark)
+    bad = dangling_media_refs(docs, catalog)
+    rows = bad.collect()
+    # generator injects dangling + malformed refs; all flagged rows must not
+    # resolve in the catalog
+    assert len(rows) > 0
+    assert all(
+        r.media_ref.startswith("media://missing/") or r.media_ref == "not a uri"
+        for r in rows
+    )
+    # plan check: anti join must be broadcast (no shuffle exchange on the dim)
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ks_drift_detects_shift(spark):
+    a = spark.range(0, 20000).select((F.col("id") % 1000).cast("double").alias("v"))
+    b = spark.range(0, 20000).select(((F.col("id") % 1000) + 100).cast("double").alias("v"))
+    res = drift.ks_drift(a, b, "v")
+    assert res["drifted"] and res["statistic"] > 0.05
+    same = drift.ks_drift(a, a, "v")
+    assert not same["drifted"] and same["statistic"] == 0.0
+
+
+def test_chi_square_math():
+    # hand-checked 2x2: base {x: 50, y: 50}, cur {x: 90, y: 10}
+    stat, dof = drift.chi_square_from_counts({"x": 50, "y": 50}, {"x": 90, "y": 10})
+    assert dof == 1
+    # E = 70/70/30/30 -> 400/70*2 + 400/30*2 = 38.095238
+    assert abs(stat - 38.095238) < 1e-3
+    p = drift.chi_square_pvalue(stat, dof)
+    assert p < 1e-6
+    # identical distributions -> stat 0, p 1
+    stat0, _ = drift.chi_square_from_counts({"x": 5, "y": 5}, {"x": 5, "y": 5})
+    assert stat0 == 0.0
+    assert drift.chi_square_pvalue(0.0, 1) == 1.0
+    # sanity: chi2(3.84, 1) ~ 0.05
+    assert abs(drift.chi_square_pvalue(3.841, 1) - 0.05) < 0.001
+
+
+def test_chi_square_drift_detects_new_category(spark):
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, ["lang"])
+    b = spark.createDataFrame([("x",)] * 40 + [("y",)] * 40 + [("z",)] * 20, ["lang"])
+    res = drift.chi_square_drift(a, b, "lang")
+    assert res["drifted"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated")],
+        ["doc_id", "text"],
+    )
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2
+
+
+def test_minhash_finds_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark aggregation pipelines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnoX"), (3, "zzzzyyyyxxxxwwww")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, shingle_k=8, min_jaccard=0.1).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+
+
+def test_simhash_near_duplicates(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    df = spark.createDataFrame(
+        [(1, words), (2, words + " omega"), (3, "unrelated totally different thing entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_duplicates(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+
+
+def test_brute_force_topk(spark, embeddings):
+    probes = embeddings.where(F.col("vec_id") < 3)
+    res = brute_force_topk(embeddings, probes, k=5)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.similarity for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != pid for r in rs)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    probes = embeddings.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(embeddings, probes, k=3).collect()
+    # random embeddings have weak neighborhood structure — use few planes
+    # (wide buckets) so the recall/cost trade-off is measurable
+    approx = lsh_topk(embeddings, probes, dim=64, k=3, n_planes=4).collect()
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_text_profile(spark, flat_docs):
+    prof = text.text_profile(flat_docs).collect()
+    assert all(r.n_tokens >= 0 for r in prof)
+    assert all(0 <= r.quality <= 1 for r in prof)
+    assert all(len(r.fingerprint) == 32 for r in prof)
+    langs = {r.lang_guess for r in prof}
+    assert langs  # deterministic heuristic runs on all rows
+
+
+def test_media_plumbing(spark):
+    media = synth_media_table(spark, 50)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.width >= 16 and r.channels == 3 for r in rows)
+    # deterministic across runs
+    again = extract_image_features(synth_media_table(spark, 50)).collect()
+    assert sorted((r.media_ref, r.mean_luma) for r in rows) == sorted(
+        (r.media_ref, r.mean_luma) for r in again
+    )
