@@ -3,8 +3,21 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Queries map 1:1 to SURVEY.md §2 operators:
+
+* §2B keyword checks  -> ``doc_validation_violations`` (the flagship: a
+  draft-4 schema compiled to native Column masks over the flat
+  ``documents`` table, violations exploded to rows, reproduced in ANSI
+  SQL for DuckDB) plus the north-rule span variants (rows-only).
+* §2D data-quality    -> column stats, category counts, length
+  histogram, salted uniqueness, duplicate keys, referential anti-join,
+  drift inputs (quantiles).
+* training-data ops   -> exact dedup, text profile, language ID,
+  fingerprinting, MinHash/SimHash near-dup (rows-only: xxhash64 has no
+  DuckDB analog), embedding cosine top-k (exact, SQL oracle) and LSH
+  ANN (rows-only), multimodal feature plumbing (rows-only).
 """
 
 from __future__ import annotations
@@ -12,27 +25,441 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from schemasaurus_spark.operators.media import extract_image_features, synth_media_table
+from schemasaurus_spark.operators.referential import dangling_media_refs, dangling_refs
+from schemasaurus_spark.operators.similarity import brute_force_topk, lsh_topk
+from schemasaurus_spark.operators.stats import category_counts, column_stats
+from schemasaurus_spark.operators.text import fingerprint, token_count
+from schemasaurus_spark.operators.uniqueness import duplicate_keys, uniqueness_report
+from schemasaurus_spark.plans.validation_job import ValidationJob
+from schemasaurus_spark.schema.columns import validate_dataframe
+from schemasaurus_spark.sources.generator import (
+    generate_documents,
+    generate_media_catalog,
+)
+
+# ---------------------------------------------------------------------------
+# flagship: draft-4 validation of the flat testdata documents table.
+# Constraints are chosen so real rows violate them (lang 'zh' outside the
+# enum, source 'src10'..'src19' off-pattern, texts longer than 300 chars).
+# ---------------------------------------------------------------------------
+
+FLAT_DOC_SCHEMA: dict = {
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer", "required": True, "minimum": 0},
+        "text": {"type": "string", "required": True, "minLength": 1, "maxLength": 300},
+        "lang": {"type": "string", "enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 0, "maximum": 300},
+    },
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2B keyword checks compiled to native Columns; violations as rows."""
+    validated = validate_dataframe(_docs(spark, sf_dir), FLAT_DOC_SCHEMA)
+    return (
+        validated.where(~F.col("valid"))
+        .select("doc_id", F.explode("errors").alias("err"))
+        .select(
+            "doc_id",
+            F.col("err.code").alias("code"),
+            F.col("err.path").alias("json_pointer"),
+            F.col("err.value").alias("value"),
+            F.col("err.arg").alias("arg"),
+        )
+    )
+
+
+_VALIDATION_ORACLE = """
+SELECT doc_id, 'enum' AS code, '/lang' AS json_pointer,
+       lang AS value, '["en","de","fr","es"]' AS arg
+FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+UNION ALL
+SELECT doc_id, 'pattern', '/source', source, '^src[0-9]$'
+FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+UNION ALL
+SELECT doc_id, 'maxLength', '/text', text, '300'
+FROM documents WHERE text IS NOT NULL AND length(text) > 300
+UNION ALL
+SELECT doc_id, 'minLength', '/text', text, '1'
+FROM documents WHERE text IS NOT NULL AND length(text) < 1
+UNION ALL
+SELECT doc_id, 'maximum', '/n_chars', CAST(n_chars AS VARCHAR), '300'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars > 300
+UNION ALL
+SELECT doc_id, 'minimum', '/n_chars', CAST(n_chars AS VARCHAR), '0'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+UNION ALL
+SELECT doc_id, 'minimum', '/doc_id', CAST(doc_id AS VARCHAR), '0'
+FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2D column stats / counts / histogram / uniqueness / referential
+# ---------------------------------------------------------------------------
+
+_STAT_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def doc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return column_stats(_docs(spark, sf_dir), _STAT_COLS, approx=False)
+
+
+_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_rate,
+       count(DISTINCT {c}) AS "distinct",
+       CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max
+FROM documents"""
+    for c in _STAT_COLS
+)
+
+
+def doc_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return category_counts(_docs(spark, sf_dir), "lang")
+
+
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return category_counts(_table(spark, sf_dir, "events"), "event_type")
+
+
+# histogram bucket formula written once and used verbatim by both engines
+# (width_bucket semantics: x<lo -> 0, x>=hi -> nb+1, else equi-width bucket)
+_BUCKET_EXPR = (
+    "CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 500 THEN 11 "
+    "ELSE CAST(FLOOR(n_chars * 10.0 / 500.0) AS INTEGER) + 1 END"
+)
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars").isNotNull())
+        .selectExpr(f"{_BUCKET_EXPR} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+SELECT {_BUCKET_EXPR} AS bucket, count(*) AS cnt
+FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+"""
+
+
+def doc_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniqueness_report(_docs(spark, sf_dir), "doc_id")
+
+
+_UNIQUENESS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, count(*) AS cnt FROM documents GROUP BY doc_id HAVING count(*) > 1
+)
+SELECT (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(DISTINCT doc_id) FROM documents) AS n_keys,
+       (SELECT count(*) FROM d) AS dup_keys,
+       (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM d) AS dup_rows
+"""
+
+
+def lineitem_dup_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase duplicate-key detection (every multi-line order)."""
+    return duplicate_keys(_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+_DUPKEYS_ORACLE = """
+SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def orders_dangling_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast LEFT ANTI referential check (orders -> customer)."""
+    return dangling_refs(
+        _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        _table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
+_DANGLING_ORACLE = """
+SELECT o_custkey, o_orderkey FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_docs(spark, sf_dir)).select(
+        "fingerprint", "n_docs", F.element_at("doc_ids", 1).alias("min_doc_id")
+    )
+
+
+_DUPGROUPS_ORACLE = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, punctuation counts, dedup fingerprint — exact integers
+    only so the cross-engine hash compare is float-free."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("long").alias("punct_chars"),
+        F.length(t).cast("long").alias("len_chars"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+_TEXT_PROFILE_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "los", "y", "es", "en", "por", "que"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+}
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (integer votes -> exact cross-engine)."""
+    from schemasaurus_spark.operators.text import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def _votes_sql(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        r"len(list_filter(string_split_regex(lower(text), '\s+'),"
+        f" x -> x IN ({inlist})))"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id,
+         {_votes_sql(_STOPWORDS["de"])} AS vde,
+         {_votes_sql(_STOPWORDS["en"])} AS ven,
+         {_votes_sql(_STOPWORDS["es"])} AS ves,
+         {_votes_sql(_STOPWORDS["fr"])} AS vfr
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 0, 0, 0, 0 FROM documents WHERE text IS NULL
+)
+SELECT doc_id,
+       CASE WHEN greatest(vde, ven, ves, vfr) <= 0 THEN 'und'
+            WHEN vde = greatest(vde, ven, ves, vfr) THEN 'de'
+            WHEN ven = greatest(vde, ven, ves, vfr) THEN 'en'
+            WHEN ves = greatest(vde, ven, ves, vfr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 probe vectors (double-precision both sides)."""
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    return brute_force_topk(emb, probes, k=5)
+
+
+_TOPK_ORACLE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.v, c.v) AS sim
+  FROM emb p JOIN emb c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 8
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(sim, 6) AS similarity
+FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: hyperplane hashing has no
+    concise SQL analog; recall vs brute force is asserted in pytest)."""
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    return lsh_topk(emb, probes, dim=64, k=5, n_planes=8)
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (rows-only: xxhash64 signatures)."""
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius pairs (rows-only: Arrow-batch signature UDF)."""
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=10)
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: mapInPandas feature extraction over opaque
+    binary payloads (rows-only: decode kernel is a deterministic stub)."""
+    return extract_image_features(synth_media_table(spark, 200))
+
+
+# ---------------------------------------------------------------------------
+# north-rule engine over the interleaved documents table (rows-only: the
+# generator + span walk have no DuckDB analog; parity is pytest-asserted)
+# ---------------------------------------------------------------------------
+
+
+def _northrule_docs(spark: SparkSession) -> DataFrame:
+    return generate_documents(spark, n_docs=2000, seed=7)
+
+
+def northrule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    job = ValidationJob()
+    return job.violations(job.validated(_northrule_docs(spark)))
+
+
+def northrule_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    job = ValidationJob()
+    return job.verdicts(job.validated(_northrule_docs(spark)))
+
+
+def northrule_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ValidationJob().span_sequence(_northrule_docs(spark))
+
+
+def northrule_dangling_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dangling_media_refs(
+        _northrule_docs(spark), generate_media_catalog(spark, seed=7)
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift inputs: exact interpolated quantiles per category
+# ---------------------------------------------------------------------------
+
+
+def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        )
+    )
+
+
+_QUARTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return doc_validation_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_validation_violations": doc_validation_violations,
+        "doc_column_stats": doc_column_stats,
+        "doc_lang_counts": doc_lang_counts,
+        "event_type_counts": event_type_counts,
+        "doc_length_histogram": doc_length_histogram,
+        "doc_uniqueness": doc_uniqueness,
+        "lineitem_dup_orderkeys": lineitem_dup_orderkeys,
+        "orders_dangling_custkey": orders_dangling_custkey,
+        "doc_exact_dup_groups": doc_exact_dup_groups,
+        "doc_text_profile": doc_text_profile,
+        "doc_lang_id": doc_lang_id,
+        "embedding_topk": embedding_topk,
+        "embedding_ann_lsh": embedding_ann_lsh,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "media_image_features": media_image_features,
+        "northrule_violations": northrule_violations,
+        "northrule_verdicts": northrule_verdicts,
+        "northrule_span_sequence": northrule_span_sequence,
+        "northrule_dangling_media": northrule_dangling_media,
+        "event_value_quartiles": event_value_quartiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_validation_violations": _VALIDATION_ORACLE,
+        "doc_column_stats": _STATS_ORACLE,
+        "doc_lang_counts": "SELECT lang AS category, count(*) AS cnt FROM documents GROUP BY lang",
+        "event_type_counts": "SELECT event_type AS category, count(*) AS cnt FROM events GROUP BY event_type",
+        "doc_length_histogram": _HISTOGRAM_ORACLE,
+        "doc_uniqueness": _UNIQUENESS_ORACLE,
+        "lineitem_dup_orderkeys": _DUPKEYS_ORACLE,
+        "orders_dangling_custkey": _DANGLING_ORACLE,
+        "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
+        "doc_text_profile": _TEXT_PROFILE_ORACLE,
+        "doc_lang_id": _LANG_ID_ORACLE,
+        "embedding_topk": _TOPK_ORACLE,
+        "event_value_quartiles": _QUARTILES_ORACLE,
+    }
