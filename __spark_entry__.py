@@ -260,11 +260,9 @@ _STOPWORDS = {
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (integer votes -> exact cross-engine)."""
-    from schemasaurus_spark.operators.text import lang_id
+    from schemasaurus_spark.operators.text import with_lang_id
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_guess")
-    )
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
 
 
 def _votes_sql(words: list[str]) -> str:

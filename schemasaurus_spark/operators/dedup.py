@@ -94,8 +94,14 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signature(char_shingles_expr(text_col, shingle_k), n_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    # materialize shingles once: the signature references a plain column, so
+    # the shingle expression is planned/evaluated once, not duplicated into
+    # all n_hashes transform() trees (a 32x codegen/runtime blowup otherwise)
+    shingled = df.select(
+        F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("_shingles")
+    )
+    sig = minhash_signature(F.col("_shingles"), n_hashes)
+    with_sig = shingled.select(F.col(id_col), sig.alias("_sig"))
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -207,6 +213,23 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     def simhash(texts: pd.Series) -> pd.Series:
         import numpy as np
 
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        # per-batch token cache: each distinct token is hashed + bit-expanded
+        # once, then every occurrence is a vectorized array add
+        bitvec_cache: dict[str, "np.ndarray"] = {}
+
+        def bitvec(tok: str):
+            bv = bitvec_cache.get(tok)
+            if bv is None:
+                h = 0xCBF29CE484222325  # FNV-1a, deterministic across runs
+                for ch in tok.encode("utf-8"):
+                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                bits = (np.uint64(h) >> shifts) & one
+                bv = np.where(bits == one, 1, -1).astype(np.int64)
+                bitvec_cache[tok] = bv
+            return bv
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if t is None:
@@ -214,22 +237,13 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             toks = str(t).lower().split()
             if not toks:
                 continue
-            # deterministic 64-bit token hashes (FNV-1a)
             acc = np.zeros(64, dtype=np.int64)
             for tok in toks:
-                h = 0xCBF29CE484222325
-                for ch in tok.encode("utf-8"):
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            # to signed 64
-            if sig >= 1 << 63:
-                sig -= 1 << 64
-            out[i] = sig
+                acc += bitvec(tok)
+            # pack sign bits (disjoint shifts -> exact uint64 sum), reinterpret
+            # as signed i64 for Spark's LongType
+            sig = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = np.uint64(sig).view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))

@@ -32,8 +32,13 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def synth_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table for plumbing tests."""
-    return spark.range(n).select(
+    """Deterministic opaque-binary media table for plumbing tests.
+
+    Partition count scales with n (>=256 rows per partition) so tiny test
+    tables don't pay one Python-worker spin-up per idle core; large tables
+    still fan out to full parallelism."""
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
+    return spark.range(0, n, 1, parts).select(
         F.concat(F.lit("media://img/"), F.col("id").cast("string")).alias("media_ref"),
         F.lit("image").alias("media_kind"),
         F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 256)

@@ -46,16 +46,22 @@ def brute_force_topk(
 
     Probes (small) are broadcast; the corpus is scanned once.  Ties break on
     neighbor id so ranks are deterministic across engines."""
+    # norms are precomputed per row (one pass each side) so the per-pair work
+    # inside the join is a single dot product, not dot + two norm folds
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vec_norm"),
     )
     scored = c.join(broadcast(p), F.col("probe_id") != F.col("neighbor_id")).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("probe_vec"), F.col("vec")).alias("similarity"),
+        (_dot(F.col("probe_vec"), F.col("vec")) / (F.col("probe_norm") * F.col("vec_norm"))).alias("similarity"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id").asc()
@@ -108,11 +114,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vec_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("pbucket"),
     )
     if multiprobe:
@@ -124,7 +132,9 @@ def lsh_topk(
                 for b in range(n_planes)
             ],
         )
-        p = p.select("probe_id", "probe_vec", F.explode(buckets).alias("bucket"))
+        p = p.select(
+            "probe_id", "probe_vec", "probe_norm", F.explode(buckets).alias("bucket")
+        )
     else:
         p = p.withColumnRenamed("pbucket", "bucket")
     scored = c.join(broadcast(p), on="bucket").where(
@@ -132,7 +142,7 @@ def lsh_topk(
     ).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("probe_vec"), F.col("vec")).alias("similarity"),
+        (_dot(F.col("probe_vec"), F.col("vec")) / (F.col("probe_norm") * F.col("vec_norm"))).alias("similarity"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id").asc()
@@ -158,13 +168,16 @@ def embedding_near_duplicates(
     withb = df.select(
         F.col(id_col),
         F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("_norm").alias("norm_a"), "bucket",
     )
     b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("_norm").alias("norm_b"), "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -172,7 +185,9 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("similarity"),
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("similarity"),
         )
         .where(F.col("similarity") >= threshold)
         .distinct()
