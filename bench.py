@@ -1,0 +1,122 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The span-validation pass additionally reports docs/sec (the BASELINE.json
+headline metric); scaling evidence across two parallelism levels lives in
+tools/scaling_bench.py -> BENCH/BASELINE.md.
+
+Each query is forced with the noop sink (full computation, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from schemasaurus_spark.operators.referential import dangling_media_refs
+from schemasaurus_spark.operators.uniqueness import duplicate_keys
+from schemasaurus_spark.plans.validation_job import ValidationJob
+from schemasaurus_spark.session import get_spark
+from schemasaurus_spark.sources.generator import (
+    generate_documents,
+    generate_media_catalog,
+)
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(2_000_000 * sf)))))
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- north-rule span validation over the generated interleaved table ----
+    # materialize the input once (the real job validates a stored table, not
+    # a generator expression) so validation timings measure scan+validate
+    import tempfile
+
+    tmp = os.environ.get("SPARK_GRAFT_BENCH_TMP") or tempfile.mkdtemp(prefix="bench_docs_")
+    docs_path = f"{tmp}/documents_n{n_docs}.parquet"
+    run(
+        "generate_documents",
+        lambda: generate_documents(spark, n_docs=n_docs, seed=7)
+        .write.mode("overwrite")
+        .parquet(docs_path),
+    )
+    docs = spark.read.parquet(docs_path)
+    catalog = generate_media_catalog(spark, seed=7)
+    job = ValidationJob()
+
+    # warm the JVM/codegen once so timings measure steady-state throughput
+    force(job.verdicts(job.validated(docs.limit(1000))))
+
+    run("validate_spans_verdicts", lambda: force(job.verdicts(job.counted(docs))))
+    run("validate_spans_violations", lambda: force(job.violations(job.validated(docs))))
+    run("span_uniqueness", lambda: force(duplicate_keys(docs, "doc_id")))
+    run("span_referential", lambda: force(dangling_media_refs(docs, catalog)))
+
+    # -- contract queries over the sf testdata tables -----------------------
+    for name in [
+        "doc_validation_violations",
+        "doc_column_stats",
+        "doc_text_profile",
+        "doc_lang_id",
+        "doc_exact_dup_groups",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "embedding_topk",
+        "embedding_ann_lsh",
+        "event_value_quartiles",
+        "media_image_features",
+    ]:
+        run(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    validate_sec = timings["validate_spans_verdicts"]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs_validated": n_docs,
+                "validate_docs_per_sec": round(n_docs / validate_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    if not os.environ.get("SPARK_GRAFT_BENCH_TMP"):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

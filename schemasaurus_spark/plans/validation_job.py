@@ -55,9 +55,15 @@ class ValidationJob:
     def __init__(self, schema: dict | None = None, options: dict | None = None):
         self.schema = schema or DOCUMENT_SCHEMA
         self.validator = ColumnValidator(self.schema, options)
+        # verdict fast path: same compiled conditions, integer counts only —
+        # no error structs / to_json / array allocation in the hot loop
+        self.counter = ColumnValidator(self.schema, options, count_only=True)
 
     def validated(self, docs: DataFrame) -> DataFrame:
         return self.validator.apply(docs)
+
+    def counted(self, docs: DataFrame) -> DataFrame:
+        return self.counter.apply(docs)
 
     def violations(self, validated: DataFrame, id_col: str = "doc_id") -> DataFrame:
         """One row per violation: (doc_id, span_idx, keyword, json_pointer,
@@ -81,12 +87,18 @@ class ValidationJob:
         """Per-input-partition pass/fail + metrics.  The groupBy key is the
         physical partition id, so the partial aggregation is map-side-complete
         (one row per partition reaches the shuffle — no single-reducer
-        collapse at any scale)."""
+        collapse at any scale).  Accepts either a ``validated`` frame (full
+        error records) or a ``counted`` frame (fast path)."""
+        n_errs = (
+            F.col("n_violations")
+            if "n_violations" in validated.columns
+            else F.size("errors")
+        )
         return (
             validated.select(
                 F.spark_partition_id().alias("partition_id"),
                 F.col("valid"),
-                F.size("errors").alias("n_errs"),
+                n_errs.alias("n_errs"),
             )
             .groupBy("partition_id")
             .agg(

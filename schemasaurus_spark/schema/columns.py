@@ -97,7 +97,14 @@ class ColumnValidator:
     ``valid`` columns.
     """
 
-    def __init__(self, schema: dict, options: dict | None = None):
+    def __init__(self, schema: dict, options: dict | None = None,
+                 count_only: bool = False):
+        #: count mode — the verdict fast path: every fragment is an INT
+        #: violation count instead of an array of error structs.  Same walk,
+        #: same conditions, but no struct building, no to_json stringify, no
+        #: array allocation per row — the whole pass stays in primitive
+        #: codegen.  apply() then emits (n_violations, valid).
+        self.count_only = count_only
         self.schema_root = schema
         self.options = dict(options or {})
         self.messages = self.options.get("messages") or default_messages(lambda s: s)
@@ -112,6 +119,10 @@ class ColumnValidator:
         row_type = df.schema
         value = F.struct(*[F.col(f.name) for f in row_type.fields])
         errs = self.errors(value, row_type, F.lit(""))
+        if self.count_only:
+            return df.withColumn("n_violations", errs).withColumn(
+                valid_col, F.col("n_violations") == 0
+            )
         return df.withColumn(errors_col, errs).withColumn(
             valid_col, F.size(F.col(errors_col)) == 0
         )
@@ -121,8 +132,35 @@ class ColumnValidator:
 
     # ------------------------------------------------------- error building
 
+    # fragment algebra: array mode concatenates error-struct arrays; count
+    # mode adds integer counts.  All keyword logic is shared.
+
+    def _frag_empty(self) -> Column:
+        return F.lit(0) if self.count_only else _empty()
+
+    def _cat(self, frags: list[Column]) -> Column:
+        if not frags:
+            return self._frag_empty()
+        if len(frags) == 1:
+            return frags[0]
+        if self.count_only:
+            out = frags[0]
+            for f in frags[1:]:
+                out = out + f
+            return out
+        return F.concat(*frags)
+
+    def _single(self, err: Column) -> Column:
+        """An unconditional single violation."""
+        return F.lit(1) if self.count_only else F.array(err)
+
+    def _is_ok(self, frag: Column) -> Column:
+        return (frag == 0) if self.count_only else (F.size(frag) == 0)
+
     def _err(self, code: str, node_schema: dict, value: Column, dtype,
              path: Column, arg: Any = None) -> Column:
+        if self.count_only:  # never embedded; skip all struct/stringify work
+            return F.lit(1)
         msgs = node_schema.get("messages")
         if isinstance(msgs, dict) and code in msgs:
             msg = msgs[code]
@@ -145,7 +183,9 @@ class ColumnValidator:
         )
 
     def _one(self, cond: Column, err: Column) -> Column:
-        """Single conditional error -> one-or-zero element array fragment."""
+        """Single conditional error -> one-or-zero fragment."""
+        if self.count_only:
+            return F.when(cond, F.lit(1)).otherwise(F.lit(0))
         return F.when(cond, F.array(err)).otherwise(_empty())
 
     # ------------------------------------------------------------- the walk
@@ -156,7 +196,7 @@ class ColumnValidator:
         sid = id(schema)
         depth = self._depth.get(sid, 0)
         if depth >= self.max_ref_depth:
-            return _empty()  # depth-bounded unroll of recursive $ref (SURVEY §7.7)
+            return self._frag_empty()  # depth-bounded unroll of recursive $ref (SURVEY §7.7)
         self._depth[sid] = depth + 1
         try:
             if isinstance(schema, dict) and "$ref" in schema:
@@ -178,7 +218,7 @@ class ColumnValidator:
         # entire subtree.  Compiled as a gate over the node's full fragment.
         skip_on_missing = (not is_root) and ("required" not in schema)
         if skip_on_missing and undef:
-            return _empty()
+            return self._frag_empty()
 
         e = lambda code, arg=None: self._err(code, schema, value, dtype, path, arg)
 
@@ -297,12 +337,12 @@ class ColumnValidator:
             frags.append(child)
 
         if not frags:
-            return _empty()
-        out = F.concat(*frags) if len(frags) > 1 else frags[0]
+            return self._frag_empty()
+        out = self._cat(frags)
         if skip_on_missing:
-            out = F.when(value.isNotNull(), out).otherwise(_empty())
+            out = F.when(value.isNotNull(), out).otherwise(self._frag_empty())
         if elig is not None:
-            out = F.when(elig, out).otherwise(_empty())
+            out = F.when(elig, out).otherwise(self._frag_empty())
         return out
 
     # ------------------------------------------------------------- keywords
@@ -338,7 +378,7 @@ class ColumnValidator:
     def _enum(self, schema, dtype, value, path) -> Column:
         values = schema["enum"]
         if _is_undef(dtype):
-            return F.array(self._err("enum", schema, value, dtype, path, values))
+            return self._single(self._err("enum", schema, value, dtype, path, values))
         if isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)):
             # structural equality via canonical JSON (toComparable analog);
             # objects canonicalized to the struct's field order so to_json
@@ -368,6 +408,11 @@ class ColumnValidator:
     def _unique_items(self, schema, dtype: T.ArrayType, value, path) -> Column:
         # one error per duplicate occurrence (v4validator.js:277-290):
         # element i errors iff an equal element exists among the first i
+        if self.count_only:
+            # occurrences beyond the first of each value == len - len(distinct)
+            return F.when(
+                value.isNotNull(), F.size(value) - F.size(F.array_distinct(value))
+            ).otherwise(F.lit(0))
         arr_str = stringify(value, dtype)
 
         def per_elem(x, i):
@@ -411,44 +456,44 @@ class ColumnValidator:
         subs = schema[name]
         if name == "not":
             sub_errs = self._node(subs, dtype, value, path, is_root=True)
-            return self._one(F.size(sub_errs) == 0, self._err("not", schema, value, dtype, path))
+            return self._one(self._is_ok(sub_errs), self._err("not", schema, value, dtype, path))
         pairs = [
             self._node(s, dtype, value, path, is_root=True) for s in subs
         ]
-        valids = [F.size(p) == 0 for p in pairs]
+        valids = [self._is_ok(p) for p in pairs]
         if name == "allOf":
             frags = [
                 F.when(
                     ~v,
-                    F.concat(F.array(self._err("allOf", schema, value, dtype, path)), p),
-                ).otherwise(_empty())
+                    self._cat([self._single(self._err("allOf", schema, value, dtype, path)), p]),
+                ).otherwise(self._frag_empty())
                 for v, p in zip(valids, pairs)
             ]
-            return F.concat(*frags) if len(frags) > 1 else frags[0]
+            return self._cat(frags)
         if name == "anyOf":
             any_valid = valids[0]
             for v in valids[1:]:
                 any_valid = any_valid | v
             # on failure every branch was tried: anyOf error + all sub-errors
-            all_errs = F.concat(*pairs) if len(pairs) > 1 else pairs[0]
+            all_errs = self._cat(pairs)
             return F.when(
                 ~any_valid,
-                F.concat(F.array(self._err("anyOf", schema, value, dtype, path)), all_errs),
-            ).otherwise(_empty())
+                self._cat([self._single(self._err("anyOf", schema, value, dtype, path)), all_errs]),
+            ).otherwise(self._frag_empty())
         if name == "oneOf":
             cnt = valids[0].cast("int")
             for v in valids[1:]:
                 cnt = cnt + v.cast("int")
-            all_errs = F.concat(*pairs) if len(pairs) > 1 else pairs[0]
+            all_errs = self._cat(pairs)
             return (
                 F.when(
                     cnt == 0,
-                    F.concat(
-                        F.array(self._err("oneOf.zero", schema, value, dtype, path)), all_errs
-                    ),
+                    self._cat([
+                        self._single(self._err("oneOf.zero", schema, value, dtype, path)), all_errs
+                    ]),
                 )
-                .when(cnt > 1, F.array(self._err("oneOf", schema, value, dtype, path)))
-                .otherwise(_empty())
+                .when(cnt > 1, self._single(self._err("oneOf", schema, value, dtype, path)))
+                .otherwise(self._frag_empty())
             )
         raise SchemaUnsupportedError(name)
 
@@ -461,14 +506,14 @@ class ColumnValidator:
             sub_errs = self._node(spec, dtype, value, F.lit(""), is_root=True)
             frags.append(
                 F.when(
-                    trigger & (F.size(sub_errs) > 0),
-                    F.concat(
-                        F.array(self._err("dependency", schema, value, dtype, path, dep)),
+                    trigger & ~self._is_ok(sub_errs),
+                    self._cat([
+                        self._single(self._err("dependency", schema, value, dtype, path, dep)),
                         sub_errs,
-                    ),
-                ).otherwise(_empty())
+                    ]),
+                ).otherwise(self._frag_empty())
             )
-        return F.concat(*frags) if len(frags) > 1 else frags[0]
+        return self._cat(frags)
 
     def _conform(self, schema, dtype, value, path) -> Column:
         conform = schema["conform"]
@@ -498,7 +543,7 @@ class ColumnValidator:
                     ),
                 )
             )
-        return F.concat(*frags) if len(frags) > 1 else frags[0]
+        return self._cat(frags)
 
     # ------------------------------------------------------------- children
 
@@ -517,8 +562,13 @@ class ColumnValidator:
                 p = F.concat(path, F.lit("/"), i.cast("string"))
                 return self._node(item_schema, et, x, p)
 
-            frag = F.flatten(F.transform(value, per_elem))
-            return F.when(value.isNotNull(), frag).otherwise(_empty())
+            if self.count_only:
+                frag = F.aggregate(
+                    F.transform(value, per_elem), F.lit(0), lambda acc, x: acc + x
+                )
+            else:
+                frag = F.flatten(F.transform(value, per_elem))
+            return F.when(value.isNotNull(), frag).otherwise(self._frag_empty())
 
         # tuple form
         frags = []
@@ -526,32 +576,43 @@ class ColumnValidator:
             elem = F.get(value, k)
             p = F.concat(path, F.lit(f"/{k}"))
             frags.append(
-                F.when(value.isNotNull(), self._node(sub, et, elem, p)).otherwise(_empty())
+                F.when(value.isNotNull(), self._node(sub, et, elem, p)).otherwise(
+                    self._frag_empty()
+                )
             )
         if additional is not None and additional is not True:
             n = len(items)
             if additional is False:
-                def per_extra(x, i):
-                    p = F.concat(path, F.lit("/"), (i + n).cast("string"))
-                    return F.struct(
-                        F.lit("additionalItems").alias("code"),
-                        F.lit(self.messages.get("additionalItems")).alias("message"),
-                        stringify(x, et).alias("value"),
-                        F.lit(None).cast("string").alias("arg"),
-                        p.alias("path"),
-                    )
+                if self.count_only:
+                    tail = F.size(value) - n
+                else:
+                    def per_extra(x, i):
+                        p = F.concat(path, F.lit("/"), (i + n).cast("string"))
+                        return F.struct(
+                            F.lit("additionalItems").alias("code"),
+                            F.lit(self.messages.get("additionalItems")).alias("message"),
+                            stringify(x, et).alias("value"),
+                            F.lit(None).cast("string").alias("arg"),
+                            p.alias("path"),
+                        )
 
-                tail = F.transform(F.slice(value, n + 1, 1 << 30), per_extra)
+                    tail = F.transform(F.slice(value, n + 1, 1 << 30), per_extra)
             else:
                 def per_extra(x, i):
                     p = F.concat(path, F.lit("/"), (i + n).cast("string"))
                     return self._node(additional, et, x, p)
 
-                tail = F.flatten(F.transform(F.slice(value, n + 1, 1 << 30), per_extra))
+                mapped = F.transform(F.slice(value, n + 1, 1 << 30), per_extra)
+                if self.count_only:
+                    tail = F.aggregate(mapped, F.lit(0), lambda acc, x: acc + x)
+                else:
+                    tail = F.flatten(mapped)
             frags.append(
-                F.when(value.isNotNull() & (F.size(value) > n), tail).otherwise(_empty())
+                F.when(value.isNotNull() & (F.size(value) > n), tail).otherwise(
+                    self._frag_empty()
+                )
             )
-        return F.concat(*frags) if len(frags) > 1 else frags[0]
+        return self._cat(frags)
 
     def _children_properties(self, schema, dtype, value, path) -> Column | None:
         props = schema.get("properties") or {}
@@ -568,7 +629,9 @@ class ColumnValidator:
                 cv = value.getField(k) if k in fields else F.lit(None)
                 p = F.concat(path, F.lit("/" + k))
                 child = self._node(sub, cd, cv, p)
-                frags.append(F.when(value.isNotNull(), child).otherwise(_empty()))
+                frags.append(
+                    F.when(value.isNotNull(), child).otherwise(self._frag_empty())
+                )
             # patternProperties over a closed struct: match against the
             # statically-known field names at compile time
             declared = set(props)
@@ -583,7 +646,9 @@ class ColumnValidator:
                             matched_by_pattern.add(fname)
                             p = F.concat(path, F.lit("/" + fname))
                             child = self._node(sub, fdt, value.getField(fname), p)
-                            frags.append(F.when(value.isNotNull(), child).otherwise(_empty()))
+                            frags.append(
+                                F.when(value.isNotNull(), child).otherwise(self._frag_empty())
+                            )
             if additional is False:
                 # a struct is closed: extra = declared-in-data fields not in
                 # schema; with typed data this is static — non-null undeclared
@@ -605,14 +670,18 @@ class ColumnValidator:
                         continue
                     p = F.concat(path, F.lit("/" + fname))
                     child = self._node(additional, fdt, value.getField(fname), p)
-                    frags.append(F.when(value.isNotNull(), child).otherwise(_empty()))
+                    frags.append(
+                        F.when(value.isNotNull(), child).otherwise(self._frag_empty())
+                    )
         elif isinstance(dtype, T.MapType):
             vt = dtype.valueType
             for k, sub in props.items():
                 cv = F.element_at(value, F.lit(k))
                 p = F.concat(path, F.lit("/" + k))
                 child = self._node(sub, vt, cv, p)
-                frags.append(F.when(value.isNotNull(), child).otherwise(_empty()))
+                frags.append(
+                    F.when(value.isNotNull(), child).otherwise(self._frag_empty())
+                )
             if pattern_props or additional is not None:
                 declared_arr = F.array(*[F.lit(k) for k in props]) if props else F.array().cast("array<string>")
                 extra_keys = F.filter(
@@ -627,48 +696,68 @@ class ColumnValidator:
                         return F.when(
                             k.rlike(_pat),
                             self._node(_sub, vt, F.element_at(value, k), p),
-                        ).otherwise(_empty())
+                        ).otherwise(self._frag_empty())
 
+                    mapped = F.transform(F.map_keys(value), per_key)
+                    combined = (
+                        F.aggregate(mapped, F.lit(0), lambda acc, x: acc + x)
+                        if self.count_only
+                        else F.flatten(mapped)
+                    )
                     frags.append(
-                        F.when(
-                            value.isNotNull(),
-                            F.flatten(F.transform(F.map_keys(value), per_key)),
-                        ).otherwise(_empty())
+                        F.when(value.isNotNull(), combined).otherwise(self._frag_empty())
                     )
                 if additional is False:
                     pats = list(pattern_props)
 
-                    def per_extra(k):
+                    def unmatched_cond(k):
                         unmatched = F.lit(True)
                         for pat in pats:
                             unmatched = unmatched & ~k.rlike(pat)
-                        return F.when(
-                            unmatched,
-                            F.struct(
-                                F.lit("additionalProperties").alias("code"),
-                                F.lit(self.messages.get("additionalProperties")).alias("message"),
-                                F.element_at(value, k).cast("string").alias("value"),
-                                F.lit(None).cast("string").alias("arg"),
-                                F.concat(path, F.lit("/"), k).alias("path"),
-                            ),
-                        ).otherwise(F.lit(None).cast(ERROR_TYPE.simpleString()))
+                        return unmatched
 
-                    frags.append(
-                        F.when(
-                            value.isNotNull(),
-                            F.filter(
-                                F.transform(extra_keys, per_extra), lambda c: c.isNotNull()
-                            ),
-                        ).otherwise(_empty())
-                    )
+                    if self.count_only:
+                        frags.append(
+                            F.when(
+                                value.isNotNull(),
+                                F.size(F.filter(extra_keys, unmatched_cond)),
+                            ).otherwise(F.lit(0))
+                        )
+                    else:
+                        def per_extra(k):
+                            return F.when(
+                                unmatched_cond(k),
+                                F.struct(
+                                    F.lit("additionalProperties").alias("code"),
+                                    F.lit(self.messages.get("additionalProperties")).alias("message"),
+                                    F.element_at(value, k).cast("string").alias("value"),
+                                    F.lit(None).cast("string").alias("arg"),
+                                    F.concat(path, F.lit("/"), k).alias("path"),
+                                ),
+                            ).otherwise(F.lit(None).cast(ERROR_TYPE.simpleString()))
+
+                        frags.append(
+                            F.when(
+                                value.isNotNull(),
+                                F.filter(
+                                    F.transform(extra_keys, per_extra), lambda c: c.isNotNull()
+                                ),
+                            ).otherwise(_empty())
+                        )
         else:
             return None
 
         if not frags:
             return None
-        return F.concat(*frags) if len(frags) > 1 else frags[0]
+        return self._cat(frags)
 
 
 def validate_dataframe(df, schema: dict, options: dict | None = None):
     """Row-as-instance validation: append ``errors`` + ``valid`` columns."""
     return ColumnValidator(schema, options).apply(df)
+
+
+def count_violations(df, schema: dict, options: dict | None = None):
+    """Verdict fast path: append ``n_violations`` (int) + ``valid`` with no
+    error-record construction — same conditions, primitive-only codegen."""
+    return ColumnValidator(schema, options, count_only=True).apply(df)

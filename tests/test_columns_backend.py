@@ -77,6 +77,50 @@ def test_verdicts_two_phase(spark, docs, schema):
     assert total_violations > 0
 
 
+def test_count_mode_matches_error_arrays(spark, docs, schema):
+    """The verdict fast path (count_only) must produce exactly
+    size(errors) for every row of the generated corpus."""
+    job = ValidationJob(schema)
+    full = job.validated(docs).select(F.size("errors").alias("n")).collect()
+    fast = job.counted(docs).select(F.col("n_violations").alias("n")).collect()
+    assert [r.n for r in full] == [r.n for r in fast]
+    assert sum(r.n for r in full) > 0
+
+
+def test_count_mode_structural_keywords(spark):
+    """Count mode over combinators / uniqueItems / tuple items /
+    dependencies agrees with the error-array backend."""
+    from schemasaurus_spark.schema.columns import ColumnValidator
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "a": {"oneOf": [{"type": "integer", "minimum": 5}, {"type": "integer", "maximum": 2}]},
+            "b": {"type": "array", "uniqueItems": True, "items": {"type": "integer"}},
+            "c": {"allOf": [{"minimum": 0}, {"multipleOf": 2}]},
+            "d": {"not": {"type": "integer", "minimum": 10}},
+        },
+        "dependencies": {"a": ["d"]},
+    }
+    df = spark.createDataFrame(
+        [
+            (3, [1, 2, 2, 3, 3, 3], 4, 1),
+            (7, [1, 2], -3, 20),
+            (None, None, None, None),
+            (1, [5, 5], 2, None),
+        ],
+        "a int, b array<int>, c int, d int",
+    )
+    full = ColumnValidator(schema).apply(df).select(F.size("errors").alias("n")).collect()
+    fast = (
+        ColumnValidator(schema, count_only=True)
+        .apply(df)
+        .select(F.col("n_violations").alias("n"))
+        .collect()
+    )
+    assert [r.n for r in full] == [r.n for r in fast]
+
+
 def test_span_sequence_invariant(spark, docs):
     """Per-row span-sequence equality (kind, text, media_ref, order): the
     engine's projection must reproduce the source order exactly."""
