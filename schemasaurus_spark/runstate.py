@@ -1,0 +1,147 @@
+"""Checkpoint/resume for the validation pass (north rule: "resumable from
+checkpointed per-partition lineage + metrics manifests").
+
+The unit of recovery is a **work unit**: a deterministic group of input
+parquet files (lineage = the sorted file list; unit id = stable hash of
+it).  Each unit runs as its own distributed job — validate, append its
+violation rows under ``violations/unit=<id>/``, then atomically write a
+manifest JSON (tmp + rename) carrying the lineage and the unit's verdict
+metrics.  A restart lists manifests, skips completed units, and reruns
+only the remainder; a unit that crashed mid-write is re-done from scratch
+(its partial violations dir is overwritten), so the protocol is
+idempotent at unit granularity.
+
+At 10^12 docs the driver loop is over O(thousands) of units while each
+unit fans out to the cluster — the loop is control plane only, no data
+moves through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from schemasaurus_spark.plans.validation_job import ValidationJob
+
+
+def _unit_id(files: list[str]) -> str:
+    h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
+    return h[:16]
+
+
+def list_units(spark: SparkSession, input_path: str, files_per_unit: int = 4) -> list[dict]:
+    """Deterministic work units from the input file listing (lineage)."""
+    jvm_files = spark.read.parquet(input_path).inputFiles()
+    files = sorted(jvm_files)
+    units = []
+    for i in range(0, len(files), files_per_unit):
+        group = files[i : i + files_per_unit]
+        units.append({"unit_id": _unit_id(group), "files": group})
+    return units
+
+
+class RunState:
+    """Manifest store: one JSON per completed unit, written atomically."""
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def completed(self) -> dict[str, dict]:
+        out = {}
+        for name in os.listdir(self.dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    m = json.load(f)
+                out[m["unit_id"]] = m
+        return out
+
+    def mark_done(self, unit: dict, metrics: dict) -> None:
+        manifest = {
+            "unit_id": unit["unit_id"],
+            "files": unit["files"],
+            "metrics": metrics,
+            "completed_at": time.time(),
+        }
+        final = os.path.join(self.dir, f"{unit['unit_id']}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic on POSIX
+
+
+class ResumableValidation:
+    """Unit-at-a-time validation pass with manifest checkpoints."""
+
+    def __init__(
+        self,
+        schema: dict | None = None,
+        files_per_unit: int = 4,
+        options: dict | None = None,
+    ):
+        self.job = ValidationJob(schema, options)
+        self.files_per_unit = files_per_unit
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        out_dir: str,
+        fail_after_units: int | None = None,
+    ) -> dict:
+        """Process all pending units; returns a summary.  ``fail_after_units``
+        injects a crash after N units (for kill/rerun tests)."""
+        state = RunState(os.path.join(out_dir, "manifests"))
+        units = list_units(spark, input_path, self.files_per_unit)
+        done = state.completed()
+        pending = [u for u in units if u["unit_id"] not in done]
+        processed = 0
+        for unit in pending:
+            if fail_after_units is not None and processed >= fail_after_units:
+                raise RuntimeError(f"injected failure after {processed} units")
+            metrics = self._run_unit(spark, unit, out_dir)
+            state.mark_done(unit, metrics)
+            processed += 1
+        all_done = state.completed()
+        return {
+            "n_units": len(units),
+            "n_skipped": len(units) - len(pending),
+            "n_processed": processed,
+            "totals": {
+                "n_docs": sum(m["metrics"]["n_docs"] for m in all_done.values()),
+                "n_invalid_docs": sum(
+                    m["metrics"]["n_invalid_docs"] for m in all_done.values()
+                ),
+                "n_violations": sum(
+                    m["metrics"]["n_violations"] for m in all_done.values()
+                ),
+            },
+        }
+
+    def _run_unit(self, spark: SparkSession, unit: dict, out_dir: str) -> dict:
+        docs = spark.read.parquet(*unit["files"])
+        # violations sink (full error records), overwrite => crash-idempotent
+        violations = self.job.violations(self.job.validated(docs))
+        violations.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "violations", f"unit={unit['unit_id']}")
+        )
+        # verdict metrics via the count-only fast path (no error structs)
+        verd = self.job.verdicts(self.job.counted(docs)).collect()
+        return {
+            "n_docs": sum(r.n_docs for r in verd),
+            "n_invalid_docs": sum(r.n_invalid_docs for r in verd),
+            "n_violations": sum(r.n_violations for r in verd),
+            "n_partitions": len(verd),
+            "all_pass": all(r["pass"] for r in verd),
+        }
+
+
+def violations_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All violation rows accumulated across completed units."""
+    return spark.read.parquet(os.path.join(out_dir, "violations"))

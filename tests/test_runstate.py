@@ -1,0 +1,63 @@
+"""Checkpoint/resume (north rule): kill mid-run, rerun, prove completed
+units are skipped and totals equal a straight-through pass."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.plans.validation_job import ValidationJob
+from schemasaurus_spark.runstate import (
+    ResumableValidation,
+    list_units,
+    violations_table,
+)
+from schemasaurus_spark.sources.generator import generate_documents
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("resume") / "docs.parquet")
+    generate_documents(spark, 4000, seed=13).repartition(8).write.parquet(p)
+    return p
+
+
+def test_units_are_deterministic(spark, docs_path):
+    u1 = list_units(spark, docs_path, files_per_unit=2)
+    u2 = list_units(spark, docs_path, files_per_unit=2)
+    assert [u["unit_id"] for u in u1] == [u["unit_id"] for u in u2]
+    assert len(u1) == 4
+
+
+def test_kill_and_resume(spark, docs_path, tmp_path):
+    out = str(tmp_path / "out")
+    rv = ResumableValidation(files_per_unit=2)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        rv.run(spark, docs_path, out, fail_after_units=2)
+    assert len(os.listdir(os.path.join(out, "manifests"))) == 2
+
+    summary = rv.run(spark, docs_path, out)
+    assert summary["n_skipped"] == 2
+    assert summary["n_processed"] == 2
+    assert summary["n_units"] == 4
+
+    # totals match a straight-through (non-checkpointed) pass
+    docs = spark.read.parquet(docs_path)
+    job = ValidationJob()
+    direct = job.counted(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+        F.sum("n_violations").alias("n_viol"),
+    ).collect()[0]
+    assert summary["totals"]["n_docs"] == direct.n_docs == 4000
+    assert summary["totals"]["n_invalid_docs"] == direct.n_invalid
+    assert summary["totals"]["n_violations"] == direct.n_viol
+
+    # accumulated violation rows match the count too
+    assert violations_table(spark, out).count() == direct.n_viol
+
+    # a third run is a no-op
+    again = rv.run(spark, docs_path, out)
+    assert again["n_processed"] == 0
+    assert again["n_skipped"] == 4

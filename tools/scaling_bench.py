@@ -1,0 +1,111 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule: >=0.8
+throughput scaling efficiency from N to 4N executors; sandbox stand-in is
+local[8] vs local[32] on the same input — see the session brief).
+
+Generates the interleaved documents table once, runs the full validation
+pass in a fresh JVM per parallelism level (tools/scaling_runner.py), and
+writes BENCH/BASELINE.md with throughputs + efficiency.
+
+Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def generate(n_docs: int, path: str) -> float:
+    from schemasaurus_spark.session import get_spark
+    from schemasaurus_spark.sources.generator import generate_documents
+
+    spark = get_spark("scaling_gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    generate_documents(spark, n_docs, seed=7).write.mode("overwrite").parquet(path)
+    dt = time.time() - t0
+    spark.stop()
+    return dt
+
+
+def run_leg(cpus: int, docs_path: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_runner.py"), docs_path],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"leg local[{cpus}] failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    tmp = tempfile.mkdtemp(prefix="scaling_docs_")
+    docs_path = f"{tmp}/documents.parquet"
+    gen_sec = generate(n_docs, docs_path)
+    print(f"generated {n_docs} docs in {gen_sec:.1f}s -> {docs_path}", file=sys.stderr)
+
+    leg_low = run_leg(low, docs_path)
+    print("low leg:", leg_low, file=sys.stderr)
+    leg_high = run_leg(high, docs_path)
+    print("high leg:", leg_high, file=sys.stderr)
+
+    speedup = leg_low["best_sec"] / leg_high["best_sec"]
+    efficiency = speedup / (high / low)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Full north-rule validation pass (count-mode verdicts + violation rows +
+salted doc_id uniqueness + broadcast media referential + column stats with
+HLL distinct) over a deterministic interleaved documents table
+({n_docs:,} docs, seed 7), same parquet input for both legs, fresh JVM per
+leg, best of {os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")} repeats
+after one untimed full-pass warm-up (compiles all generated code).
+
+Sandbox stand-in for N vs 4N executors (no real cluster available):
+`local[{low}]` vs `local[{high}]` on a 32-core host.
+
+| parallelism | wall sec (best) | docs/sec | runs |
+|---|---|---|---|
+| local[{low}] (N) | {leg_low["best_sec"]} | {leg_low["docs_per_sec"]:,} | {leg_low["times_sec"]} |
+| local[{high}] (4N) | {leg_high["best_sec"]} | {leg_high["docs_per_sec"]:,} | {leg_high["times_sec"]} |
+
+- speedup {low}->{high} cores: **{speedup:.2f}x**
+- scaling efficiency (speedup / {high // low}): **{efficiency:.3f}** (target >= 0.8)
+
+Reference single-node baseline (BASELINE.md): schemasaurus iterates
+32,120-62,975 ops/sec single-threaded on a 4-property schema.  This engine
+validates {leg_high["docs_per_sec"]:,.0f} interleaved multi-span docs/sec at
+local[{high}] under the full keyword suite + data-quality operators.
+""")
+    print(json.dumps({
+        "n_docs": n_docs,
+        "low": leg_low,
+        "high": leg_high,
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "report": md,
+    }))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
