@@ -20,6 +20,14 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # GC sized to the worker-thread count: the default JVM GC thread config
+    # cannot keep up with 32 executor threads allocating String/UTF8String
+    # garbage (regex-heavy projections anti-scaled 8->32 cores by 3x until
+    # this); explicitly scaling G1's thread pools restores linear scaling
+    gc_opts = (
+        f"-XX:+UseG1GC -XX:ParallelGCThreads={max(8, cpus // 2)} "
+        f"-XX:ConcGCThreads={max(2, cpus // 4)}"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -30,6 +38,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
