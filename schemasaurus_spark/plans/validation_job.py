@@ -59,8 +59,29 @@ class ValidationJob:
         # no error structs / to_json / array allocation in the hot loop
         self.counter = ColumnValidator(self.schema, options, count_only=True)
 
-    def validated(self, docs: DataFrame) -> DataFrame:
-        return self.validator.apply(docs)
+    def validated(self, docs: DataFrame, guarded: bool = True) -> DataFrame:
+        """Append full error records + valid.
+
+        ``guarded`` (default): the expensive error-record array (structs,
+        JSON value stringify, per-fragment allocation) is gated behind the
+        cheap integer count expression — valid rows (the overwhelming
+        majority at scale) never allocate a single error object.  Count
+        parity with the array backend is test-asserted, so the guard is
+        semantics-preserving.
+        """
+        if not guarded:
+            return self.validator.apply(docs)
+        from pyspark.sql import functions as _F
+
+        from schemasaurus_spark.schema.columns import _empty
+
+        row_type = docs.schema
+        value = _F.struct(*[_F.col(f.name) for f in row_type.fields])
+        cnt = self.counter.errors(value, row_type, _F.lit(""))
+        full = self.validator.errors(value, row_type, _F.lit(""))
+        return docs.withColumn(
+            "errors", _F.when(cnt > 0, full).otherwise(_empty())
+        ).withColumn("valid", _F.size(_F.col("errors")) == 0)
 
     def counted(self, docs: DataFrame) -> DataFrame:
         return self.counter.apply(docs)
