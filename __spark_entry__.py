@@ -294,6 +294,33 @@ FROM v
 """
 
 
+NORMALIZE_SCHEMA: dict = {
+    "properties": {
+        "doc_id": {"type": "string"},  # bigint -> JS toString
+        "lang": {"default": "und"},  # null -> default
+        "n_chars": {"type": "boolean"},  # number -> JS truthiness
+        "text": {"type": "string"},
+    }
+    # 'source' is undeclared -> removed (normalizer.js additionalProperty)
+}
+
+
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C normalizer transforms compiled to one typed projection."""
+    from schemasaurus_spark.schema.normalize_columns import normalize_dataframe
+
+    return normalize_dataframe(_docs(spark, sf_dir), NORMALIZE_SCHEMA)
+
+
+_NORMALIZE_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       coalesce(lang, 'und') AS lang,
+       n_chars <> 0 AS n_chars,
+       text
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -430,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_dup_orderkeys": lineitem_dup_orderkeys,
         "orders_dangling_custkey": orders_dangling_custkey,
         "doc_exact_dup_groups": doc_exact_dup_groups,
+        "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
         "doc_lang_id": doc_lang_id,
         "embedding_topk": embedding_topk,
@@ -456,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_dup_orderkeys": _DUPKEYS_ORACLE,
         "orders_dangling_custkey": _DANGLING_ORACLE,
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
+        "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
         "embedding_topk": _TOPK_ORACLE,

@@ -1,0 +1,37 @@
+"""Streaming validation: drain a documents directory with availableNow,
+assert violations + verdict log match the batch pass, then append a second
+file and prove incremental processing (only the new batch validated)."""
+
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.plans.validation_job import ValidationJob
+from schemasaurus_spark.sources.generator import generate_documents
+from schemasaurus_spark.streaming.validate_stream import validate_stream
+
+
+def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    first = generate_documents(spark, 400, seed=41).coalesce(1)
+    first.write.mode("append").parquet(in_dir)
+
+    q = validate_stream(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+
+    job = ValidationJob()
+    docs = spark.read.parquet(in_dir)
+    expected_viol = job.violations(job.validated(docs)).count()
+    got_viol = spark.read.parquet(f"{out_dir}/violations").count()
+    assert got_viol == expected_viol
+
+    log = spark.read.parquet(f"{out_dir}/verdict_log")
+    assert log.agg(F.sum("n_docs")).collect()[0][0] == 400
+
+    # incremental: append new docs, re-drain, only the delta is new
+    generate_documents(spark, 200, seed=43).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = validate_stream(spark, in_dir, out_dir)
+    q2.awaitTermination(120)
+
+    log2 = spark.read.parquet(f"{out_dir}/verdict_log")
+    assert log2.agg(F.sum("n_docs")).collect()[0][0] == 600
+    assert log2.select("batch_id").distinct().count() >= 2

@@ -6,7 +6,8 @@ Generates the interleaved documents table once, runs the full validation
 pass in a fresh JVM per parallelism level (tools/scaling_runner.py), and
 writes BENCH/BASELINE.md with throughputs + efficiency.
 
-Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus]
+Usage: python tools/scaling_bench.py [n_docs] [low_cpus] [high_cpus] [docs_path]
+(docs_path: reuse an already-generated documents parquet; skips generation)
 """
 
 from __future__ import annotations
@@ -53,10 +54,14 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
-    tmp = tempfile.mkdtemp(prefix="scaling_docs_")
-    docs_path = f"{tmp}/documents.parquet"
-    gen_sec = generate(n_docs, docs_path)
-    print(f"generated {n_docs} docs in {gen_sec:.1f}s -> {docs_path}", file=sys.stderr)
+    tmp = None
+    if len(sys.argv) > 4:
+        docs_path = sys.argv[4]
+    else:
+        tmp = tempfile.mkdtemp(prefix="scaling_docs_")
+        docs_path = f"{tmp}/documents.parquet"
+        gen_sec = generate(n_docs, docs_path)
+        print(f"generated {n_docs} docs in {gen_sec:.1f}s -> {docs_path}", file=sys.stderr)
 
     leg_low = run_leg(low, docs_path)
     print("low leg:", leg_low, file=sys.stderr)
@@ -102,9 +107,10 @@ local[{high}] under the full keyword suite + data-quality operators.
         "efficiency": round(efficiency, 3),
         "report": md,
     }))
-    import shutil
+    if tmp is not None:
+        import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
