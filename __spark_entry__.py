@@ -370,8 +370,12 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-radius pairs (rows-only: Arrow-batch signature UDF)."""
-    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=10)
+    """SimHash Hamming-radius pairs (rows-only: Arrow-batch signature UDF).
+
+    Radius 3 -> 4x16-bit bands (derived inside the operator; pigeonhole
+    guarantees every pair within the radius shares an intact band — no
+    silent recall loss)."""
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,26 +385,67 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# north-rule engine over the interleaved documents table (rows-only: the
-# generator + span walk have no DuckDB analog; parity is pytest-asserted)
+# north-rule engine over the interleaved documents table.  The deterministic
+# generated table (n=2000, seed=7) is materialized to parquet once per
+# process so the DuckDB oracles can read the *same bytes* the Spark queries
+# read — which turns the span-walk validation, verdict aggregation, span
+# sequence and referential check into plain SQL over unnested spans.
 # ---------------------------------------------------------------------------
+
+_NR_DOCS_PATH = "/tmp/schemasaurus_oracle/northrule_docs_n2000_seed7"
+_NR_CATALOG_PATH = "/tmp/schemasaurus_oracle/media_catalog_seed7"
+_nr_written = False
 
 
 def _northrule_docs(spark: SparkSession) -> DataFrame:
-    return generate_documents(spark, n_docs=2000, seed=7)
+    global _nr_written
+    if not _nr_written:
+        generate_documents(spark, n_docs=2000, seed=7).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(_NR_DOCS_PATH)
+        generate_media_catalog(spark, seed=7).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_NR_CATALOG_PATH)
+        _nr_written = True
+    return spark.read.parquet(_NR_DOCS_PATH)
 
 
 def northrule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full span-walk validation, violation rows (north-rule contract).
+
+    ``err_idx`` (position within the per-doc error array) is dropped from
+    the contract projection — the remaining columns are exactly the
+    north-rule output contract and are order-insensitively comparable."""
     job = ValidationJob()
-    return job.violations(job.validated(_northrule_docs(spark)))
+    return job.violations(job.validated(_northrule_docs(spark))).drop("err_idx")
 
 
 def northrule_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    job = ValidationJob()
-    return job.verdicts(job.validated(_northrule_docs(spark)))
+    """Pass/fail verdict aggregation keyed by a *deterministic* bucket
+    (last doc_id character) so the result is engine-comparable; the
+    physical per-partition variant (spark_partition_id key, identical
+    aggregation shape) is exercised by ValidationJob.verdicts in pytest
+    and the scaling bench."""
+    counted = ValidationJob().counted(_northrule_docs(spark))
+    return (
+        counted.select(
+            F.substring("doc_id", -1, 1).alias("bucket"),
+            "valid",
+            "n_violations",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.bool_and("valid").alias("pass"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid_docs"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+    )
 
 
 def northrule_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row span-sequence invariant as flat rows (doc_id, order, kind,
+    text, media_ref) — directly SQL-comparable."""
     return ValidationJob().span_sequence(_northrule_docs(spark))
 
 
@@ -408,6 +453,128 @@ def northrule_dangling_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dangling_media_refs(
         _northrule_docs(spark), generate_media_catalog(spark, seed=7)
     )
+
+
+# The DuckDB mirror of the compiled DOCUMENT_SCHEMA walk over the typed
+# span struct.  Every branch the Column compiler can emit for this schema +
+# table shape is expressed (most yield zero rows on the generated corpus by
+# construction — only format.uri fires — but the SQL is the full contract,
+# not a fit to the data).
+_NR_URI_RE = r"^[a-zA-Z][a-zA-Z0-9+-.]*:[^\s]*$"
+_NR_DOCID_RE = r"^[a-z0-9-]{4,64}$"
+
+_NR_BASE = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')),
+ex AS (
+  SELECT doc_id, unnest(spans) AS s, generate_subscripts(spans, 1) - 1 AS i
+  FROM docs
+),
+sp AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i, s.kind AS kind, s.text AS text,
+         s.media_ref AS media_ref, s['offset'] AS "offset", CAST(to_json(s) AS VARCHAR) AS s_json
+  FROM ex
+)
+"""
+
+# per-row violation count: the count-mode compiler's integer analog, used by
+# the verdict oracle (inline per row — doc_id is NOT unique, so joining
+# violation rows back by doc_id would conflate duplicate-id rows)
+_NR_VIOL_COUNT = f"""
+  (CASE WHEN doc_id IS NULL THEN 2 ELSE 0 END)
+  + (CASE WHEN doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{_NR_DOCID_RE}') THEN 1 ELSE 0 END)
+  + (CASE WHEN spans IS NOT NULL AND len(spans) < 1 THEN 1 ELSE 0 END)
+  + (CASE WHEN spans IS NOT NULL AND len(spans) > 1024 THEN 1 ELSE 0 END)
+  + coalesce(len(list_filter(spans, s -> s.kind IS NULL)), 0) * 3
+  + coalesce(len(list_filter(spans, s -> s.kind IS NOT NULL AND s.kind NOT IN ('text','image','audio','ref'))), 0)
+  + coalesce(len(list_filter(spans, s -> s.text IS NOT NULL AND length(s.text) > 4096)), 0)
+  + coalesce(len(list_filter(spans, s -> s.media_ref IS NOT NULL AND NOT regexp_matches(s.media_ref, '{_NR_URI_RE}'))), 0)
+  + coalesce(len(list_filter(spans, s -> s['offset'] IS NOT NULL AND s['offset'] < 0)), 0)
+"""
+
+_NR_VIOLATIONS_ORACLE = f"""
+{_NR_BASE}
+-- root: doc_id required (v3 flag merged at root) + type string
+SELECT doc_id, CAST(NULL AS INTEGER) AS span_idx, 'required' AS keyword, '' AS json_pointer,
+       'required' AS code, 'is required' AS message, CAST(NULL AS VARCHAR) AS value, CAST(NULL AS VARCHAR) AS arg
+FROM docs WHERE doc_id IS NULL
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), 'string', '/doc_id', 'string', 'shall be a string',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM docs WHERE doc_id IS NULL
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), 'pattern', '/doc_id', 'pattern', 'shall match pattern %s',
+       doc_id, '{_NR_DOCID_RE}'
+FROM docs WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{_NR_DOCID_RE}')
+UNION ALL
+-- spans cardinality
+SELECT doc_id, CAST(NULL AS INTEGER), 'minItems', '/spans', 'minItems', 'shall have at least %d items',
+       CAST(to_json(spans) AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM docs WHERE spans IS NOT NULL AND len(spans) < 1
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), 'maxItems', '/spans', 'maxItems', 'shall have no more %d items',
+       CAST(to_json(spans) AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM docs WHERE spans IS NOT NULL AND len(spans) > 1024
+UNION ALL
+-- span element: kind required (v3 flag on the property) + its type/enum
+SELECT doc_id, i, 'required', '/spans/' || i, 'required', 'is required', s_json, CAST(NULL AS VARCHAR)
+FROM sp WHERE kind IS NULL
+UNION ALL
+SELECT doc_id, i, 'string', '/spans/' || i || '/kind', 'string', 'shall be a string',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM sp WHERE kind IS NULL
+UNION ALL
+SELECT doc_id, i, 'enum', '/spans/' || i || '/kind', 'enum', 'shall be one of values %s',
+       kind, '["text","image","audio","ref"]'
+FROM sp WHERE kind IS NULL OR kind NOT IN ('text','image','audio','ref')
+UNION ALL
+-- span text bounds
+SELECT doc_id, i, 'maxLength', '/spans/' || i || '/text', 'maxLength', 'shall have length no more than %d',
+       text, '4096'
+FROM sp WHERE text IS NOT NULL AND length(text) > 4096
+UNION ALL
+SELECT doc_id, i, 'minLength', '/spans/' || i || '/text', 'minLength', 'shall have length at least %d',
+       text, '0'
+FROM sp WHERE text IS NOT NULL AND length(text) < 0
+UNION ALL
+-- span media_ref uri format
+SELECT doc_id, i, 'format.uri', '/spans/' || i || '/media_ref', 'format.uri', 'shall be valid URI',
+       media_ref, 'shall be valid URI'
+FROM sp WHERE media_ref IS NOT NULL AND NOT regexp_matches(media_ref, '{_NR_URI_RE}')
+UNION ALL
+-- span offset minimum
+SELECT doc_id, i, 'minimum', '/spans/' || i || '/offset', 'minimum', 'shall be >= %d',
+       CAST("offset" AS VARCHAR), '0'
+FROM sp WHERE "offset" IS NOT NULL AND "offset" < 0
+"""
+
+_NR_VERDICTS_ORACLE = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')),
+per_row AS (
+  SELECT doc_id, CAST(({_NR_VIOL_COUNT}) AS BIGINT) AS n_viol FROM docs
+)
+SELECT right(doc_id, 1) AS bucket,
+       bool_and(n_viol = 0) AS "pass",
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_docs,
+       CAST(sum(n_viol) AS BIGINT) AS n_violations
+FROM per_row GROUP BY 1
+"""
+
+_NR_SPAN_SEQUENCE_ORACLE = f"""
+{_NR_BASE}
+SELECT doc_id, i AS "order", kind, text, media_ref FROM sp
+"""
+
+_NR_DANGLING_MEDIA_ORACLE = f"""
+{_NR_BASE}
+SELECT sp.doc_id, sp.i AS span_idx, sp.media_ref
+FROM sp
+WHERE sp.media_ref IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM read_parquet('{_NR_CATALOG_PATH}/*.parquet') c
+    WHERE c.media_ref = sp.media_ref
+  )
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -489,4 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
+        "northrule_violations": _NR_VIOLATIONS_ORACLE,
+        "northrule_verdicts": _NR_VERDICTS_ORACLE,
+        "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
+        "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
     }

@@ -47,6 +47,101 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return w.join(keep, on=["_fp", id_col], how="left_semi").drop("_fp")
 
 
+# --------------------------------------------- exact-dup pre-collapse + expand
+#
+# Web-scale guard: boilerplate/empty/near-identical text puts *every* copy of
+# a duplicated document into the same LSH bucket in every band (identical
+# text -> identical signature -> identical band hashes), so a 1M-copy
+# boilerplate page alone creates an O(10^12)-row bucket self-join.  Both LSH
+# operators therefore collapse exact duplicates (by normalized-text
+# fingerprint) to one representative doc BEFORE signatures are computed, run
+# the banded join over representatives only, then expand the representative
+# pairs back to member pairs (inter-group pairs score identically to their
+# representatives because identical fingerprints imply identical shingle
+# sets / token sequences; intra-group pairs are exact duplicates by
+# construction).
+
+
+def _collapse_reps(df: DataFrame, text_col: str, id_col: str):
+    """Returns (rep_docs, members): one deterministic representative row per
+    normalized-text fingerprint, plus the (member id -> rep id) mapping."""
+    with_fp = df.select(
+        F.col(id_col), F.col(text_col), F.md5(normalize_text(F.col(text_col))).alias("_fp")
+    )
+    reps = (
+        with_fp.groupBy("_fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_r"))
+        .select(
+            F.col(f"_r.{id_col}").alias(id_col),
+            F.col(f"_r.{text_col}").alias(text_col),
+            "_fp",
+        )
+    )
+    members = with_fp.select(F.col(id_col).alias("_member"), "_fp").join(
+        reps.select(F.col(id_col).alias("_rep"), "_fp"), "_fp"
+    )
+    return reps, members
+
+
+def _expand_pairs(rep_pairs: DataFrame, members: DataFrame, score_col: str,
+                  intra_score) -> DataFrame:
+    """rep-level (id_a, id_b, score) -> member-level pairs.  Inter-group
+    pairs inherit the representative score; intra-group pairs (exact
+    duplicates) get ``intra_score``.  id_a < id_b re-established after
+    expansion."""
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_member").alias("_m_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_member").alias("_m_b"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_m_a", "_m_b").alias("id_a"),
+            F.greatest("_m_a", "_m_b").alias("id_b"),
+            score_col,
+        )
+    )
+    grp = members.select("_fp", "_member")
+    intra = (
+        grp.alias("x")
+        .join(grp.alias("y"), "_fp")
+        .where(F.col("x._member") < F.col("y._member"))
+        .select(
+            F.col("x._member").alias("id_a"),
+            F.col("y._member").alias("id_b"),
+            F.lit(intra_score).alias(score_col),
+        )
+    )
+    return inter.unionByName(intra)
+
+
+def _cap_buckets(band_rows: DataFrame, key_cols: list, cap: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``cap`` (skew guard: one hot band hash
+    otherwise yields an O(bucket^2) pair explosion inside a single join task
+    that AQE cannot split).  With exact dups pre-collapsed, an over-cap
+    bucket means pathologically common *near*-boilerplate; dropping it costs
+    recall on those docs only.  Use ``oversize_bucket_report`` to count what
+    a given cap would truncate."""
+    if cap is None:
+        return band_rows
+    small = (
+        band_rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .where(F.col("_bucket_n") <= cap)
+        .select(*key_cols)
+    )
+    return band_rows.join(small, key_cols, "left_semi")
+
+
+def oversize_bucket_report(band_rows: DataFrame, key_cols: list, cap: int) -> DataFrame:
+    """(bucket key, size) for buckets a given cap would drop — the explicit
+    'log what was truncated' hook for capped LSH runs."""
+    return (
+        band_rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > cap)
+    )
+
+
 # ---------------------------------------------------------------- shingles
 
 
@@ -85,12 +180,16 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     rows = bands of r = n_hashes/bands minhashes each; docs sharing any
     band hash land in one bucket; pairs generated within buckets only.
     Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    ``bucket_cap`` drops buckets with more members than the cap (skew
+    guard — see ``_cap_buckets``); callers that pre-collapse exact
+    duplicates should already have bounded the common case.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
@@ -116,6 +215,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
+    band_rows = _cap_buckets(band_rows, ["band", "bhash"], bucket_cap)
     left = band_rows.select(F.col(id_col).alias("id_a"), "band", "bhash")
     right = band_rows.select(F.col(id_col).alias("id_b"), "band", "bhash")
     pairs = (
@@ -135,10 +235,34 @@ def minhash_near_duplicates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    bucket_cap: int | None = 5000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard >= threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_k)
-    sh = df.select(
+    """LSH candidates verified by exact n-gram Jaccard >= threshold.
+
+    Scale shape: exact duplicates are collapsed to one representative
+    before signatures (identical normalized text implies identical shingle
+    set, hence identical signature and Jaccard), the banded self-join is
+    bucket-capped, and the verify stage shingles only docs that appear in
+    at least one candidate pair (semi-join), not the whole corpus.
+    Representative pairs are expanded back to member pairs at the end, with
+    intra-group (exact-duplicate) pairs at Jaccard 1.0."""
+    if collapse_exact:
+        reps, members = _collapse_reps(df, text_col, id_col)
+        base = reps
+    else:
+        base, members = df, None
+    cands = minhash_lsh_candidates(
+        base, text_col, id_col, n_hashes, bands, shingle_k, bucket_cap
+    )
+    # verify only candidate docs: shingling the full corpus a second time is
+    # wasted work when candidates are a tiny fraction of it
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = base.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(char_shingles_expr(text_col, shingle_k)).alias("_sh"),
     )
@@ -147,7 +271,7 @@ def minhash_near_duplicates(
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size("_sh_a") + F.size("_sh_b") - inter
-    return (
+    rep_pairs = (
         joined.select(
             "id_a",
             "id_b",
@@ -155,6 +279,9 @@ def minhash_near_duplicates(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if not collapse_exact:
+        return rep_pairs
+    return _expand_pairs(rep_pairs, members, "jaccard", 1.0)
 
 
 # ---------------------------------------------------------------- n-gram jaccard (exact, join on shared shingle)
@@ -249,11 +376,46 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
 
 
+def _band_slices(n_bands: int, total_bits: int = 64):
+    """Partition ``total_bits`` into ``n_bands`` contiguous (start, width)
+    slices, widths differing by at most 1."""
+    base, extra = divmod(total_bits, n_bands)
+    out, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Pairs within a Hamming radius, blocked by 4x16-bit sub-bands (any pair
-    within distance 3 shares at least one exact 16-bit band — pigeonhole)."""
-    sigs = simhash_64(df, text_col, id_col)
+                            id_col: str = "doc_id", max_hamming: int = 3,
+                            bucket_cap: int | None = 5000,
+                            collapse_exact: bool = True) -> DataFrame:
+    """Pairs within a Hamming radius, blocked on sub-bands of the 64-bit
+    signature.
+
+    Recall guarantee (pigeonhole): with ``bands = max_hamming + 1`` disjoint
+    sub-bands, any pair at Hamming distance <= max_hamming differs in at
+    most ``max_hamming`` bands, so at least one band is bit-identical and
+    the pair lands in a shared bucket.  The band count is DERIVED from the
+    radius — callers cannot silently ask for a radius the blocking can't
+    guarantee.  Exact duplicates are pre-collapsed (identical token
+    sequences imply identical signatures) and re-expanded at Hamming 0;
+    buckets over ``bucket_cap`` members are dropped (skew guard)."""
+    n_bands = max_hamming + 1
+    # the recall invariant the banding must satisfy; > 64 bands would need
+    # sub-1-bit bands, i.e. the radius is too large for 64-bit SimHash LSH
+    assert n_bands > max_hamming and n_bands <= 64, (
+        f"max_hamming={max_hamming} needs {n_bands} bands; 64-bit SimHash "
+        "supports radii 0..63"
+    )
+    if collapse_exact:
+        reps, members = _collapse_reps(df, text_col, id_col)
+        base = reps
+    else:
+        base, members = df, None
+    sigs = simhash_64(base, text_col, id_col)
     bands = sigs.select(
         id_col,
         "simhash",
@@ -261,21 +423,27 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bhash"),
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bhash"),
                     )
-                    for b in range(4)
+                    for i, (start, width) in enumerate(_band_slices(n_bands))
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.bhash")
+    bands = _cap_buckets(bands, ["band", "bhash"], bucket_cap)
     a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bhash")
     b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bhash")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    rep_pairs = (
         a.join(b, ["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    if not collapse_exact:
+        return rep_pairs
+    return _expand_pairs(rep_pairs, members, "hamming", 0)

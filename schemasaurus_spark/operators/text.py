@@ -121,14 +121,57 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-scan text-analysis projection over a documents table."""
+    """One-scan text-analysis projection over a documents table.
+
+    Shared subtrees — the lowered word array, the punctuation strip, the
+    token count — are materialized once as intermediate columns and every
+    consumer expression references them, instead of each metric re-planning
+    its own copy (the lang-ID vote/tie-break chain alone would duplicate
+    the ``split(lower(text))`` subtree ~9x).  Outputs are identical to the
+    standalone Column builders above."""
     t = F.col(text_col)
-    return df.select(
-        id_col,
+    codes = sorted(STOPWORDS)
+    step = df.select(
+        F.col(id_col),
+        t.alias("_t"),
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subword_tokens"),
-        F.round(punct_ratio(t), 4).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("_punct"),
+        F.split(F.lower(t), r"\s+").alias("_words"),
         fingerprint(t).alias("fingerprint"),
+    ).withColumn(
+        "_votes",
+        F.array(
+            *[
+                F.size(F.filter(F.col("_words"), lambda w: w.isin(*STOPWORDS[c])))
+                for c in codes
+            ]
+        ),
+    )
+    t2 = F.col("_t")
+    punct = F.when(t2.isNull() | (F.length(t2) == 0), F.lit(0.0)).otherwise(
+        F.col("_punct") / F.length(t2)
+    )
+    stop_ratio = F.when(t2.isNull() | (F.trim(t2) == ""), F.lit(0.0)).otherwise(
+        F.col("_votes")[codes.index("en")] / F.col("n_tokens")
+    )
+    length_term = F.least(F.length(t2) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
+    stop_term = F.least(stop_ratio * 5, F.lit(1.0))
+    quality = F.when(t2.isNull(), F.lit(0.0)).otherwise(
+        F.round((length_term + punct_term + stop_term) / 3.0, 4)
+    )
+    best = F.array_max("_votes")
+    lang = F.lit("und")
+    for idx, code in reversed(list(enumerate(codes))):  # earlier codes win ties
+        lang = F.when(F.col("_votes")[idx] == best, F.lit(code)).otherwise(lang)
+    lang = F.when(t2.isNull() | (best <= 0), F.lit("und")).otherwise(lang)
+    return step.select(
+        id_col,
+        "n_tokens",
+        "n_subword_tokens",
+        F.round(punct, 4).alias("punct_ratio"),
+        quality.alias("quality"),
+        lang.alias("lang_guess"),
+        "fingerprint",
     )

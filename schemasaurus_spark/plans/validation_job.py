@@ -131,9 +131,26 @@ class ValidationJob:
         )
 
     def span_sequence(self, docs: DataFrame) -> DataFrame:
-        """Per-row span-sequence projection (kind, text, media_ref, order) —
-        the per-row invariant asserted against the reference semantics
-        (BASELINE.json input_hint)."""
+        """Per-row span-sequence invariant (kind, text, media_ref, order) —
+        asserted against the reference semantics (BASELINE.json input_hint).
+
+        Emitted as flat exploded rows — one row per span, 0-based ``order``
+        from posexplode — so the projection is directly comparable (and
+        SQL-expressible) across engines."""
+        return docs.select(
+            "doc_id", F.posexplode("spans").alias("order", "span")
+        ).select(
+            "doc_id",
+            "order",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+
+    def span_sequence_nested(self, docs: DataFrame) -> DataFrame:
+        """No-explode variant: span sequence as an array column built with a
+        ``transform`` HOF — same information, one row per doc (useful when
+        the downstream consumer wants the doc row shape preserved)."""
         return docs.select(
             "doc_id",
             F.transform(

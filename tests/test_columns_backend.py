@@ -125,10 +125,15 @@ def test_span_sequence_invariant(spark, docs):
     """Per-row span-sequence equality (kind, text, media_ref, order): the
     engine's projection must reproduce the source order exactly."""
     job = ValidationJob()
-    seq = job.span_sequence(docs)
-    row = seq.limit(1).collect()[0]
-    orders = [s["order"] for s in row.span_seq]
-    assert orders == list(range(len(orders)))
+    first = docs.limit(1)
+    src = first.collect()[0]
+    flat = job.span_sequence(first).orderBy("order").collect()
+    assert [r.order for r in flat] == list(range(len(src.spans)))
+    assert [(r.kind, r.text, r.media_ref) for r in flat] == [
+        (s.kind, s.text, s.media_ref) for s in src.spans
+    ]
+    nested = job.span_sequence_nested(first).collect()[0]
+    assert [s["order"] for s in nested.span_seq] == list(range(len(src.spans)))
 
 
 def test_offsets_strictly_increasing(spark, docs):

@@ -169,6 +169,90 @@ def test_simhash_near_duplicates(spark):
     assert (1, 2) in pairs
 
 
+def test_simhash_recall_guarantee_at_radius(spark):
+    """Plant a pair at exact Hamming distance 6 and assert the derived
+    banding (bands = max_hamming + 1, pigeonhole) finds it — the recall
+    hole VERDICT r1 flagged (4x16-bit bands silently missing distance>3)."""
+    from schemasaurus_spark.operators.dedup import simhash_64
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    # find a word whose addition moves the signature by >3 bits so the old
+    # fixed 4-band blocking would have had no guarantee
+    cands = [words + w * 3 for w in ("omega", "sigma", "lambda", "mu", "nu", "xi")]
+    df = spark.createDataFrame(
+        [(0, words)] + list(enumerate(cands, start=1)), ["doc_id", "text"]
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_64(df).collect()}
+    dists = {i: bin(sigs[0] ^ sigs[i]).count("1") for i in sigs if i != 0}
+    far = [i for i, d in dists.items() if 3 < d <= 6]
+    if not far:  # deterministic hash: with these inputs this never happens
+        raise AssertionError(f"no candidate at distance 4..6: {dists}")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(df, max_hamming=6).collect()
+    }
+    for i in far:
+        assert (0, i) in pairs, f"pair at hamming {dists[i]} missed at radius 6"
+
+
+def test_lsh_exact_dup_collapse_and_expand(spark):
+    """10k identical docs: pre-collapse keeps the banded self-join at one
+    representative (no O(n^2) bucket explosion) and the expansion returns
+    every member pair at the exact-duplicate score."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    n = 60  # enough members that an uncollapsed bucket join would be n^2 rows
+    rows = [(i, base) for i in range(n)] + [(n, base.replace("lazy", "sleepy"))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    mh = minhash_near_duplicates(df, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in mh}
+    # all intra-group pairs present at jaccard 1.0
+    assert got[(0, 1)] == 1.0 and got[(n - 2, n - 1)] == 1.0
+    assert len([p for p, j in got.items() if j == 1.0]) == n * (n - 1) // 2
+    # near-dup of the group pairs with every member, at the rep's jaccard
+    near = {p for p in got if n in p}
+    assert len(near) == n
+    sh = simhash_near_duplicates(df, max_hamming=8).collect()
+    sgot = {(r.id_a, r.id_b): r.hamming for r in sh}
+    assert sgot[(0, 1)] == 0
+    assert len([p for p, h in sgot.items() if h == 0]) == n * (n - 1) // 2
+
+
+def test_lsh_bucket_cap_truncates_hot_buckets(spark):
+    """A tiny cap drops candidate generation from oversize buckets (skew
+    guard); the report names what was dropped."""
+    from schemasaurus_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        oversize_bucket_report,
+    )
+
+    base = "boilerplate header shared by every page in the crawl " * 4
+    df = spark.createDataFrame(
+        [(i, base + f"unique tail {i}") for i in range(12)], ["doc_id", "text"]
+    )
+    uncapped = minhash_lsh_candidates(df).count()
+    capped = minhash_lsh_candidates(df, bucket_cap=2).count()
+    assert capped < uncapped
+    # the report surfaces the dropped buckets for the caller to log
+    from schemasaurus_spark.operators.dedup import char_shingles_expr, minhash_signature
+
+    shingled = df.select("doc_id", char_shingles_expr("text", 5).alias("_shingles"))
+    sig = minhash_signature(F.col("_shingles"), 32)
+    band_rows = shingled.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[sig[b * 4 + i] for i in range(4)]).alias("bhash"),
+                )
+                for b in range(8)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bhash")
+    rep = oversize_bucket_report(band_rows, ["band", "bhash"], 2)
+    assert rep.count() > 0
+
+
 def test_brute_force_topk(spark, embeddings):
     probes = embeddings.where(F.col("vec_id") < 3)
     res = brute_force_topk(embeddings, probes, k=5)
@@ -203,6 +287,24 @@ def test_text_profile(spark, flat_docs):
     assert all(len(r.fingerprint) == 32 for r in prof)
     langs = {r.lang_guess for r in prof}
     assert langs  # deterministic heuristic runs on all rows
+
+
+def test_text_profile_matches_standalone_builders(spark, flat_docs):
+    """The materialized-subtree projection must equal the naive composition
+    of the standalone Column builders row-for-row."""
+    t = F.col("text")
+    ref = flat_docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        text.quality_score(t).alias("quality"),
+        text.lang_id(t).alias("lang_guess"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+    new = text.text_profile(flat_docs)
+    assert ref.exceptAll(new).count() == 0
+    assert new.exceptAll(ref).count() == 0
 
 
 def test_media_plumbing(spark):
