@@ -1,13 +1,20 @@
 """spark-submit entrypoint for the north-rule validation pass.
 
     spark-submit --py-files dist/schemasaurus_spark.zip jobs/validate_submit.py \
-        --input  /data/documents        (parquet dir or Iceberg table id) \
+        --input  /data/documents        (parquet dir; or an Iceberg table id
+                                         when the iceberg-spark runtime jar
+                                         is on the classpath — append-only
+                                         tables, file-listing lineage) \
         --output /data/validation_out   (violations/ + manifests/ + verdicts.json) \
         [--schema schema.json] [--files-per-unit 16] [--resume]
+        [--on-drift error|reset]
 
 On a cluster the session comes from spark-submit's conf (master, executor
 counts, memory); this script only sets engine-level SQL conf.  Without
 --resume the output dir's manifests are ignored and everything reruns.
+Resume requires an immutable input snapshot: if the file listing changed,
+the run aborts with LineageDriftError unless --on-drift reset is given
+(which invalidates the orphaned units and revalidates as needed).
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ def main() -> None:
     ap.add_argument("--schema", default=None, help="JSON Schema file (default: north-rule document schema)")
     ap.add_argument("--files-per-unit", type=int, default=16)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--on-drift", choices=["error", "reset"], default="error")
     args = ap.parse_args()
 
     from schemasaurus_spark.runstate import ResumableValidation
@@ -52,7 +60,7 @@ def main() -> None:
 
     spark = build_session()
     rv = ResumableValidation(schema, files_per_unit=args.files_per_unit)
-    summary = rv.run(spark, args.input, args.output)
+    summary = rv.run(spark, args.input, args.output, on_drift=args.on_drift)
     with open(os.path.join(args.output, "verdicts.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

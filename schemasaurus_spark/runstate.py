@@ -14,6 +14,16 @@ idempotent at unit granularity.
 At 10^12 docs the driver loop is over O(thousands) of units while each
 unit fans out to the cluster — the loop is control plane only, no data
 moves through the driver.
+
+**Resume requires an immutable input snapshot.**  Unit membership is
+positional over the sorted file list, so files appearing/disappearing
+between runs reshuffles group membership: previously-completed unit ids
+stop matching, their stale ``violations/unit=*`` dirs would double-count,
+and the "new" overlapping units would re-validate already-counted rows.
+``run`` detects this (manifests whose unit id no longer exists in the
+current listing) and by default refuses with ``LineageDriftError``;
+``on_drift="reset"`` instead deletes the orphaned manifests *and* their
+violation dirs, then reruns whatever the new listing requires.
 """
 
 from __future__ import annotations
@@ -21,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,14 +39,32 @@ from pyspark.sql import DataFrame, SparkSession
 from schemasaurus_spark.plans.validation_job import ValidationJob
 
 
+class LineageDriftError(RuntimeError):
+    """The input file listing changed since the manifests were written."""
+
+
 def _unit_id(files: list[str]) -> str:
     h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
     return h[:16]
 
 
+def _read_input(spark: SparkSession, input_path: str) -> DataFrame:
+    """Parquet directory or Iceberg table identifier (when the runtime jar
+    is present); both yield an inputFiles() listing for lineage."""
+    from schemasaurus_spark.sources.io import TableRef, read_table
+
+    if os.path.exists(input_path) or "/" in input_path:
+        return read_table(spark, TableRef(path=input_path))
+    return read_table(spark, TableRef(table=input_path))
+
+
 def list_units(spark: SparkSession, input_path: str, files_per_unit: int = 4) -> list[dict]:
-    """Deterministic work units from the input file listing (lineage)."""
-    jvm_files = spark.read.parquet(input_path).inputFiles()
+    """Deterministic work units from the input file listing (lineage).
+
+    NB: unit processing reads the listed data files directly, which is
+    exact for parquet dirs and append-only Iceberg tables; merge-on-read
+    Iceberg deletes would need snapshot-scoped planning instead."""
+    jvm_files = _read_input(spark, input_path).inputFiles()
     files = sorted(jvm_files)
     units = []
     for i in range(0, len(files), files_per_unit):
@@ -94,12 +123,35 @@ class ResumableValidation:
         input_path: str,
         out_dir: str,
         fail_after_units: int | None = None,
+        on_drift: str = "error",
     ) -> dict:
         """Process all pending units; returns a summary.  ``fail_after_units``
-        injects a crash after N units (for kill/rerun tests)."""
+        injects a crash after N units (for kill/rerun tests).  ``on_drift``:
+        ``"error"`` refuses to resume over a changed input listing;
+        ``"reset"`` drops orphaned manifests + their violation dirs and
+        revalidates what the new listing requires."""
         state = RunState(os.path.join(out_dir, "manifests"))
         units = list_units(spark, input_path, self.files_per_unit)
         done = state.completed()
+        current_ids = {u["unit_id"] for u in units}
+        orphans = sorted(uid for uid in done if uid not in current_ids)
+        if orphans:
+            if on_drift == "reset":
+                for uid in orphans:
+                    os.remove(os.path.join(out_dir, "manifests", f"{uid}.json"))
+                    shutil.rmtree(
+                        os.path.join(out_dir, "violations", f"unit={uid}"),
+                        ignore_errors=True,
+                    )
+                done = state.completed()
+            else:
+                raise LineageDriftError(
+                    f"input listing changed since checkpoint: {len(orphans)} "
+                    f"completed unit(s) no longer match the current file "
+                    f"grouping (e.g. {orphans[:3]}); resume requires an "
+                    "immutable input snapshot — rerun with on_drift='reset' "
+                    "to invalidate them"
+                )
         pending = [u for u in units if u["unit_id"] not in done]
         processed = 0
         for unit in pending:

@@ -114,18 +114,45 @@ class ColumnNormalizer:
             self._depth[sid] = depth
 
     def _node_body(self, schema: dict, dtype, value: Column):
-        # fire order mirrors the walker: default -> type coercion -> children
-        defaulted = False
-        if "default" in schema:
-            value, dtype, defaulted = self._default(schema, dtype, value)
-
+        # fire order mirrors the walker: default -> type coercion -> children.
+        # Reference quirk (normalizer.js): when [default] fires, the local
+        # value binding is NOT refreshed, so the subsequent [type] coercion
+        # sees the stale undefined and does nothing — a filled-in default is
+        # never coerced.
         t = schema.get("type")
-        if isinstance(t, str) and not defaulted:
-            value, dtype = self._coerce(t, dtype, value)
-        elif isinstance(t, list):
+        if isinstance(t, list):
             raise SchemaUnsupportedError(
                 "union-type coercion is dynamic; use the walker backend"
             )
+        has_default = "default" in schema
+        if has_default and isinstance(t, str) and not _is_undef(dtype):
+            # default + coercion on an existing column: compile only when the
+            # uncoerced default is representable in the coerced output type
+            # unchanged (JS coercion of the default is the identity) —
+            # otherwise the reference's result (e.g. the *string* 'on' in a
+            # column other rows coerced to boolean) has no typed analog
+            d = schema["default"]
+            if not _default_survives_coercion(d, t):
+                raise SchemaUnsupportedError(
+                    f"default {d!r} with type '{t}' coercion would be mutated "
+                    "by the coercion; reference semantics (default stays "
+                    "uncoerced) need the walker backend"
+                )
+            lit, lit_t = _literal(d)
+            coerced, new_t = self._coerce(t, dtype, value)
+            if not _compatible(new_t, lit_t):
+                raise SchemaUnsupportedError(
+                    f"default {d!r} is not representable in coerced type "
+                    f"{new_t.simpleString()}"
+                )
+            value = F.when(value.isNull(), lit.cast(new_t)).otherwise(coerced)
+            dtype = new_t
+        else:
+            defaulted = False
+            if has_default:
+                value, dtype, defaulted = self._default(schema, dtype, value)
+            if isinstance(t, str) and not defaulted:
+                value, dtype = self._coerce(t, dtype, value)
 
         value, dtype = self._children(schema, dtype, value)
         return value, dtype
@@ -221,6 +248,23 @@ class ColumnNormalizer:
             return out, new_t
 
         return value, dtype
+
+
+def _default_survives_coercion(d: Any, t: str) -> bool:
+    """True when the JS [type] coercion applied to the default value would
+    be the identity — i.e. injecting the uncoerced default into the coerced
+    output column reproduces reference semantics exactly."""
+    if t == "string":
+        return isinstance(d, str)
+    if t == "integer":
+        return isinstance(d, int) and not isinstance(d, bool)
+    if t == "number":
+        return isinstance(d, (int, float)) and not isinstance(d, bool)
+    if t == "boolean":
+        return isinstance(d, bool)
+    if t == "array":
+        return isinstance(d, list)
+    return True  # null / object / unknown types: coercion is a no-op
 
 
 def _literal(v: Any):

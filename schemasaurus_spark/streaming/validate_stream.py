@@ -3,14 +3,19 @@ they land (file source here; swap in Kafka by changing the reader), with
 the same compiled Column masks as the batch path.
 
 Two sinks per micro-batch via ``foreachBatch``:
-* violations appended under ``out/violations`` (full error records,
+* violations under ``out/violations/batch_id=<n>`` (full error records,
   guarded build — valid rows allocate nothing);
-* running verdict metrics appended under ``out/verdict_log`` with the
-  micro-batch id (the streaming analog of the per-partition verdicts).
+* running verdict metrics under ``out/verdict_log/batch_id=<n>`` (the
+  streaming analog of the per-partition verdicts).
 
-Checkpointing is Spark's own (``checkpointLocation``), which composes with
-the engine's unit-manifest resume for batch backfills: stream for the live
-edge, ResumableValidation for history.
+``foreachBatch`` gives at-least-once semantics: a crash between the sink
+write and the checkpoint commit replays the micro-batch.  Both sinks are
+therefore **idempotent per batch_id** — each batch writes its own
+``batch_id=`` partition with dynamic partition overwrite, so a replay
+rewrites that partition instead of duplicating rows.  With that, Spark's
+own checkpointing (``checkpointLocation``) composes exactly-once
+end-to-end, and with the engine's unit-manifest resume for batch
+backfills: stream for the live edge, ResumableValidation for history.
 """
 
 from __future__ import annotations
@@ -19,6 +24,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from schemasaurus_spark.plans.validation_job import ValidationJob
+
+
+def make_sink(job: ValidationJob, out_dir: str):
+    """The per-micro-batch sink, exposed so tests can invoke it directly
+    with a repeated batch_id to prove replay idempotence."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per batch_id: dynamic partition overwrite replaces only
+        # this batch's partition, so an at-least-once replay rewrites rather
+        # than duplicates
+        validated = job.validated(batch_df)
+        (
+            job.violations(validated)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/violations")
+        )
+        (
+            job.verdicts(job.counted(batch_df))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/verdict_log")
+        )
+
+    return sink
 
 
 def validate_stream(
@@ -40,20 +74,8 @@ def validate_stream(
 
     stream = spark.readStream.schema(source_schema).parquet(input_dir)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        validated = job.validated(batch_df)
-        job.violations(validated).write.mode("append").parquet(
-            f"{out_dir}/violations"
-        )
-        (
-            job.verdicts(job.counted(batch_df))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{out_dir}/verdict_log")
-        )
-
     writer = (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(make_sink(job, out_dir))
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .outputMode("update")
     )

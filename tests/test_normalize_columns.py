@@ -104,3 +104,33 @@ def test_unsupported_routes_to_walker(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(SchemaUnsupportedError):
         normalize_dataframe(df, {"properties": {"x": {"type": ["integer", "string"]}}})
+
+
+def test_default_is_not_coerced(spark):
+    """Reference quirk: [default] fires before [type] but the coercion
+    reads the stale (undefined) binding, so a filled-in default is never
+    coerced.  Typed path: the default is injected uncoerced into the
+    coerced output column; non-null values are coerced as usual."""
+    schema = {"properties": {"s": {"type": "string", "default": "absent"}}}
+    df = spark.createDataFrame([(5,), (None,)], "s int")
+    rows = normalize_dataframe(df, schema).collect()
+    assert [r.s for r in rows] == ["5", "absent"]
+    walker = new_normalizer(schema)
+    assert walker({"s": 5}) == {"s": "5"}
+    assert walker({"s": None}) == {"s": "absent"}
+
+
+def test_default_mutated_by_coercion_routes_to_walker(spark):
+    """{default: 'on', type: 'boolean'} on a nullable string column: the
+    reference yields the *string* 'on' for defaulted rows and booleans for
+    the rest — unrepresentable in one typed column, so the columnar backend
+    must refuse (rather than silently coercing the default to true)."""
+    from schemasaurus_spark.schema.columns import SchemaUnsupportedError
+
+    schema = {"properties": {"b": {"type": "boolean", "default": "on"}}}
+    df = spark.createDataFrame([("true",), (None,)], "b string")
+    with pytest.raises(SchemaUnsupportedError):
+        normalize_dataframe(df, schema)
+    walker = new_normalizer(schema)
+    assert walker({"b": "yes"}) == {"b": True}
+    assert walker({"b": None}) == {"b": "on"}  # default stays uncoerced

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from schemasaurus_spark.plans.validation_job import ValidationJob
 from schemasaurus_spark.runstate import (
+    LineageDriftError,
     ResumableValidation,
     list_units,
     violations_table,
@@ -61,3 +62,34 @@ def test_kill_and_resume(spark, docs_path, tmp_path):
     again = rv.run(spark, docs_path, out)
     assert again["n_processed"] == 0
     assert again["n_skipped"] == 4
+
+
+def test_lineage_drift_detected_and_reset(spark, tmp_path):
+    """Appending input files between runs reshuffles positional unit
+    membership: resume must refuse (stale violations/unit=* dirs would
+    double-count), and on_drift='reset' must invalidate the orphans so
+    totals still equal a straight-through pass over the new input."""
+    p = str(tmp_path / "docs.parquet")
+    generate_documents(spark, 2000, seed=13).repartition(4).write.parquet(p)
+    out = str(tmp_path / "out")
+    rv = ResumableValidation(files_per_unit=2)
+    rv.run(spark, p, out)
+
+    # grow the input: file listing (lineage) changes, old unit ids orphan
+    generate_documents(spark, 1000, seed=14).repartition(3).write.mode(
+        "append"
+    ).parquet(p)
+    with pytest.raises(LineageDriftError, match="immutable input snapshot"):
+        rv.run(spark, p, out)
+
+    summary = rv.run(spark, p, out, on_drift="reset")
+    docs = spark.read.parquet(p)
+    job = ValidationJob()
+    direct = job.counted(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_violations").alias("n_viol"),
+    ).collect()[0]
+    assert summary["totals"]["n_docs"] == direct.n_docs == 3000
+    assert summary["totals"]["n_violations"] == direct.n_viol
+    # no stale violation dirs double-counting rows
+    assert violations_table(spark, out).count() == direct.n_viol

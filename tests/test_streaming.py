@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from schemasaurus_spark.plans.validation_job import ValidationJob
 from schemasaurus_spark.sources.generator import generate_documents
-from schemasaurus_spark.streaming.validate_stream import validate_stream
+from schemasaurus_spark.streaming.validate_stream import make_sink, validate_stream
 
 
 def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):
@@ -35,3 +35,22 @@ def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):
     log2 = spark.read.parquet(f"{out_dir}/verdict_log")
     assert log2.agg(F.sum("n_docs")).collect()[0][0] == 600
     assert log2.select("batch_id").distinct().count() >= 2
+
+
+def test_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) must rewrite its partition, not duplicate rows."""
+    out_dir = str(tmp_path / "out")
+    docs = generate_documents(spark, 300, seed=41).coalesce(1)
+    sink = make_sink(ValidationJob(), out_dir)
+    sink(docs, 0)
+    viol_once = spark.read.parquet(f"{out_dir}/violations").count()
+    log_once = spark.read.parquet(f"{out_dir}/verdict_log").agg(
+        F.sum("n_docs")
+    ).collect()[0][0]
+    sink(docs, 0)  # simulated replay after a crash-before-checkpoint
+    assert spark.read.parquet(f"{out_dir}/violations").count() == viol_once
+    assert (
+        spark.read.parquet(f"{out_dir}/verdict_log").agg(F.sum("n_docs")).collect()[0][0]
+        == log_once
+    )
