@@ -355,8 +355,11 @@ FROM ranked WHERE rank <= 5
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: hyperplane hashing has no
-    concise SQL analog; recall vs brute force is asserted in pytest)."""
+    """LSH-bucketed approximate top-k.  The hyperplanes are deterministic
+    literal arrays (splitmix64-derived), so the oracle injects the same
+    plane constants and reproduces the bucketing, radius-1 multiprobe and
+    within-bucket cosine ranking in SQL; recall vs brute force is
+    additionally asserted in pytest."""
     emb = _table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -364,9 +367,118 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=8)
 
 
+def _ann_oracle_sql() -> str:
+    from schemasaurus_spark.operators.similarity import _hyperplane
+
+    n_planes = 8
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(p, ", ".join(repr(v) for v in _hyperplane(64, p)))
+        for p in range(n_planes)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes(pid, pv) AS (VALUES
+    {plane_rows}
+),
+-- sign-bit bucket, msb = plane 0 (matches the fold bucket*2 + bit)
+bucketed AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                       THEN 1 << ({n_planes} - 1 - p.pid) ELSE 0 END) AS INTEGER) AS bucket
+  FROM emb e, planes p
+  GROUP BY e.vec_id, e.v
+),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pvec,
+         CASE WHEN t.b = -1 THEN bucket ELSE xor(bucket, 1 << t.b) END AS bucket
+  FROM bucketed, generate_series(-1, {n_planes - 1}) AS t(b)
+  WHERE vec_id < 8
+),
+scored AS (
+  SELECT DISTINCT p.probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.pvec, c.v) AS sim
+  FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+  WHERE p.probe_id <> c.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(sim, 6) AS similarity
+FROM ranked WHERE rank <= 5
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs (rows-only: xxhash64 signatures)."""
+    """MinHash+LSH near-duplicate pairs.
+
+    Signatures use md5-derived universal hashing (dedup.py scheme note), so
+    the ENTIRE pipeline — shingles, 32 permutation minhashes, 8-band
+    blocking, candidate join, exact-Jaccard verify — is reproduced
+    bit-for-bit by the DuckDB oracle below.  The oracle mirrors the
+    uncollapsed pipeline; the exact-dup pre-collapse + re-expansion in the
+    operator is semantics-preserving (identical fingerprints imply
+    identical shingle sets; proven by test_lsh_exact_dup_collapse_and_
+    expand), and the testdata corpus has no oversize buckets, so the
+    bucket cap does not fire."""
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _minhash_oracle_sql() -> str:
+    from schemasaurus_spark.operators.dedup import MINHASH_P, minhash_params
+
+    sig_terms = ",\n         ".join(
+        f"list_min(list_transform(hh, h -> ({a}*h + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(32)
+    )
+    bhash = ", ".join(f"CAST(sig[4*t.b+{i}] AS VARCHAR)" for i in range(1, 5))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 5 THEN [t]
+              ELSE list_transform(generate_series(1, length(t) - 4), i -> substr(t, i, 5))
+         END AS shingles
+  FROM norm
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P}) AS hh,
+         list_distinct(shingles) AS dsh
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         [{sig_terms}] AS sig,
+         dsh
+  FROM hs
+),
+bandrows AS (
+  SELECT doc_id, t.b AS band, concat_ws(',', {bhash}) AS bhash
+  FROM sig, generate_series(0, 7) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bandrows a JOIN bandrows c ON a.band = c.band AND a.bhash = c.bhash
+  WHERE a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+               / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))), 6) AS jaccard
+  FROM cands
+  JOIN sig x ON x.doc_id = cands.id_a
+  JOIN sig y ON y.doc_id = cands.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,8 +492,32 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: mapInPandas feature extraction over opaque
-    binary payloads (rows-only: decode kernel is a deterministic stub)."""
+    binary payloads.  The decode kernel is a declared deterministic stub
+    (no image libs in this container) — which makes the whole pipeline,
+    synth table included, SQL-expressible: the oracle rebuilds the sha256
+    payload bytes and the stub's byte-sum luma from generate_series."""
     return extract_image_features(synth_media_table(spark, 200))
+
+
+_MEDIA_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT t.i AS id,
+         'media://img/' || CAST(t.i AS VARCHAR) AS media_ref,
+         sha256(concat('42', CAST(t.i AS VARCHAR))) AS hex
+  FROM generate_series(0, 199) AS t(i)
+),
+s AS (
+  SELECT id, media_ref,
+         list_sum(list_transform(generate_series(1, 64), j -> ascii(substr(hex, j, 1)))) AS ssum
+  FROM m
+)
+SELECT media_ref,
+       CAST(id % 64 + 16 AS INTEGER) AS width,
+       CAST(id % 48 + 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round((ssum % 2560) / 10.0, 4) AS mean_luma
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +792,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
+        "embedding_ann_lsh": _ann_oracle_sql(),
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "media_image_features": _MEDIA_FEATURES_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,

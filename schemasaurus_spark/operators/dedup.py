@@ -9,8 +9,9 @@
                  place built-ins can't express the per-bit majority vote);
 * n-gram Jaccard — exact similarity for LSH candidates (verification step).
 
-All signatures are deterministic (xxhash64-seeded), so results are stable
-across runs and parallelism levels.
+All signatures are deterministic, so results are stable across runs and
+parallelism levels; MinHash uses md5-derived universal hashing that any
+SQL engine reproduces bit-for-bit (the DuckDB oracle does).
 
 (No ``from __future__ import annotations`` here: pandas_udf resolves the
 type hints at definition time and stringified hints break it.)
@@ -157,20 +158,82 @@ def char_shingles_expr(text_col: str, k: int = 5):
 
 
 # ---------------------------------------------------------------- minhash
+#
+# Hashing scheme chosen for cross-engine reproducibility: the per-shingle
+# base hash is the first 15 hex chars of md5 (60 bits) reduced mod the
+# Mersenne prime 2^31-1, and each of the n permutations is an affine map
+# (a_j*h + b_j) mod P over that base hash.  Any SQL engine with md5() can
+# reproduce the signatures bit-for-bit (the DuckDB oracle does), products
+# stay under 2^62 (no BIGINT overflow), and the base hash is computed ONCE
+# per shingle instead of n times — cheaper than n independent string
+# hashes.
+
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(n_hashes: int):
+    """Deterministic affine coefficients (a_j, b_j), identical across runs,
+    engines and parallelism levels."""
+    params = []
+    for j in range(n_hashes):
+        a = (1103515245 * (j + 1) + 12345) % MINHASH_P
+        b = (2654435761 * (j + 1) + 1013904223) % MINHASH_P
+        params.append((a or 1, b))
+    return params
+
+
+def minhash_base_hashes(shingles):
+    """Per-shingle 31-bit base hash (md5-derived — see scheme note above).
+    Materialize the result as a column before building the signature so the
+    md5 runs once per shingle, not once per permutation."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature_from_hashes(hh, n_hashes: int = 32):
+    """Array of n minhash values from pre-computed base hashes: per
+    permutation j, min over shingles of (a_j*h + b_j) mod P."""
+
+    def min_hash(j: int):
+        a, b = minhash_params(n_hashes)[j]
+        return F.array_min(
+            F.transform(hh, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    return F.array(*[min_hash(j) for j in range(n_hashes)])
 
 
 def minhash_signature(shingles, n_hashes: int = 32):
-    """Array of n minhash values: min over shingles of xxhash64(seed_j, s).
+    """Signature directly from a shingles column.  Prefer materializing
+    ``minhash_base_hashes`` first (one md5 pass) when building plans by
+    hand; this convenience form is for small/one-off uses."""
+    return minhash_signature_from_hashes(minhash_base_hashes(shingles), n_hashes)
 
-    NB: the per-seed lambda must stay single-arity — PySpark passes the
-    element *index* as a second argument to 2-arity HOF lambdas, which would
-    silently shadow a default-arg seed."""
 
-    def min_hash(j: int):
-        seed = F.lit(j)
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(seed, s)))
-
-    return F.array(*[min_hash(j) for j in range(n_hashes)])
+def minhash_band_rows(with_sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bhash) rows: one per (doc, band); bhash is the band's r
+    signature values joined into a string key (portable across engines —
+    equality is all a bucket key needs)."""
+    r = n_hashes // bands
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("_sig")[b * r + i].cast("string") for i in range(r)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
 
 
 def minhash_lsh_candidates(
@@ -192,29 +255,19 @@ def minhash_lsh_candidates(
     duplicates should already have bounded the common case.
     """
     assert n_hashes % bands == 0
-    r = n_hashes // bands
-    # materialize shingles once: the signature references a plain column, so
-    # the shingle expression is planned/evaluated once, not duplicated into
+    # materialize shingles, then the md5 base hashes, as plain columns: each
+    # expensive expression is planned/evaluated once, not duplicated into
     # all n_hashes transform() trees (a 32x codegen/runtime blowup otherwise)
     shingled = df.select(
         F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("_shingles")
     )
-    sig = minhash_signature(F.col("_shingles"), n_hashes)
-    with_sig = shingled.select(F.col(id_col), sig.alias("_sig"))
-    band_rows = with_sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("_sig")[b * r + i] for i in range(r)]).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bhash")
+    hashed = shingled.select(
+        F.col(id_col), minhash_base_hashes(F.col("_shingles")).alias("_hh")
+    )
+    with_sig = hashed.select(
+        F.col(id_col), minhash_signature_from_hashes(F.col("_hh"), n_hashes).alias("_sig")
+    )
+    band_rows = minhash_band_rows(with_sig, id_col, n_hashes, bands)
     band_rows = _cap_buckets(band_rows, ["band", "bhash"], bucket_cap)
     left = band_rows.select(F.col(id_col).alias("id_a"), "band", "bhash")
     right = band_rows.select(F.col(id_col).alias("id_b"), "band", "bhash")
@@ -246,7 +299,10 @@ def minhash_near_duplicates(
     bucket-capped, and the verify stage shingles only docs that appear in
     at least one candidate pair (semi-join), not the whole corpus.
     Representative pairs are expanded back to member pairs at the end, with
-    intra-group (exact-duplicate) pairs at Jaccard 1.0."""
+    intra-group (exact-duplicate) pairs at Jaccard 1.0.  Null texts are
+    excluded up front: they have no shingles, and hashing them would bucket
+    every null doc together on a degenerate signature."""
+    df = df.where(F.col(text_col).isNotNull())
     if collapse_exact:
         reps, members = _collapse_reps(df, text_col, id_col)
         base = reps
@@ -410,6 +466,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         f"max_hamming={max_hamming} needs {n_bands} bands; 64-bit SimHash "
         "supports radii 0..63"
     )
+    # null texts all hash to the zero signature — exclude rather than pair
+    df = df.where(F.col(text_col).isNotNull())
     if collapse_exact:
         reps, members = _collapse_reps(df, text_col, id_col)
         base = reps

@@ -233,22 +233,17 @@ def test_lsh_bucket_cap_truncates_hot_buckets(spark):
     capped = minhash_lsh_candidates(df, bucket_cap=2).count()
     assert capped < uncapped
     # the report surfaces the dropped buckets for the caller to log
-    from schemasaurus_spark.operators.dedup import char_shingles_expr, minhash_signature
+    from schemasaurus_spark.operators.dedup import (
+        char_shingles_expr,
+        minhash_band_rows,
+        minhash_signature,
+    )
 
     shingled = df.select("doc_id", char_shingles_expr("text", 5).alias("_shingles"))
-    sig = minhash_signature(F.col("_shingles"), 32)
-    band_rows = shingled.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[sig[b * 4 + i] for i in range(4)]).alias("bhash"),
-                )
-                for b in range(8)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bhash")
+    with_sig = shingled.select(
+        "doc_id", minhash_signature(F.col("_shingles"), 32).alias("_sig")
+    )
+    band_rows = minhash_band_rows(with_sig, "doc_id", 32, 8)
     rep = oversize_bucket_report(band_rows, ["band", "bhash"], 2)
     assert rep.count() > 0
 
