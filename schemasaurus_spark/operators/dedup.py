@@ -19,6 +19,20 @@ type hints at definition time and stringified hints break it.)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that the downstream plan references more than
+    once (self-joins, cap semi-joins, verify re-reads).  Without this, Spark
+    recomputes the producing subplan per reference — for LSH that means
+    re-shingling and re-hashing the corpus 3-4x (measured: the sf0.1
+    minhash pass spent ~4/5 of its wall on recomputation).  MEMORY_AND_DISK
+    so executors spill rather than OOM at scale; entries are LRU-evicted,
+    and at 10^12 docs the pinned frames are signatures/ids (not raw text)
+    except the collapse representatives, which are corpus-sized and
+    disk-backed."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def normalize_text(text):
@@ -78,8 +92,11 @@ def _collapse_reps(df: DataFrame, text_col: str, id_col: str):
             "_fp",
         )
     )
-    members = with_fp.select(F.col(id_col).alias("_member"), "_fp").join(
-        reps.select(F.col(id_col).alias("_rep"), "_fp"), "_fp"
+    reps = _pin(reps)
+    members = _pin(
+        with_fp.select(F.col(id_col).alias("_member"), "_fp").join(
+            reps.select(F.col(id_col).alias("_rep"), "_fp"), "_fp"
+        )
     )
     return reps, members
 
@@ -264,8 +281,13 @@ def minhash_lsh_candidates(
     hashed = shingled.select(
         F.col(id_col), minhash_base_hashes(F.col("_shingles")).alias("_hh")
     )
-    with_sig = hashed.select(
-        F.col(id_col), minhash_signature_from_hashes(F.col("_hh"), n_hashes).alias("_sig")
+    # pinned: referenced by both self-join sides and the cap semi-join —
+    # without it the shingle+md5+signature subplan runs once per reference
+    with_sig = _pin(
+        hashed.select(
+            F.col(id_col),
+            minhash_signature_from_hashes(F.col("_hh"), n_hashes).alias("_sig"),
+        )
     )
     band_rows = minhash_band_rows(with_sig, id_col, n_hashes, bands)
     band_rows = _cap_buckets(band_rows, ["band", "bhash"], bucket_cap)
@@ -308,8 +330,10 @@ def minhash_near_duplicates(
         base = reps
     else:
         base, members = df, None
-    cands = minhash_lsh_candidates(
-        base, text_col, id_col, n_hashes, bands, shingle_k, bucket_cap
+    cands = _pin(
+        minhash_lsh_candidates(
+            base, text_col, id_col, n_hashes, bands, shingle_k, bucket_cap
+        )
     )
     # verify only candidate docs: shingling the full corpus a second time is
     # wasted work when candidates are a tiny fraction of it
@@ -473,7 +497,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         base = reps
     else:
         base, members = df, None
-    sigs = simhash_64(base, text_col, id_col)
+    # pinned: the Arrow-batch signature UDF feeds both join sides + the cap
+    sigs = _pin(simhash_64(base, text_col, id_col))
     bands = sigs.select(
         id_col,
         "simhash",
