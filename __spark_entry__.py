@@ -482,12 +482,65 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-radius pairs (rows-only: Arrow-batch signature UDF).
+    """SimHash Hamming-radius pairs.
 
     Radius 3 -> 4x16-bit bands (derived inside the operator; pigeonhole
     guarantees every pair within the radius shares an intact band — no
-    silent recall loss)."""
+    silent recall loss).  Token hashes are md5-derived, so the oracle
+    rebuilds the 64-bit majority-vote signatures with HUGEINT arithmetic
+    and mirrors banding + Hamming filtering in SQL.  Like the MinHash
+    oracle it mirrors the uncollapsed pipeline (identical fingerprints
+    imply identical token sequences, so collapse+expand is semantics-
+    preserving; the test corpus has no exact dups or oversize buckets)."""
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_oracle_sql() -> str:
+    # 64 per-bit majority votes; bit b of the signature is 1 when the sum of
+    # (+1 / -1) over token-hash bits is positive — exactly the UDF's numpy
+    # accumulation.  usig is the unsigned value; sig its two's-complement
+    # BIGINT reinterpretation (matches Spark's LongType view).
+    vote = (
+        "CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {p}) % 2 = 1 "
+        "THEN 1 ELSE -1 END)) > 0 THEN CAST('{p}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    )
+    sig_sum = "\n       + ".join(vote.format(p=1 << b) for b in range(64))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+th AS (
+  SELECT doc_id, list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)) AS hs
+  FROM tok
+),
+sigs AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT) ELSE
+       {sig_sum}
+         END AS usig
+  FROM th
+),
+s2 AS (
+  SELECT doc_id, usig,
+         CAST(CASE WHEN usig >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN usig - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE usig END AS BIGINT) AS sig
+  FROM sigs
+),
+bandrows AS (
+  SELECT doc_id, bd.b AS band, CAST((usig // bd.dv) % 65536 AS BIGINT) AS bhash, sig
+  FROM s2, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+                   (2, CAST(4294967296 AS HUGEINT)), (3, CAST(281474976710656 AS HUGEINT))) AS bd(b, dv)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
+  FROM bandrows a JOIN bandrows c ON a.band = c.band AND a.bhash = c.bhash
+  WHERE a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash_near_dups": _simhash_oracle_sql(),
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,

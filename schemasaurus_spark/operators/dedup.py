@@ -418,6 +418,8 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
         import numpy as np
 
         shifts = np.arange(64, dtype=np.uint64)
@@ -429,9 +431,10 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         def bitvec(tok: str):
             bv = bitvec_cache.get(tok)
             if bv is None:
-                h = 0xCBF29CE484222325  # FNV-1a, deterministic across runs
-                for ch in tok.encode("utf-8"):
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                # token hash = first 64 bits of md5 — deterministic AND
+                # reproducible by any engine with md5() (the DuckDB oracle
+                # rebuilds these signatures bit-for-bit)
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
                 bits = (np.uint64(h) >> shifts) & one
                 bv = np.where(bits == one, 1, -1).astype(np.int64)
                 bitvec_cache[tok] = bv

@@ -160,13 +160,23 @@ def test_ngram_jaccard(spark):
 
 
 def test_simhash_near_duplicates(spark):
+    """Self-calibrating: measure the planted pair's actual Hamming distance,
+    then assert the derived banding finds it at exactly that radius (the
+    pigeonhole guarantee), while the far document stays excluded."""
+    from schemasaurus_spark.operators.dedup import simhash_64
+
     words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
     df = spark.createDataFrame(
         [(1, words), (2, words + " omega"), (3, "unrelated totally different thing entirely")],
         ["doc_id", "text"],
     )
-    pairs = {(r.id_a, r.id_b) for r in simhash_near_duplicates(df, max_hamming=8).collect()}
+    sigs = {r.doc_id: r.simhash for r in simhash_64(df).collect()}
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert 0 < d12 < d13
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_duplicates(df, max_hamming=d12).collect()}
     assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
 
 
 def test_simhash_recall_guarantee_at_radius(spark):
@@ -176,23 +186,27 @@ def test_simhash_recall_guarantee_at_radius(spark):
     from schemasaurus_spark.operators.dedup import simhash_64
 
     words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
-    # find a word whose addition moves the signature by >3 bits so the old
-    # fixed 4-band blocking would have had no guarantee
-    cands = [words + w * 3 for w in ("omega", "sigma", "lambda", "mu", "nu", "xi")]
+    # perturbations that move the signature by >3 bits: the old fixed
+    # 4-band blocking had no guarantee for them
+    cands = [words + (" " + w) * k for w in ("omega", "sigma", "lambda", "mu")
+             for k in (1, 2, 3)]
     df = spark.createDataFrame(
         [(0, words)] + list(enumerate(cands, start=1)), ["doc_id", "text"]
     )
     sigs = {r.doc_id: r.simhash for r in simhash_64(df).collect()}
     dists = {i: bin(sigs[0] ^ sigs[i]).count("1") for i in sigs if i != 0}
-    far = [i for i, d in dists.items() if 3 < d <= 6]
+    far = [i for i, d in dists.items() if 3 < d <= 16]
     if not far:  # deterministic hash: with these inputs this never happens
-        raise AssertionError(f"no candidate at distance 4..6: {dists}")
+        raise AssertionError(f"no candidate at distance 4..16: {dists}")
+    radius = max(dists[i] for i in far)
     pairs = {
         (r.id_a, r.id_b)
-        for r in simhash_near_duplicates(df, max_hamming=6).collect()
+        for r in simhash_near_duplicates(df, max_hamming=radius).collect()
     }
     for i in far:
-        assert (0, i) in pairs, f"pair at hamming {dists[i]} missed at radius 6"
+        assert (0, i) in pairs, (
+            f"pair at hamming {dists[i]} missed at radius {radius}"
+        )
 
 
 def test_lsh_exact_dup_collapse_and_expand(spark):
