@@ -191,6 +191,28 @@ SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING coun
 """
 
 
+def lineitem_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase example-row collection per duplicate key — the
+    operator where salting genuinely bounds reduce-side payload (phase 1
+    caps each (key, salt) reducer at `limit` examples; see uniqueness.py
+    module note for the count-path measurement that dropped the salt
+    there)."""
+    from schemasaurus_spark.operators.uniqueness import duplicate_key_rows
+
+    return duplicate_key_rows(
+        _table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
+    ).select(
+        "l_orderkey", "cnt", F.array_join("example_rows", ",").alias("example_rows")
+    )
+
+
+_DUPROWS_ORACLE = """
+SELECT l_orderkey, count(*) AS cnt,
+       array_to_string(list_slice(list_sort(list(l_linenumber)), 1, 5), ',') AS example_rows
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
 def orders_dangling_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast LEFT ANTI referential check (orders -> customer)."""
     return dangling_refs(
@@ -811,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": doc_length_histogram,
         "doc_uniqueness": doc_uniqueness,
         "lineitem_dup_orderkeys": lineitem_dup_orderkeys,
+        "lineitem_dup_rows": lineitem_dup_rows,
         "orders_dangling_custkey": orders_dangling_custkey,
         "doc_exact_dup_groups": doc_exact_dup_groups,
         "doc_normalize": doc_normalize,
@@ -838,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": _HISTOGRAM_ORACLE,
         "doc_uniqueness": _UNIQUENESS_ORACLE,
         "lineitem_dup_orderkeys": _DUPKEYS_ORACLE,
+        "lineitem_dup_rows": _DUPROWS_ORACLE,
         "orders_dangling_custkey": _DANGLING_ORACLE,
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,

@@ -110,8 +110,19 @@ class ColumnValidator:
         self.messages = self.options.get("messages") or default_messages(lambda s: s)
         self.formats = fill_default_formats(self.options.get("formats"))
         self.custom_columns: dict[str, Callable] = self.options.get("custom_columns") or {}
+        #: selector-extension registry (the Column analog of
+        #: V4Validator.extend): keyword -> builder(validator, schema, dtype,
+        #: value, path) -> fragment Column.  Builders use validator._one /
+        #: validator._err to construct violations and may read
+        #: validator.parent_value / parent_dtype for cross-field checks
+        #: (reference README.md:229-261 notEqualTo example).
+        self.extensions: dict[str, Callable] = self.options.get("extensions") or {}
         self.max_ref_depth = int(self.options.get("max_ref_depth", 3))
         self._depth: dict[int, int] = {}
+        #: the enclosing instance node during child compilation (compile-time
+        #: state — the analog of ctx.parent in the walker)
+        self.parent_value: Column | None = None
+        self.parent_dtype = None
 
     # ------------------------------------------------------------------ api
 
@@ -326,6 +337,11 @@ class ColumnValidator:
         # -- conform (registered Column-builder customs) -----------------------
         if "conform" in schema:
             frags.append(self._conform(schema, dtype, value, path))
+
+        # -- selector extensions (Column analog of V4Validator.extend) --------
+        for kw, builder in self.extensions.items():
+            if kw in schema:
+                frags.append(builder(self, schema, dtype, value, path))
 
         # -- children: items / properties (walk order: items first, like
         #    processor.js processors = [processItems, processProperties]) ----
@@ -548,6 +564,14 @@ class ColumnValidator:
     # ------------------------------------------------------------- children
 
     def _children_items(self, schema, dtype, value, path) -> Column | None:
+        prev = (self.parent_value, self.parent_dtype)
+        self.parent_value, self.parent_dtype = value, dtype
+        try:
+            return self._children_items_inner(schema, dtype, value, path)
+        finally:
+            self.parent_value, self.parent_dtype = prev
+
+    def _children_items_inner(self, schema, dtype, value, path) -> Column | None:
         items = schema.get("items")
         additional = schema.get("additionalItems")
         if items is None and additional is None:
@@ -615,6 +639,14 @@ class ColumnValidator:
         return self._cat(frags)
 
     def _children_properties(self, schema, dtype, value, path) -> Column | None:
+        prev = (self.parent_value, self.parent_dtype)
+        self.parent_value, self.parent_dtype = value, dtype
+        try:
+            return self._children_properties_inner(schema, dtype, value, path)
+        finally:
+            self.parent_value, self.parent_dtype = prev
+
+    def _children_properties_inner(self, schema, dtype, value, path) -> Column | None:
         props = schema.get("properties") or {}
         pattern_props = schema.get("patternProperties") or {}
         additional = schema.get("additionalProperties")

@@ -552,6 +552,40 @@ class V4Validator:
     def copy_errors(self, other: list[dict]):
         self.errors.extend(other)
 
+    # -- extension API (reference README.md:229-261, Validator.extend) ------
+
+    @classmethod
+    def extend(cls, extra_selectors: dict):
+        """Subclass with additional selector expressions — the analog of the
+        reference's ``s.Validator.extend({'[notEqualTo]': fn, ...})``.
+
+        Each value is a compile-style handler ``fn(validator, schema, cctx)
+        -> runtime(value, rctx) | None`` (the walker's handler protocol with
+        the validator instance passed explicitly in place of JS ``this`` —
+        call ``validator.error(code, rctx, arg)`` to report).  Extensions
+        are appended after the built-in selectors, so they fire last within
+        a node, like prototype-extended keys in the reference.  Use
+        ``Extended.factory(options)`` with ``new_iterator`` or pass the
+        class to ``new_validator(..., validator_cls=...)``."""
+
+        class Extended(cls):
+            def selectors(self):
+                base = super().selectors()
+                for expr, h in extra_selectors.items():
+                    def compile_handler(schema, cctx, _h=h):
+                        return _h(self, schema, cctx)
+
+                    base[expr] = compile_handler
+                return base
+
+        Extended.__name__ = f"{cls.__name__}Extended"
+        return Extended
+
+    @classmethod
+    def factory(cls, options: dict | None = None):
+        """Selector factory closing over options (v4validator.js:391-416)."""
+        return lambda: cls(options)
+
     # -- selector registry (prototype key order = error firing order) -------
 
     def selectors(self):
@@ -993,9 +1027,12 @@ def new_iterator(schema, selector_factory, options=None, path=None):
     return Compiler(schema, selector_factory, options, path).compile()
 
 
-def new_validator(schema, options=None):
+def new_validator(schema, options=None, validator_cls=None):
+    """Compile a validator.  ``validator_cls`` lets callers pass a
+    ``V4Validator.extend({...})`` subclass (reference README.md:229-261)."""
     opts = dict(options or {})
-    return Compiler(schema, lambda: V4Validator(opts), opts).compile()
+    cls = validator_cls or V4Validator
+    return Compiler(schema, cls.factory(opts), opts).compile()
 
 
 def new_normalizer(schema, options=None):

@@ -69,6 +69,19 @@ def test_length_histogram_vs_duckdb(spark, flat_docs):
     assert got == exp
 
 
+def test_duplicate_key_rows_salted(spark):
+    """The salted two-phase example collector: bounded samples per hot key,
+    equal to the global sorted prefix regardless of salt split."""
+    from schemasaurus_spark.operators.uniqueness import duplicate_key_rows
+
+    rows = [("hot", i) for i in range(100)] + [("cold", 0), ("pair", 1), ("pair", 2)]
+    df = spark.createDataFrame(rows, ["k", "rid"])
+    got = {r.k: (r.cnt, list(r.example_rows)) for r in duplicate_key_rows(df, "k", "rid").collect()}
+    assert got["hot"] == (100, [0, 1, 2, 3, 4])
+    assert got["pair"] == (2, [1, 2])
+    assert "cold" not in got
+
+
 def test_duplicate_keys(spark):
     df = spark.createDataFrame(
         [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], ["k"]
