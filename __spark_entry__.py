@@ -5,19 +5,22 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Queries map 1:1 to SURVEY.md §2 operators:
+Queries map 1:1 to SURVEY.md §2 operators.  EVERY query has a DuckDB
+oracle — none are rows-only:
 
-* §2B keyword checks  -> ``doc_validation_violations`` (the flagship: a
-  draft-4 schema compiled to native Column masks over the flat
-  ``documents`` table, violations exploded to rows, reproduced in ANSI
-  SQL for DuckDB) plus the north-rule span variants (rows-only).
+* §2B keyword checks  -> ``doc_validation_violations`` (flat table) and
+  the ``northrule_*`` span-walk queries (the generated interleaved table
+  is materialized to parquet so the span validation/verdicts/sequence/
+  referential checks are plain SQL over unnested spans).
 * §2D data-quality    -> column stats, category counts, length
-  histogram, salted uniqueness, duplicate keys, referential anti-join,
-  drift inputs (quantiles).
+  histogram, uniqueness, duplicate keys + salted example rows,
+  referential anti-join, drift inputs (quantiles).
 * training-data ops   -> exact dedup, text profile, language ID,
-  fingerprinting, MinHash/SimHash near-dup (rows-only: xxhash64 has no
-  DuckDB analog), embedding cosine top-k (exact, SQL oracle) and LSH
-  ANN (rows-only), multimodal feature plumbing (rows-only).
+  fingerprinting, MinHash near-dup (md5-derived universal hashing —
+  the oracle rebuilds signatures bit-for-bit), SimHash near-dup
+  (md5 token hashes + HUGEINT majority-vote mirror), embedding cosine
+  top-k and LSH ANN (literal hyperplane constants in SQL), multimodal
+  feature plumbing (deterministic stub kernel mirrored in SQL).
 """
 
 from __future__ import annotations
@@ -269,6 +272,39 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS len_chars,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
 FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / punctuation / stopword terms)."""
+    from schemasaurus_spark.operators.text import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS pr,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+              ELSE CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x IN ('the','and','of','to','is','in','that','with'))) AS DOUBLE)
+                   / n_tokens END AS sr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 0.0 ELSE
+         round((least(length(text) / 500.0, 1.0)
+                + (1.0 - least(pr * 4, 1.0))
+                + least(sr * 5, 1.0)) / 3.0, 4)
+       END AS quality
+FROM base
 """
 
 
@@ -838,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dup_groups": doc_exact_dup_groups,
         "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
+        "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
@@ -866,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
+        "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,

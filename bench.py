@@ -84,8 +84,10 @@ def main():
         "doc_validation_violations",
         "doc_column_stats",
         "doc_text_profile",
+        "doc_quality",
         "doc_lang_id",
         "doc_exact_dup_groups",
+        "lineitem_dup_rows",
         "minhash_near_dups",
         "simhash_near_dups",
         "embedding_topk",
