@@ -825,6 +825,65 @@ WHERE sp.media_ref IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# drift: chi-square homogeneity computed fully inside the engine
+# (contingency counts are one map-side-combinable groupBy; the statistic is
+# a handful of arithmetic expressions over the K-row count table)
+# ---------------------------------------------------------------------------
+
+
+def event_type_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift of the event_type distribution between two
+    deterministic halves of the events table (even vs odd event_id — the
+    stand-in for baseline snapshot vs current window).  Output: one row
+    (chi2_statistic, dof, n_base, n_cur)."""
+    ev = _table(spark, sf_dir, "events").select("event_id", "event_type")
+    counts = ev.groupBy("event_type").agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("o1"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long")).alias("o2"),
+    )
+    tot = counts.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    col_tot = F.col("o1") + F.col("o2")
+    e1 = F.col("n1") * col_tot / (F.col("n1") + F.col("n2"))
+    e2 = F.col("n2") * col_tot / (F.col("n1") + F.col("n2"))
+    term = (
+        F.when(e1 > 0, (F.col("o1") - e1) ** 2 / e1).otherwise(F.lit(0.0))
+        + F.when(e2 > 0, (F.col("o2") - e2) ** 2 / e2).otherwise(F.lit(0.0))
+    )
+    return j.agg(
+        F.round(F.sum(term), 6).alias("chi2_statistic"),
+        (F.max("k") - 1).cast("long").alias("dof"),
+        F.max("n1").alias("n_base"),
+        F.max("n2").alias("n_cur"),
+    )
+
+
+_CHI2_ORACLE = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, count(*) AS k FROM counts)
+SELECT round(sum(
+         CASE WHEN n1 * (o1 + o2) / (n1 + n2) > 0
+              THEN pow(o1 - n1 * (o1 + o2) / (n1 + n2), 2) / (n1 * (o1 + o2) / (n1 + n2))
+              ELSE 0.0 END
+       + CASE WHEN n2 * (o1 + o2) / (n1 + n2) > 0
+              THEN pow(o2 - n2 * (o1 + o2) / (n1 + n2), 2) / (n2 * (o1 + o2) / (n1 + n2))
+              ELSE 0.0 END), 6) AS chi2_statistic,
+       CAST(max(k) - 1 AS BIGINT) AS dof,
+       CAST(max(n1) AS BIGINT) AS n_base,
+       CAST(max(n2) AS BIGINT) AS n_cur
+FROM counts, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # drift inputs: exact interpolated quantiles per category
 # ---------------------------------------------------------------------------
 
@@ -886,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_sequence": northrule_span_sequence,
         "northrule_dangling_media": northrule_dangling_media,
         "event_value_quartiles": event_value_quartiles,
+        "event_type_chi2_drift": event_type_chi2_drift,
     }
 
 
@@ -915,4 +975,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
+        "event_type_chi2_drift": _CHI2_ORACLE,
     }
