@@ -53,6 +53,9 @@ def main():
         t0 = time.time()
         thunk()
         timings[name] = round(time.time() - t0, 3)
+        # drop intra-query persisted frames (LSH pins) so each timing is
+        # independent of its predecessors' cache residency
+        spark.catalog.clearCache()
 
     # -- north-rule span validation over the generated interleaved table ----
     # materialize the input once (the real job validates a stored table, not
