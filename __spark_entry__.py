@@ -471,6 +471,49 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-bucket-blocked
+    self-join (only same-bucket pairs are scored).  Same literal-plane
+    trick as the ANN oracle: the 10 deterministic hyperplanes are injected
+    into SQL, so bucketing + scoring mirror exactly."""
+    from schemasaurus_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_duplicates(emb, dim=64, threshold=0.3, n_planes=10)
+
+
+def _embedding_neardup_oracle_sql() -> str:
+    from schemasaurus_spark.operators.similarity import _hyperplane
+
+    n_planes = 10
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(p, ", ".join(repr(v) for v in _hyperplane(64, p)))
+        for p in range(n_planes)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes(pid, pv) AS (VALUES
+    {plane_rows}
+),
+bucketed AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                       THEN 1 << ({n_planes} - 1 - p.pid) ELSE 0 END) AS INTEGER) AS bucket
+  FROM emb e, planes p
+  GROUP BY e.vec_id, e.v
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS similarity
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -937,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
+        "embedding_near_dups": embedding_near_dups,
         "minhash_near_dups": minhash_near_dups,
         "simhash_near_dups": simhash_near_dups,
         "media_image_features": media_image_features,
@@ -968,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
+        "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "media_image_features": _MEDIA_FEATURES_ORACLE,
