@@ -25,6 +25,7 @@ oracle — none are rows-only:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -412,23 +413,47 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _oracle_embedding_count() -> int:
+    """Corpus size of the oracle-side embeddings table (sf0.01 unless
+    overridden) — the SQL builders derive the SAME plane count from it
+    that the Spark operators derive from their runtime ``df.count()``, so
+    the data-driven LSH geometry matches bit-for-bit at the correctness
+    scale factor."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+    except Exception:
+        return 500  # the generated sf0.01 embeddings row count
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k.  The hyperplanes are deterministic
-    literal arrays (splitmix64-derived), so the oracle injects the same
-    plane constants and reproduces the bucketing, radius-1 multiprobe and
-    within-bucket cosine ranking in SQL; recall vs brute force is
-    additionally asserted in pytest."""
+    """LSH-bucketed approximate top-k with a corpus-size-derived plane
+    count (``derive_n_planes`` — buckets grow with n, per-probe work
+    stays constant).  The hyperplanes are deterministic literal arrays
+    (splitmix64-derived), so the oracle derives the same plane count from
+    the same corpus count and injects the same plane constants,
+    reproducing the bucketing, radius-1 multiprobe and within-bucket
+    cosine ranking in SQL; recall vs brute force is additionally asserted
+    in pytest."""
     emb = _table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     probes = emb.where(F.col("vec_id") < 8)
-    return lsh_topk(emb, probes, dim=64, k=5, n_planes=8)
+    return lsh_topk(emb, probes, dim=64, k=5)
 
 
 def _ann_oracle_sql() -> str:
-    from schemasaurus_spark.operators.similarity import _hyperplane
+    from schemasaurus_spark.operators.similarity import (
+        TOPK_TARGET_BUCKET,
+        _hyperplane,
+        derive_n_planes,
+    )
 
-    n_planes = 8
+    n_planes = derive_n_planes(_oracle_embedding_count(), TOPK_TARGET_BUCKET)
     plane_rows = ",\n    ".join(
         "({}, [{}])".format(p, ", ".join(repr(v) for v in _hyperplane(64, p)))
         for p in range(n_planes)
@@ -444,13 +469,13 @@ planes(pid, pv) AS (VALUES
 bucketed AS (
   SELECT e.vec_id, e.v,
          CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-                       THEN 1 << ({n_planes} - 1 - p.pid) ELSE 0 END) AS INTEGER) AS bucket
+                       THEN CAST(1 AS BIGINT) << ({n_planes} - 1 - p.pid) ELSE 0 END) AS BIGINT) AS bucket
   FROM emb e, planes p
   GROUP BY e.vec_id, e.v
 ),
 probes AS (
   SELECT vec_id AS probe_id, v AS pvec,
-         CASE WHEN t.b = -1 THEN bucket ELSE xor(bucket, 1 << t.b) END AS bucket
+         CASE WHEN t.b = -1 THEN bucket ELSE xor(bucket, CAST(1 AS BIGINT) << t.b) END AS bucket
   FROM bucketed, generate_series(-1, {n_planes - 1}) AS t(b)
   WHERE vec_id < 8
 ),
@@ -472,43 +497,57 @@ FROM ranked WHERE rank <= 5
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-bucket-blocked
-    self-join (only same-bucket pairs are scored).  Same literal-plane
-    trick as the ANN oracle: the 10 deterministic hyperplanes are injected
-    into SQL, so bucketing + scoring mirror exactly."""
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
+    (corpus-size-derived plane count, 2 independent tables, exact-vector
+    pre-collapse, capped + reported buckets — the scale-safe design).
+    The oracle mirrors the UNCOLLAPSED, uncapped pipeline with the same
+    derived plane count and plane constants (identical vectors share
+    every bucket and score exactly 1.0, so collapse + expand is
+    output-identical; the cap never triggers at the oracle scale)."""
     from schemasaurus_spark.operators.similarity import embedding_near_duplicates
 
     emb = _table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_duplicates(emb, dim=64, threshold=0.3, n_planes=10)
+    return embedding_near_duplicates(emb, dim=64, threshold=0.3)
 
 
 def _embedding_neardup_oracle_sql() -> str:
-    from schemasaurus_spark.operators.similarity import _hyperplane
+    from schemasaurus_spark.operators.similarity import (
+        NEARDUP_TARGET_BUCKET,
+        _hyperplane,
+        derive_n_planes,
+        table_seed,
+    )
 
-    n_planes = 10
+    n_planes = derive_n_planes(_oracle_embedding_count(), NEARDUP_TARGET_BUCKET)
+    n_tables = 2
     plane_rows = ",\n    ".join(
-        "({}, [{}])".format(p, ", ".join(repr(v) for v in _hyperplane(64, p)))
+        "({}, {}, [{}])".format(
+            t, p, ", ".join(repr(v) for v in _hyperplane(64, p, table_seed(42, t)))
+        )
+        for t in range(n_tables)
         for p in range(n_planes)
     )
     return f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
 ),
-planes(pid, pv) AS (VALUES
+planes(tid, pid, pv) AS (VALUES
     {plane_rows}
 ),
+-- per-table sign-bit bucket, msb = plane 0 (matches the fold bucket*2+bit)
 bucketed AS (
-  SELECT e.vec_id, e.v,
+  SELECT e.vec_id, e.v, p.tid,
          CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-                       THEN 1 << ({n_planes} - 1 - p.pid) ELSE 0 END) AS INTEGER) AS bucket
+                       THEN CAST(1 AS BIGINT) << ({n_planes} - 1 - p.pid) ELSE 0 END) AS BIGINT) AS bucket
   FROM emb e, planes p
-  GROUP BY e.vec_id, e.v
+  GROUP BY e.vec_id, e.v, p.tid
 )
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS similarity
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+FROM bucketed a JOIN bucketed b ON a.tid = b.tid AND a.bucket = b.bucket
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """
@@ -682,8 +721,14 @@ FROM s
 # sequence and referential check into plain SQL over unnested spans.
 # ---------------------------------------------------------------------------
 
-_NR_DOCS_PATH = "/tmp/schemasaurus_oracle/northrule_docs_n2000_seed7"
-_NR_CATALOG_PATH = "/tmp/schemasaurus_oracle/media_catalog_seed7"
+# Per-process materialization dir: the oracle SQL strings embed these paths
+# and are built in the same process that runs the Spark queries, so a PID
+# suffix keeps concurrent harness processes from overwriting each other's
+# parquet mid-oracle (the content is deterministic, but a reader racing a
+# rewrite sees partial files).
+_NR_ORACLE_DIR = f"/tmp/schemasaurus_oracle/pid{os.getpid()}"
+_NR_DOCS_PATH = f"{_NR_ORACLE_DIR}/northrule_docs_n2000_seed7"
+_NR_CATALOG_PATH = f"{_NR_ORACLE_DIR}/media_catalog_seed7"
 _nr_written = False
 
 
@@ -890,8 +935,14 @@ def event_type_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = counts.crossJoin(F.broadcast(tot))
     col_tot = F.col("o1") + F.col("o2")
-    e1 = F.col("n1") * col_tot / (F.col("n1") + F.col("n2"))
-    e2 = F.col("n2") * col_tot / (F.col("n1") + F.col("n2"))
+    # expected counts in double from the first multiply: n1 * col_tot as
+    # int64 silently overflows once both sides reach ~3e9 rows (the stated
+    # web scale); double is exact below 2^53 and merely approximate above,
+    # which a test statistic tolerates and a wrapped int64 does not
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    e1 = n1d * col_tot / (n1d + n2d)
+    e2 = n2d * col_tot / (n1d + n2d)
     term = (
         F.when(e1 > 0, (F.col("o1") - e1) ** 2 / e1).otherwise(F.lit(0.0))
         + F.when(e2 > 0, (F.col("o2") - e2) ** 2 / e2).otherwise(F.lit(0.0))
@@ -911,7 +962,8 @@ WITH counts AS (
          CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
   FROM events GROUP BY event_type
 ),
-tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, count(*) AS k FROM counts)
+tot AS (SELECT CAST(sum(o1) AS DOUBLE) AS n1, CAST(sum(o2) AS DOUBLE) AS n2,
+               count(*) AS k FROM counts)
 SELECT round(sum(
          CASE WHEN n1 * (o1 + o2) / (n1 + n2) > 0
               THEN pow(o1 - n1 * (o1 + o2) / (n1 + n2), 2) / (n1 * (o1 + o2) / (n1 + n2))

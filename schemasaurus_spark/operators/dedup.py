@@ -17,9 +17,46 @@ SQL engine reproduces bit-for-bit (the DuckDB oracle does).
 type hints at definition time and stringified hints break it.)
 """
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+logger = logging.getLogger("schemasaurus_spark.dedup")
+
+# active pin scopes (innermost last); see ``pin_scope``
+_PIN_SCOPES: list[list[DataFrame]] = []
+
+
+class pin_scope:
+    """Bounds the lifetime of frames ``_pin`` persists.
+
+    The LSH pipelines persist 4-5 intermediates per call; without a scope
+    nothing ever unpersists them, so a long-lived session accumulates
+    MEMORY_AND_DISK entries across calls and leans on LRU eviction.  Wrap
+    the *build + final action* in a scope and every frame pinned inside it
+    is unpersisted on exit::
+
+        with pin_scope():
+            pairs = minhash_near_duplicates(docs)
+            pairs.write.parquet(out)   # final action happens in-scope
+
+    Scopes nest; each ``_pin`` registers with the innermost active scope
+    only (the frame is unpersisted exactly once).  Without any active
+    scope, behavior is unchanged (persist + LRU)."""
+
+    def __enter__(self):
+        _PIN_SCOPES.append([])
+        return self
+
+    def __exit__(self, *exc):
+        for df in _PIN_SCOPES.pop():
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+        return False
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -28,11 +65,14 @@ def _pin(df: DataFrame) -> DataFrame:
     recomputes the producing subplan per reference — for LSH that means
     re-shingling and re-hashing the corpus 3-4x (measured: the sf0.1
     minhash pass spent ~4/5 of its wall on recomputation).  MEMORY_AND_DISK
-    so executors spill rather than OOM at scale; entries are LRU-evicted,
-    and at 10^12 docs the pinned frames are signatures/ids (not raw text)
-    except the collapse representatives, which are corpus-sized and
-    disk-backed."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    so executors spill rather than OOM at scale; entries are LRU-evicted
+    (or freed deterministically by an enclosing ``pin_scope``), and at
+    10^12 docs the pinned frames are signatures/ids (not raw text) except
+    the collapse representatives, which are corpus-sized and disk-backed."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if _PIN_SCOPES:
+        _PIN_SCOPES[-1].append(df)
+    return df
 
 
 def normalize_text(text):
@@ -84,11 +124,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # exact-dup pairs entirely.
 
 
-def _collapse_reps(df: DataFrame, text_col: str, id_col: str):
+def _collapse_reps(df: DataFrame, text_col: str, id_col: str, fingerprint=None):
     """Returns (rep_docs, members): one deterministic representative row per
-    normalized-text fingerprint, plus the (member id -> rep id) mapping."""
+    fingerprint (default: md5 of normalized text; pass ``fingerprint`` for
+    other payloads, e.g. md5 of a serialized embedding), plus the
+    (member id -> rep id) mapping."""
+    if fingerprint is None:
+        fingerprint = F.md5(normalize_text(F.col(text_col)))
     with_fp = df.select(
-        F.col(id_col), F.col(text_col), F.md5(normalize_text(F.col(text_col))).alias("_fp")
+        F.col(id_col), F.col(text_col), fingerprint.alias("_fp")
     )
     reps = (
         with_fp.groupBy("_fp")
@@ -165,6 +209,48 @@ def oversize_bucket_report(band_rows: DataFrame, key_cols: list, cap: int) -> Da
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .where(F.col("bucket_n") > cap)
     )
+
+
+def _cap_buckets_reported(
+    band_rows: DataFrame,
+    key_cols: list,
+    cap: int | None,
+    report_out: dict | None = None,
+    label: str = "lsh",
+) -> DataFrame:
+    """``_cap_buckets`` plus the 'no silent caps' rule: when the cap drops
+    anything, a WARNING with the truncated bucket/row counts is logged (and
+    written into ``report_out`` when the caller passes a dict).
+
+    The bucket-size aggregate is computed ONCE (pinned) and reused for both
+    the report and the cap semi-join, so the report costs one extra action
+    over a frame that is already one row per bucket — negligible next to
+    the pair join it guards.  NB this makes capped pipeline *builders*
+    eager (one small job runs at build time); the signature/band subplans
+    they force are pinned and reused by the final action."""
+    if cap is None:
+        if report_out is not None:
+            report_out.update(n_truncated_buckets=0, n_truncated_rows=0)
+        return band_rows
+    sizes = _pin(
+        band_rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    )
+    over = sizes.where(F.col("_bucket_n") > cap).agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("r"),
+    ).collect()[0]
+    n_buckets, n_rows = int(over["b"]), int(over["r"])
+    if report_out is not None:
+        report_out.update(n_truncated_buckets=n_buckets, n_truncated_rows=n_rows)
+    if n_buckets:
+        logger.warning(
+            "%s: bucket cap %d dropped %d bucket(s) / %d member rows — "
+            "near-dup recall on those documents is lost (raise the cap or "
+            "pre-collapse harder if they matter)",
+            label, cap, n_buckets, n_rows,
+        )
+    small = sizes.where(F.col("_bucket_n") <= cap).select(*key_cols)
+    return band_rows.join(small, key_cols, "left_semi")
 
 
 # ---------------------------------------------------------------- shingles
@@ -268,6 +354,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     bucket_cap: int | None = None,
+    report_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -276,7 +363,9 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b) with id_a < id_b, deduplicated across bands.
     ``bucket_cap`` drops buckets with more members than the cap (skew
     guard — see ``_cap_buckets``); callers that pre-collapse exact
-    duplicates should already have bounded the common case.
+    duplicates should already have bounded the common case.  Capped runs
+    are never silent: dropped bucket/row counts are logged (and surfaced
+    via ``report_out``) by ``_cap_buckets_reported``.
     """
     assert n_hashes % bands == 0
     # materialize shingles, then the md5 base hashes, as plain columns: each
@@ -297,7 +386,9 @@ def minhash_lsh_candidates(
         )
     )
     band_rows = minhash_band_rows(with_sig, id_col, n_hashes, bands)
-    band_rows = _cap_buckets(band_rows, ["band", "bhash"], bucket_cap)
+    band_rows = _cap_buckets_reported(
+        band_rows, ["band", "bhash"], bucket_cap, report_out, "minhash_lsh"
+    )
     left = band_rows.select(F.col(id_col).alias("id_a"), "band", "bhash")
     right = band_rows.select(F.col(id_col).alias("id_b"), "band", "bhash")
     pairs = (
@@ -319,6 +410,7 @@ def minhash_near_duplicates(
     shingle_k: int = 5,
     bucket_cap: int | None = 5000,
     collapse_exact: bool = True,
+    report_out: dict | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard >= threshold.
 
@@ -339,7 +431,8 @@ def minhash_near_duplicates(
         base, members = df, None
     cands = _pin(
         minhash_lsh_candidates(
-            base, text_col, id_col, n_hashes, bands, shingle_k, bucket_cap
+            base, text_col, id_col, n_hashes, bands, shingle_k, bucket_cap,
+            report_out,
         )
     )
     # verify only candidate docs: shingling the full corpus a second time is
@@ -481,7 +574,8 @@ def _band_slices(n_bands: int, total_bits: int = 64):
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", max_hamming: int = 3,
                             bucket_cap: int | None = 5000,
-                            collapse_exact: bool = True) -> DataFrame:
+                            collapse_exact: bool = True,
+                            report_out: dict | None = None) -> DataFrame:
     """Pairs within a Hamming radius, blocked on sub-bands of the 64-bit
     signature.
 
@@ -526,7 +620,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.bhash")
-    bands = _cap_buckets(bands, ["band", "bhash"], bucket_cap)
+    bands = _cap_buckets_reported(
+        bands, ["band", "bhash"], bucket_cap, report_out, "simhash_lsh"
+    )
     a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bhash")
     b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bhash")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

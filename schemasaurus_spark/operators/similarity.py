@@ -5,7 +5,22 @@
   keeps the shuffle tiny because only k rows per probe survive);
 * LSH-bucketed ANN — the scale path: deterministic random-hyperplane sign
   bits bucket the corpus; probes only compare within matching buckets
-  (multi-probe over all bit-flip neighbors at radius 1 for recall).
+  (multi-probe over all bit-flip neighbors at radius 1 for recall);
+* LSH near-dup pairs — multi-table hyperplane blocking for the self-join.
+
+Scale design (the round-2 verdict's one remaining 100 TB defect, fixed):
+the hyperplane count is DERIVED from the corpus size — ``2^planes ≈
+n / target_bucket_size`` — so expected bucket membership stays constant
+as the corpus grows.  That makes the near-dup self-join O(n · bucket ·
+tables) candidate pairs (linear in n) instead of O(n² / 2^const), and
+each ANN probe scans O(target_bucket_size · probes) vectors instead of
+n / 2^const.  Recall at higher plane counts is recovered the standard
+way: L independent hash tables (union of candidates) for the pair
+search, radius-1 multiprobe for top-k.  Exact-duplicate vectors are
+pre-collapsed before bucketing (identical vectors land in the same
+bucket of every table — a 1M-copy boilerplate embedding would otherwise
+self-join quadratically), and buckets over ``bucket_cap`` are dropped
+WITH a logged truncation report (the 'no silent caps' rule).
 
 Dot products run JVM-side via ``zip_with`` + ``aggregate`` higher-order
 functions — no Python in the loop.
@@ -13,10 +28,48 @@ functions — no Python in the loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
+
+from schemasaurus_spark.operators.dedup import (
+    _cap_buckets_reported,
+    _collapse_reps,
+    _expand_pairs,
+    _pin,
+)
+
+# expected bucket membership the plane-count derivation targets.  Near-dup
+# blocking wants small buckets (every same-bucket pair is scored); top-k
+# wants buckets big enough that a handful of probes covers k neighbors.
+NEARDUP_TARGET_BUCKET = 8
+TOPK_TARGET_BUCKET = 32
+
+# distinct plane sets per hash table: table t draws its hyperplanes from a
+# shifted seed, so the L tables are independent in the LSH sense while
+# staying fully deterministic (the DuckDB oracle regenerates them)
+_TABLE_SEED_STRIDE = 7919
+
+
+def derive_n_planes(
+    corpus_size: int | None,
+    target_bucket_size: int = NEARDUP_TARGET_BUCKET,
+    min_planes: int = 4,
+    max_planes: int = 40,
+) -> int:
+    """Plane count such that 2^planes ≈ corpus_size / target_bucket_size.
+
+    This is what makes the LSH family survive a 100× scale-up: the bucket
+    count GROWS with the corpus, keeping expected bucket size (and hence
+    per-bucket join work) constant.  ``max_planes=40`` keeps the packed
+    bucket id comfortably inside an int64."""
+    if corpus_size is None or corpus_size <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(corpus_size / target_bucket_size, 1.0)))
+    return max(min_planes, min(max_planes, raw))
 
 
 def _dot(a, b):
@@ -86,13 +139,20 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     return out
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Seed for hash table ``table`` (table 0 == the bare seed, so single-
+    table callers and older oracle SQL keep their exact plane constants)."""
+    return seed + table * _TABLE_SEED_STRIDE
+
+
 def lsh_bucket(vec, dim: int, n_planes: int = 8, seed: int = 42):
     """Sign-bit bucket id from n random hyperplanes (JVM-side dot products
-    against literal plane arrays)."""
-    bucket = F.lit(0)
+    against literal plane arrays).  The fold runs in int64 so derived plane
+    counts up to 40 (10^12-doc corpora) don't overflow the packed id."""
+    bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
-        bit = (_dot(vec, plane) > 0).cast("int")
+        bit = (_dot(vec, plane) > 0).cast("long")
         bucket = bucket * 2 + bit
     return bucket
 
@@ -102,26 +162,35 @@ def lsh_topk(
     probes: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    corpus_size: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within matching (or 1-bit-
-    neighboring, when multiprobe) hyperplane buckets.  At 100TB the corpus
-    is bucketed once (cheap projection) and the join hits ~n/2^planes of it
-    per probe instead of all of it."""
+    neighboring, when multiprobe) hyperplane buckets.
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size (``derive_n_planes``, target bucket ≈ 32), so per-probe work is
+    O(target_bucket · (n_planes+1)) — constant-ish in n, not n/2^const.
+    Pass ``corpus_size`` when known to skip the count job."""
+    if n_planes is None:
+        if corpus_size is None:
+            corpus_size = corpus.count()
+        n_planes = derive_n_planes(corpus_size, TOPK_TARGET_BUCKET)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("vec_norm"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         _norm(F.col(vec_col)).alias("probe_norm"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("pbucket"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("pbucket"),
     )
     if multiprobe:
         # probe its own bucket + every 1-bit flip (radius-1 multi-probe)
@@ -160,28 +229,94 @@ def embedding_near_duplicates(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int | None = None,
+    n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 5000,
+    collapse_exact: bool = True,
+    corpus_size: int | None = None,
+    report_out: dict | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH self-join (bucket-blocked)."""
-    withb = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_norm"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
+
+    Scale shape (mirrors the MinHash/SimHash design):
+
+    * plane count derived from corpus size (``n_planes=None``): expected
+      bucket membership ≈ ``NEARDUP_TARGET_BUCKET`` regardless of n, so
+      candidate pairs are O(n · bucket · n_tables) — linear in n;
+    * ``n_tables`` independent hash tables (distinct deterministic plane
+      sets) recover the recall a single fine-grained table loses — a pair
+      is a candidate if it collides in ANY table;
+    * exact-duplicate vectors pre-collapsed to one representative before
+      bucketing (identical embeddings — boilerplate images, zero-shot
+      fills — collide in every table of every band), re-expanded after
+      scoring with intra-group similarity 1.0 (cosine of identical
+      vectors rounds to exactly 1.0 at 6 digits);
+    * buckets over ``bucket_cap`` dropped with a logged truncation count
+      (``report_out`` gets ``n_truncated_buckets``/``n_truncated_rows``);
+    * zero-norm vectors excluded up front (cosine undefined; all-zero
+      embeddings would otherwise form one degenerate hot bucket).
+
+    Scoring joins vectors back onto the candidate id pairs (ids only move
+    through the bucket join/distinct).  Pass ``corpus_size`` when known to
+    skip the count job."""
+    base_all = df.select(F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
     )
-    a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        F.col("_norm").alias("norm_a"), "bucket",
+    if n_planes is None:
+        if corpus_size is None:
+            corpus_size = df.count()
+        n_planes = derive_n_planes(corpus_size, NEARDUP_TARGET_BUCKET)
+    if collapse_exact:
+        reps, members = _collapse_reps(
+            base_all, vec_col, id_col, fingerprint=F.md5(F.to_json(F.col(vec_col)))
+        )
+    else:
+        reps, members = _pin(base_all), None
+    band_rows = _pin(
+        reps.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(
+                                F.col(vec_col), dim, n_planes, table_seed(seed, t)
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, "tb.table", "tb.bucket")
     )
-    b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        F.col("_norm").alias("norm_b"), "bucket",
+    band_rows = _cap_buckets_reported(
+        band_rows, ["table", "bucket"], bucket_cap, report_out, "embedding_lsh"
     )
-    return (
-        a.join(b, "bucket")
+    left = band_rows.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    right = band_rows.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cands = (
+        left.join(right, on=["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = reps.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        _norm(F.col(vec_col)).alias("norm_a"),
+    )
+    vb = reps.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        _norm(F.col(vec_col)).alias("norm_b"),
+    )
+    rep_pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -190,5 +325,7 @@ def embedding_near_duplicates(
             ).alias("similarity"),
         )
         .where(F.col("similarity") >= threshold)
-        .distinct()
     )
+    if not collapse_exact:
+        return rep_pairs
+    return _expand_pairs(rep_pairs, members, "similarity", 1.0)

@@ -55,7 +55,18 @@ def _read_input(spark: SparkSession, input_path: str) -> DataFrame:
 
     if os.path.exists(input_path) or "/" in input_path:
         return read_table(spark, TableRef(path=input_path))
-    return read_table(spark, TableRef(table=input_path))
+    try:
+        return read_table(spark, TableRef(table=input_path))
+    except Exception as e:
+        # a slash-free identifier that is neither an existing local path nor
+        # a readable table is ambiguous — name both interpretations instead
+        # of surfacing a bare "no parquet fallback" error
+        raise ValueError(
+            f"input {input_path!r} is neither an existing local path nor a "
+            f"readable table identifier (tried Iceberg table "
+            f"{input_path!r}: {e}); pass an existing parquet directory or "
+            "a resolvable table id"
+        ) from e
 
 
 def list_units(spark: SparkSession, input_path: str, files_per_unit: int = 4) -> list[dict]:
@@ -152,6 +163,16 @@ class ResumableValidation:
                     "immutable input snapshot — rerun with on_drift='reset' "
                     "to invalidate them"
                 )
+        # sweep stale violation dirs with NO manifest (a unit that crashed
+        # after its violations write but before mark_done, whose id then
+        # disappeared via lineage drift).  Manifested orphans were handled
+        # above, so at this point any unit=* dir outside the current listing
+        # is garbage that violations_table() would double-count forever.
+        vdir = os.path.join(out_dir, "violations")
+        if os.path.isdir(vdir):
+            for name in os.listdir(vdir):
+                if name.startswith("unit=") and name[len("unit="):] not in current_ids:
+                    shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
         pending = [u for u in units if u["unit_id"] not in done]
         processed = 0
         for unit in pending:

@@ -340,3 +340,152 @@ def test_media_plumbing(spark):
     assert sorted((r.media_ref, r.mean_luma) for r in rows) == sorted(
         (r.media_ref, r.mean_luma) for r in again
     )
+
+
+# ---------------------------------------------------------------- round 3:
+# scale-safe embedding LSH (derived planes, multi-table, collapse, capped +
+# reported buckets) and deterministic pin lifetimes
+
+
+def test_derive_n_planes_scales_with_corpus():
+    """Bucket count must GROW with the corpus (the round-2 scale defect):
+    2^planes ≈ n / target, clamped to [min, max]."""
+    from schemasaurus_spark.operators.similarity import derive_n_planes
+
+    assert derive_n_planes(None) == 4
+    assert derive_n_planes(0) == 4
+    assert derive_n_planes(100, 8) == 4  # clamped at min
+    assert derive_n_planes(500, 8) == 6
+    assert derive_n_planes(500, 32) == 4
+    assert derive_n_planes(10**12, 8) == 37  # 2^37 buckets at a trillion docs
+    assert derive_n_planes(10**15, 8) == 40  # int64-safe ceiling
+    # monotone in n, anti-monotone in target bucket size
+    last = 0
+    for n in (10, 10**3, 10**6, 10**9, 10**12):
+        p = derive_n_planes(n, 8)
+        assert p >= last
+        last = p
+    assert derive_n_planes(10**6, 64) <= derive_n_planes(10**6, 8)
+
+
+def test_embedding_neardup_identical_vector_skew(spark):
+    """The embedding mirror of test_lsh_exact_dup_collapse_and_expand:
+    60 bitwise-identical embeddings collapse to ONE representative before
+    bucketing (no O(n^2) bucket self-join), then expand to every member
+    pair at similarity exactly 1.0; a near-identical vector pairs with
+    every member at the representative's score; a zero vector is excluded
+    (cosine undefined)."""
+    from schemasaurus_spark.operators.similarity import embedding_near_duplicates
+
+    n = 60
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9, -0.4]
+    near = base[:]
+    near[0] = 0.9  # small perturbation, cosine vs base ≈ 0.999
+    rows = [(i, base) for i in range(n)] + [(n, near), (n + 1, [0.0] * 8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b): r.similarity
+        for r in embedding_near_duplicates(df, dim=8, threshold=0.9).collect()
+    }
+    assert got[(0, 1)] == 1.0 and got[(n - 2, n - 1)] == 1.0
+    assert len([p for p, s in got.items() if s == 1.0]) == n * (n - 1) // 2
+    near_pairs = {p for p in got if n in p}
+    assert len(near_pairs) == n
+    assert all(got[p] < 1.0 for p in near_pairs)
+    assert all(n + 1 not in p for p in got), "zero vector must not pair"
+
+
+def test_embedding_neardup_bucket_cap_reported(spark):
+    """Plant one over-cap bucket of DISTINCT near-identical vectors (so the
+    exact-dup collapse cannot absorb it): the cap must drop exactly that
+    bucket's pairs AND report the truncation — the 'no silent caps' rule."""
+    from schemasaurus_spark.operators.similarity import embedding_near_duplicates
+
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9, -0.4]
+    # 30 distinct but nearly collinear vectors: same signs against every
+    # hyperplane => one bucket per table; plus two isolated orthogonal-ish
+    # vectors forming their own small-bucket pair
+    rows = [(i, [v * (1.0 + i * 1e-4) for v in base]) for i in range(30)]
+    rows += [(100, [0.0, 1.0] + [0.0] * 6), (101, [0.0, 1.0, 1e-3] + [0.0] * 5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    report: dict = {}
+    uncapped = embedding_near_duplicates(
+        df, dim=8, threshold=0.5, n_planes=4, bucket_cap=None
+    ).collect()
+    capped = embedding_near_duplicates(
+        df, dim=8, threshold=0.5, n_planes=4, bucket_cap=10, report_out=report
+    ).collect()
+    assert report["n_truncated_buckets"] > 0
+    assert report["n_truncated_rows"] >= 30
+    hot_uncapped = {(r.id_a, r.id_b) for r in uncapped if r.id_a < 100}
+    hot_capped = {(r.id_a, r.id_b) for r in capped if r.id_a < 100}
+    assert hot_uncapped and not hot_capped, "over-cap bucket pairs must be dropped"
+    # the small bucket survives the cap
+    assert {(r.id_a, r.id_b) for r in capped if r.id_a >= 100} == {(100, 101)}
+
+
+def test_minhash_cap_report_counts_truncation(spark):
+    """minhash/simhash pipelines surface the truncated-bucket counts the
+    round-2 verdict flagged as silent."""
+    base = "boilerplate header shared by every page in the crawl " * 4
+    df = spark.createDataFrame(
+        [(i, base + f"unique tail {i}") for i in range(12)], ["doc_id", "text"]
+    )
+    mh_report: dict = {}
+    minhash_near_duplicates(
+        df, threshold=0.99, bucket_cap=2, collapse_exact=False, report_out=mh_report
+    ).collect()
+    assert mh_report["n_truncated_buckets"] > 0
+    sh_report: dict = {}
+    simhash_near_duplicates(
+        df, max_hamming=3, bucket_cap=2, collapse_exact=False, report_out=sh_report
+    ).collect()
+    assert sh_report["n_truncated_buckets"] > 0
+    # uncapped runs report zero truncation
+    clean: dict = {}
+    minhash_near_duplicates(
+        df, threshold=0.99, bucket_cap=None, collapse_exact=False, report_out=clean
+    ).collect()
+    assert clean == {"n_truncated_buckets": 0, "n_truncated_rows": 0}
+
+
+def test_pin_scope_unpersists(spark):
+    """Frames pinned inside a pin_scope are unpersisted on exit (the
+    round-2 ADVICE cache-accumulation leak); without a scope behavior is
+    unchanged (persisted, LRU-managed)."""
+    from schemasaurus_spark.operators.dedup import _pin, pin_scope
+
+    with pin_scope():
+        df = _pin(spark.range(10))
+        assert df.count() == 10
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+    outside = _pin(spark.range(5))
+    assert outside.storageLevel.useMemory or outside.storageLevel.useDisk
+    outside.unpersist()
+
+
+def test_pin_scope_frees_lsh_pipeline_pins(spark):
+    """A full minhash pass inside a scope leaves no new persisted RDDs."""
+    from schemasaurus_spark.operators.dedup import pin_scope
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 3} with filler words") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    with pin_scope():
+        minhash_near_duplicates(df, threshold=0.5).collect()
+        simhash_near_duplicates(df, max_hamming=8).collect()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_lsh_topk_auto_plane_derivation(spark, embeddings):
+    """n_planes=None derives the plane count from the corpus size and the
+    result keeps the (probe_id, rank<=k, no-self-match) contract."""
+    probes = embeddings.where(F.col("vec_id") < 3)
+    rows = lsh_topk(embeddings, probes, dim=64, k=3).collect()
+    assert rows, "auto-derived planes produced no candidates"
+    assert all(r.rank <= 3 and r.probe_id != r.neighbor_id for r in rows)
