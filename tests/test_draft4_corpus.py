@@ -42,3 +42,30 @@ def test_batch_backend_runs_whole_corpus(spark):
         ]
         expected = [t["valid"] for t in g["tests"]]
         assert got == expected, g["description"]
+
+
+def test_corpus_verdicts_match_reference_implementation():
+    """The corpus is not self-graded: every expected verdict is re-derived
+    by RUNNING the reference (node + /root/reference/src) and must agree.
+    Skipped where node or the reference checkout is unavailable.
+
+    The harness compiles once per schema group — the reference leaks its
+    $$visited recursion marker on $ref-holding nodes (compiler.js step()
+    returns early on the deref path without the trailing delete), so a
+    second compile of the same schema object miscompiles refs as
+    root-recursion self-calls.  Known deviation kept OUT of the corpus:
+    anyOf: [] (reference throws at runtime; our walker returns valid)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("node") is None or not os.path.isdir("/root/reference/src"):
+        pytest.skip("node or reference checkout unavailable")
+    corpus_path = os.path.join(os.path.dirname(__file__), "data", "draft4_corpus.json")
+    harness = os.path.join(os.path.dirname(__file__), "..", "tools", "corpus_vs_reference.js")
+    res = subprocess.run(
+        ["node", harness, corpus_path], capture_output=True, text=True, check=True
+    )
+    verdicts = json.loads(res.stdout)
+    bad = [v for v in verdicts if v["error"] or v["reference"] != v["expected"]]
+    assert not bad, f"{len(bad)} corpus verdicts disagree with the reference: {bad[:5]}"
+    assert len(verdicts) == sum(len(g["tests"]) for g in CORPUS)
