@@ -198,7 +198,7 @@ def js_parse_int(v: Any) -> Any:
     s = js_to_string(v).strip()
     sign = 1
     i = 0
-    if s[:1] in "+-":
+    if s[:1] in ("+", "-"):  # NB not `in "+-"`: '' is a substring of any str
         sign = -1 if s[0] == "-" else 1
         i = 1
     digits = ""

@@ -26,6 +26,7 @@ Intentional deviations from the reference (each documented inline):
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Callable
 
@@ -95,6 +96,40 @@ class Context:
 
     def remove(self):
         del self.parent[self.property]
+
+
+def _js_array_like_length(value) -> int:
+    """JS ``val.length`` as the generated item loops read it
+    (processor.js:38,55): arrays and strings have a real length; a plain
+    object exposes whatever numeric-ish ``length`` property it carries
+    (JS relational coercion: booleans and numeric strings count, anything
+    NaN-ish compares false and iterates zero times); every other value has
+    no length and iterates zero times."""
+    if isinstance(value, (list, str)):
+        return len(value)
+    if isinstance(value, dict):
+        n = value.get("length")
+        if isinstance(n, bool):
+            return 1 if n else 0
+        if isinstance(n, (int, float)) and not math.isnan(n):
+            return max(0, int(n))
+        if isinstance(n, str):
+            try:
+                return max(0, int(float(n)))
+            except ValueError:
+                return 0
+    return 0
+
+
+def _js_index(value, i):
+    """JS ``val[i]`` for the item-walk loops: sequence index for arrays and
+    strings (a string yields its 1-char slices), stringified-key property
+    lookup for objects, undefined for everything else."""
+    if isinstance(value, (list, str)):
+        return value[i] if 0 <= i < len(value) else UNDEFINED
+    if isinstance(value, dict):
+        return value.get(str(i), UNDEFINED)
+    return UNDEFINED
 
 
 # --------------------------------------------------------------------------
@@ -365,11 +400,17 @@ class Compiler:
             ignore_ghost = self.options.get("ignoreSchemaOnly", False)
 
             def run_homogeneous(value, rctx: Context):
-                if isinstance(value, list):
-                    for i, elem in enumerate(value):
-                        rctx.push(i, value, elem)
-                        node(elem, rctx)
-                        rctx.pop()
+                # JS array-LIKE iteration, not isinstance(list): the
+                # generated loop reads `val ? val.length : 0` and `val[i]`
+                # (processor.js:38-40), so strings walk per character and
+                # objects with a numeric `length` walk via "i" property
+                # lookups.  Found by differential fuzz vs the reference.
+                n = _js_array_like_length(value) if js_truthy(value) else 0
+                for i in range(n):
+                    elem = _js_index(value, i)
+                    rctx.push(i, value, elem)
+                    node(elem, rctx)
+                    rctx.pop()
                 if rctx.schema_only and not ignore_ghost:
                     # ghost walk: iterate the schema once with no data
                     # (processor.js:43-47) so pure-iterator selectors fire
@@ -391,16 +432,19 @@ class Compiler:
         n_tuple = len(items)
 
         def run_tuple(value, rctx: Context):
-            is_list = isinstance(value, list)
+            # positional reads are `val ? val[k] : undefined`
+            # (processor.js:51) — JS property semantics, see run_homogeneous
+            truthy = js_truthy(value)
             for k, node in enumerate(tuple_nodes):
-                elem = value[k] if is_list and k < len(value) else UNDEFINED
+                elem = _js_index(value, k) if truthy else UNDEFINED
                 rctx.push(k, value, elem)
                 node(elem, rctx)
                 rctx.pop()
-            if tail_node is not None and is_list:
-                for i in range(n_tuple, len(value)):
-                    rctx.push(i, value, value[i])
-                    tail_node(value[i], rctx)
+            if tail_node is not None and truthy:
+                for i in range(n_tuple, _js_array_like_length(value)):
+                    elem = _js_index(value, i)
+                    rctx.push(i, value, elem)
+                    tail_node(elem, rctx)
                     rctx.pop()
 
         return run_tuple
