@@ -713,6 +713,49 @@ FROM s
 """
 
 
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode path: executor-side PNG ENCODE of deterministic
+    gradient pixels (pure zlib+numpy codec, operators/png.py) followed by
+    the production DECODE kernel extracting dimensions + exact integer
+    luma sum.  The oracle never touches the bytes — it recomputes the
+    expected sums from the closed-form pixel formula in SQL, so a decoder
+    bug (filter reconstruction, stride, channel order) hash-mismatches."""
+    from schemasaurus_spark.operators.media import (
+        extract_png_features,
+        synth_png_media_table,
+    )
+
+    return extract_png_features(synth_png_media_table(spark, 200, seed=42))
+
+
+# pixel(id,i,j,c) = (id*7 + i*5 + j*3 + c*11 + 42) % 256 over h=id%16+16
+# rows, w=id%24+16 cols, 3 channels — enumerated and summed in SQL
+_MEDIA_PNG_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS id,
+         t.i % 24 + 16 AS w,
+         t.i % 16 + 16 AS h
+  FROM generate_series(0, 199) AS t(i)
+),
+px AS (
+  SELECT d.id, d.w, d.h,
+         CAST(sum((d.id*7 + i.v*5 + j.v*3 + c.v*11 + 42) % 256) AS BIGINT) AS luma_sum
+  FROM dims d
+  JOIN generate_series(0, 31) AS i(v) ON i.v < d.h
+  JOIN generate_series(0, 39) AS j(v) ON j.v < d.w
+  JOIN generate_series(0, 2) AS c(v) ON true
+  GROUP BY d.id, d.w, d.h
+)
+SELECT 'media://png/' || CAST(id AS VARCHAR) AS media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       luma_sum,
+       CAST(luma_sum AS DOUBLE) / (w * h * 3) AS mean_luma
+FROM px
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-rule engine over the interleaved documents table.  The deterministic
 # generated table (n=2000, seed=7) is materialized to parquet once per
@@ -1036,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "simhash_near_dups": simhash_near_dups,
         "media_image_features": media_image_features,
+        "media_png_features": media_png_features,
         "northrule_violations": northrule_violations,
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
@@ -1068,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "media_image_features": _MEDIA_FEATURES_ORACLE,
+        "media_png_features": _MEDIA_PNG_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,

@@ -95,6 +95,7 @@ def main():
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
+        "embedding_near_dups",
         "event_value_quartiles",
         "media_image_features",
     ]:
