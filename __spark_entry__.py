@@ -496,6 +496,76 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k — the sublinear scale path (n_list ≈ sqrt(n)
+    coarse cells, probes scan their 4 nearest lists ⇒ expected
+    4·sqrt(n) candidates per probe vs brute force's n).
+
+    The coarse quantizer is a deterministic md5-ordered sample of corpus
+    vectors (k-means, 0 Lloyd iterations — zero float math in selection),
+    so the oracle rebuilds the identical index in SQL: same centroid
+    rows, same nearest-centroid assignment, same probe lists, same
+    within-list cosine ranking.  Lloyd refinement is pytest-covered
+    separately (its float averaging is not bit-portable across engines)."""
+    from schemasaurus_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    index = build_ivf_index(emb, dim=64)
+    return ivf_topk(emb, probes, index, k=5, n_probe=4)
+
+
+def _ivf_oracle_sql() -> str:
+    from schemasaurus_spark.operators.similarity import derive_n_list
+
+    n_list = derive_n_list(_oracle_embedding_count())
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+),
+-- deterministic md5-ordered sample = the Spark index's centroid rows
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id, v
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_list}
+),
+-- nearest-centroid assignment (ties to the smallest list id)
+assigned AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list_id ASC) AS rn
+  FROM emb e, cents c
+),
+corpus AS (SELECT vec_id, v, list_id FROM assigned WHERE rn = 1),
+probe_lists AS (
+  SELECT e.vec_id AS probe_id, e.v AS pv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list_id ASC) AS rn
+  FROM emb e, cents c
+  WHERE e.vec_id < 8
+),
+scored AS (
+  SELECT p.probe_id, x.vec_id AS neighbor_id,
+         list_cosine_similarity(p.pv, x.v) AS sim
+  FROM (SELECT * FROM probe_lists WHERE rn <= 4) p
+  JOIN corpus x USING (list_id)
+  WHERE p.probe_id <> x.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(sim, 6) AS similarity
+FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
     (corpus-size-derived plane count, 2 independent tables, exact-vector
@@ -1078,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "minhash_near_dups": minhash_near_dups,
         "simhash_near_dups": simhash_near_dups,
+        "embedding_ivf_topk": embedding_ivf_topk,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "northrule_violations": northrule_violations,
@@ -1111,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
+        "embedding_ivf_topk": _ivf_oracle_sql(),
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,

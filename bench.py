@@ -96,6 +96,7 @@ def main():
         "embedding_topk",
         "embedding_ann_lsh",
         "embedding_near_dups",
+        "embedding_ivf_topk",
         "event_value_quartiles",
         "media_image_features",
     ]:

@@ -6,7 +6,10 @@
 * LSH-bucketed ANN — the scale path: deterministic random-hyperplane sign
   bits bucket the corpus; probes only compare within matching buckets
   (multi-probe over all bit-flip neighbors at radius 1 for recall);
-* LSH near-dup pairs — multi-table hyperplane blocking for the self-join.
+* LSH near-dup pairs — multi-table hyperplane blocking for the self-join;
+* IVF-flat ANN — the sublinear scale path: n_list ≈ sqrt(n) coarse cells,
+  one-pass nearest-centroid assignment, probes scan n_probe lists
+  (expected n_probe·sqrt(n) candidates per probe).
 
 Scale design (the round-2 verdict's one remaining 100 TB defect, fixed):
 the hyperplane count is DERIVED from the corpus size — ``2^planes ≈
@@ -222,6 +225,235 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the sublinear scale path the session brief names
+# alongside LSH.  Coarse quantizer: n_list ≈ sqrt(n) centroids; each corpus
+# vector is assigned to its nearest centroid once (a pure map pass — no
+# shuffle); a probe scans only its n_probe nearest lists, i.e. expected
+# n_probe · n / n_list ≈ n_probe · sqrt(n) vectors — sublinear in n, vs the
+# LSH path's constant-factor bucket pruning.
+#
+# Centroid selection is a DETERMINISTIC md5-ordered sample of corpus vectors
+# (k-means with 0 Lloyd iterations).  That choice is deliberate: selection
+# involves no floating-point aggregation, so a SQL oracle reproduces the
+# index bit-for-bit (the same reason the MinHash family hashes via md5).
+# Lloyd refinement is available (``kmeans_iters>0``) and pytest-verified for
+# recall, but the oracled contract uses the sampled quantizer.
+# ---------------------------------------------------------------------------
+
+IVF_MIN_LIST = 4
+IVF_MAX_LIST = 1 << 16
+# above this many centroids the literal-array argmax expression gets too big
+# for codegen; assignment switches to a broadcast join + max_by aggregation
+IVF_LITERAL_ASSIGN_MAX = 1024
+
+
+def derive_n_list(corpus_size: int | None) -> int:
+    """Standard IVF sizing: n_list ≈ sqrt(n) balances per-probe list length
+    (n / n_list) against probe-to-centroid scoring cost (n_list)."""
+    if corpus_size is None or corpus_size <= 0:
+        return IVF_MIN_LIST
+    return max(IVF_MIN_LIST, min(IVF_MAX_LIST, math.isqrt(corpus_size)))
+
+
+class IvfIndex:
+    """Driver-side coarse quantizer: ``centroids`` is a list of
+    (list_id, vector) with vectors as plain float lists.  Small by design
+    (n_list ≈ sqrt(n) ≤ 2^16); executors see it as literals or a broadcast."""
+
+    def __init__(self, centroids: list[tuple[int, list[float]]], dim: int):
+        self.centroids = centroids
+        self.dim = dim
+
+    @property
+    def n_list(self) -> int:
+        return len(self.centroids)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    n_list: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_size: int | None = None,
+    kmeans_iters: int = 0,
+) -> IvfIndex:
+    """Train the coarse quantizer (eager — returns driver-side centroids).
+
+    Base selection: the ``n_list`` corpus vectors with the smallest
+    ``md5(cast(id as string))`` — a deterministic pseudo-random sample with
+    zero float math (global sort of a 16-byte digest + limit n_list: cheap
+    at any scale, and identical in any engine).  Zero-norm vectors are
+    excluded (they can't anchor a cosine cell).
+
+    ``kmeans_iters`` > 0 runs Lloyd refinement: assign (map pass) +
+    element-wise mean per list (posexplode + one combine-heavy shuffle per
+    iteration).  Refined centroids are rounded to 9 decimals so the index
+    is stable against float summation order."""
+    base = corpus.select(F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
+    )
+    if n_list is None:
+        if corpus_size is None:
+            corpus_size = base.count()
+        n_list = derive_n_list(corpus_size)
+    seed_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_list)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [(i, [float(v) for v in r[0]]) for i, r in enumerate(seed_rows)]
+    index = IvfIndex(cents, dim)
+    for _ in range(kmeans_iters):
+        assigned = assign_ivf_lists(base, index, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("list_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ims"))
+            .select("list_id", F.col("ims.m").alias("c"))
+            .collect()
+        )
+        # lists emptied by reassignment keep their previous centroid
+        refined = dict(index.centroids)
+        for r in means:
+            refined[r["list_id"]] = [round(float(v), 9) for v in r["c"]]
+        index = IvfIndex(sorted(refined.items()), dim)
+    return index
+
+
+def _centroid_literals(index: IvfIndex):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(lid).alias("list_id"),
+                F.array(*[F.lit(v) for v in vec]).alias("c"),
+                F.lit(math.sqrt(sum(v * v for v in vec))).alias("cnorm"),
+            )
+            for lid, vec in index.centroids
+        ]
+    )
+
+
+def _scored_centroids(vec, index: IvfIndex):
+    """array<struct<sim, neg_list_id>> of cosine vs every centroid.  The
+    centroid norm is precomputed driver-side; the row norm folds once."""
+    vnorm = _norm(vec)
+    return F.transform(
+        _centroid_literals(index),
+        lambda ct: F.struct(
+            (_dot(vec, ct["c"]) / (vnorm * ct["cnorm"])).alias("sim"),
+            (-ct["list_id"]).alias("neg_list_id"),
+        ),
+    )
+
+
+def assign_ivf_lists(
+    df: DataFrame,
+    index: IvfIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: adds ``list_id``.
+
+    Up to ``IVF_LITERAL_ASSIGN_MAX`` centroids this is a literal-array
+    ``array_max`` fold — a pure whole-stage-codegen map pass with NO
+    shuffle.  Beyond that (10^12-doc corpora want n_list ≈ 10^6) it
+    switches to a broadcast join + ``max_by`` groupBy, whose map-side
+    combine reduces the shuffle to one row per vector.  Ties break to the
+    smallest list id in both paths (struct max on (sim, -list_id))."""
+    if index.n_list <= IVF_LITERAL_ASSIGN_MAX:
+        best = F.array_max(_scored_centroids(F.col(vec_col), index))
+        return df.withColumn("list_id", -best["neg_list_id"])
+    cent_df = df.sparkSession.createDataFrame(
+        [(lid, vec, math.sqrt(sum(v * v for v in vec))) for lid, vec in index.centroids],
+        schema="list_id int, c array<double>, cnorm double",
+    )
+    vnorm = _norm(F.col(vec_col))
+    scored = df.join(broadcast(cent_df)).select(
+        *df.columns,
+        F.struct(
+            (_dot(F.col(vec_col), F.col("c")) / (vnorm * F.col("cnorm"))).alias("sim"),
+            (-F.col("list_id")).alias("neg_list_id"),
+        ).alias("scored"),
+    )
+    return (
+        scored.groupBy(*df.columns)
+        .agg(F.max("scored").alias("best"))
+        .withColumn("list_id", -F.col("best.neg_list_id"))
+        .drop("best")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    index: IvfIndex,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k: (probe_id, neighbor_id, rank,
+    similarity).  Each probe scores only the vectors in its ``n_probe``
+    nearest inverted lists — expected ``n_probe · n / n_list`` candidates.
+    Probes (small) are broadcast into the list-id join; each corpus vector
+    lives in exactly one list, so no post-join dedup is needed."""
+    c = assign_ivf_lists(
+        corpus.where(_norm(F.col(vec_col)) > 0), index, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vec_norm"),
+        "list_id",
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_norm"),
+        # struct sort desc = sim desc, then neg_list_id desc (= smallest
+        # list id first on ties) — no custom comparator needed
+        F.slice(
+            F.sort_array(_scored_centroids(F.col(vec_col), index), asc=False),
+            1,
+            n_probe,
+        ).alias("near"),
+    ).select(
+        "probe_id",
+        "probe_vec",
+        "probe_norm",
+        F.explode(F.transform(F.col("near"), lambda s: -s["neg_list_id"])).alias(
+            "list_id"
+        ),
+    )
+    scored = c.join(broadcast(p), on="list_id").where(
+        F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        (
+            _dot(F.col("probe_vec"), F.col("vec"))
+            / (F.col("probe_norm") * F.col("vec_norm"))
+        ).alias("similarity"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "rank",
+            F.round("similarity", 6).alias("similarity"),
+        )
     )
 
 
