@@ -496,6 +496,31 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def event_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-aggregation transform
+    (``streaming/window_stream.windowed_counts``) run in batch mode over
+    the events table — tumbling 10-minute event-time windows, per-type
+    counts + value sums.  The batch and stream paths share this exact
+    expression (watermark is a no-op in batch); the stream's
+    late-data/watermark semantics are pytest-covered
+    (test_streaming.py), while THIS oracle pins the window bucketing and
+    aggregate arithmetic."""
+    from schemasaurus_spark.streaming.window_stream import windowed_counts
+
+    return windowed_counts(_table(spark, sf_dir, "events"))
+
+
+_WINDOWED_COUNTS_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k — the sublinear scale path (n_list ≈ sqrt(n)
     coarse cells, probes scan their 4 nearest lists ⇒ expected
@@ -1149,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "event_windowed_counts": event_windowed_counts,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "northrule_violations": northrule_violations,
@@ -1183,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
+        "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,

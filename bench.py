@@ -98,6 +98,7 @@ def main():
         "embedding_near_dups",
         "embedding_ivf_topk",
         "event_value_quartiles",
+        "event_windowed_counts",
         "media_image_features",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))

@@ -88,3 +88,82 @@ def test_sink_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(f"{out_dir}/verdict_log").agg(F.sum("n_docs")).collect()[0][0]
         == log_once
     )
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts_str, event_type, value)"""
+    return (
+        spark.createDataFrame(rows, ["event_id", "ts_s", "event_type", "value"])
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .coalesce(1)
+    )
+
+
+def test_windowed_counts_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: emitted windows match the
+    batch groupBy over the ON-TIME rows, and a row later than the
+    watermark is dropped (the bounded-state trade), while the same row in
+    batch mode IS counted (watermark is a no-op there)."""
+    from schemasaurus_spark.streaming.window_stream import (
+        stream_windowed_counts,
+        windowed_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    # file 1: two 10-min windows' worth of on-time events
+    _events(
+        spark,
+        [
+            (0, "2024-01-01 00:01:00", "view", 1.0),
+            (1, "2024-01-01 00:05:00", "view", 2.0),
+            (2, "2024-01-01 00:07:00", "click", 3.0),
+            (3, "2024-01-01 00:12:00", "view", 4.0),
+        ],
+    ).write.mode("append").parquet(in_dir)
+    # file 2: advances the watermark far past both windows (01:30 - 30min
+    # watermark = 01:00 > 00:10 and 00:20), closing and emitting them
+    _events(spark, [(4, "2024-01-01 01:30:00", "view", 5.0)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    q = stream_windowed_counts(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    emitted = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{out_dir}/windows").collect()
+    }
+    assert emitted[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+    assert emitted[("2024-01-01 00:00:00", "click")] == (1, 3.0)
+    assert emitted[("2024-01-01 00:10:00", "view")] == (1, 4.0)
+
+    # file 3: one event 90 minutes LATE for the 00:00 window (watermark is
+    # already at 01:00) -> dropped on the stream path
+    _events(spark, [(5, "2024-01-01 00:02:00", "view", 100.0)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = stream_windowed_counts(spark, in_dir, out_dir)
+    q2.awaitTermination(120)
+    again = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{out_dir}/windows").collect()
+    }
+    # the already-emitted window is final: the late row neither re-emits
+    # nor revises it
+    assert again[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+    assert len(again) == len(emitted)
+
+    # batch parity: the SAME transform over the full directory counts the
+    # late row (watermark is a no-op in batch) — 3 'view' events at 00:00
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_counts(spark.read.parquet(in_dir)).collect()
+    }
+    assert batch[("2024-01-01 00:00:00", "view")] == (3, 103.0)
+    assert batch[("2024-01-01 00:00:00", "click")] == (1, 3.0)
