@@ -24,7 +24,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CPU_ROWS = 4_000_000_000
+# Sized so the 8-thread leg runs ~25s: short legs (<5s) are dominated by
+# task scheduling + JIT and showed a meaningless 1.3x "speedup" at 4B rows.
+CPU_ROWS = 40_000_000_000
 
 
 def leg(probe: str, cpus: int, docs_path: str | None) -> None:
@@ -37,9 +39,12 @@ def leg(probe: str, cpus: int, docs_path: str | None) -> None:
 
     if probe == "cpu":
         def run():
+            # bit_xor, not sum: xxhash64 outputs span the full int64 range,
+            # so a 4B-row sum overflows under ANSI mode; xor is overflow-free
+            # and keeps the loop inside whole-stage codegen.
             return (
                 spark.range(0, CPU_ROWS, 1, cpus * 4)
-                .select(F.sum(F.xxhash64("id")))
+                .select(F.expr("bit_xor(xxhash64(id))"))
                 .collect()
             )
     elif probe == "scan":
