@@ -648,6 +648,45 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+_SAMPLE_FRACTIONS = {"en": 0.2, "fr": 0.5}
+_SAMPLE_DEFAULT = 0.75
+_SAMPLE_SEED = 7
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling of the documents corpus.
+
+    Hash-bucket Bernoulli keyed on doc_id (sampling.py): reproducible
+    across runs/parallelism/engines, one filtered scan, zero shuffles —
+    the curation step that rebalances over-represented strata at corpus
+    scale.  The md5-bucket scheme makes the exact kept-row set
+    SQL-expressible."""
+    from schemasaurus_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        _SAMPLE_FRACTIONS,
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=_SAMPLE_DEFAULT,
+        seed=_SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
+def _stratified_oracle_sql() -> str:
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    whens = " ".join(
+        f"WHEN '{v}' THEN {_keep_threshold(f)}"
+        for v, f in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
+      < CASE lang {whens} ELSE {_keep_threshold(_SAMPLE_DEFAULT)} END
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -663,7 +702,9 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``scored(id_a, id_b, jaccard)`` — shared by the
+    pair oracle and the connected-components oracle."""
     from schemasaurus_spark.operators.dedup import MINHASH_P, minhash_params
 
     sig_terms = ",\n         ".join(
@@ -671,8 +712,7 @@ def _minhash_oracle_sql() -> str:
         for a, b in minhash_params(32)
     )
     bhash = ", ".join(f"CAST(sig[4*t.b+{i}] AS VARCHAR)" for i in range(1, 5))
-    return f"""
-WITH norm AS (
+    return f"""norm AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
   FROM documents WHERE text IS NOT NULL
 ),
@@ -711,8 +751,60 @@ scored AS (
   FROM cands
   JOIN sig x ON x.doc_id = cands.id_a
   JOIN sig y ON y.doc_id = cands.id_b
-)
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return (
+        f"WITH {_minhash_pair_ctes()}\n"
+        "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"
+    )
+
+
+def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs -> connected components ->
+    (doc_id, comp_id, comp_size, is_canonical).
+
+    The grouping step a training pipeline runs after pair generation:
+    transitively-connected near-dups become one cluster, the minimum
+    member id is the cluster id AND the canonical-document choice
+    (deterministic, engine-portable).  Components run alternating
+    large-star/small-star (dedup.py): O(log n) rounds of keyed
+    groupBy-min + one-row-per-key joins, no neighbor-list collection —
+    the same pair graph at 10^12 docs clusters without a hot reducer.
+    The oracle reproduces the full chain in SQL: the bit-exact MinHash
+    pair CTEs feed a recursive reachability CTE whose min-reachable-id
+    equals the component minimum."""
+    from schemasaurus_spark.operators.dedup import (
+        duplicate_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return duplicate_components(pairs).select(
+        F.col("id").alias("doc_id"), "comp_id", "comp_size", "is_canonical"
+    )
+
+
+def _components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+),
+comp AS (SELECT id AS doc_id, min(r) AS comp_id FROM reach GROUP BY id)
+SELECT doc_id, comp_id,
+       count(*) OVER (PARTITION BY comp_id) AS comp_size,
+       (doc_id = comp_id) AS is_canonical
+FROM comp
 """
 
 
@@ -1168,10 +1260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
+        "doc_stratified_sample": doc_stratified_sample,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
         "minhash_near_dups": minhash_near_dups,
+        "doc_dup_components": doc_dup_components,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
         "event_windowed_counts": event_windowed_counts,
@@ -1202,11 +1296,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
+        "doc_stratified_sample": _stratified_oracle_sql(),
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
+        "doc_dup_components": _components_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,

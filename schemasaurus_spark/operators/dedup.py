@@ -19,7 +19,7 @@ type hints at definition time and stringified hints break it.)
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -636,3 +636,176 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     if not collapse_exact:
         return rep_pairs
     return _expand_pairs(rep_pairs, members, "hamming", 0)
+
+
+# ---------------------------------------------------------------- connected components (dedup grouping)
+#
+# Near-dup pair lists (MinHash/SimHash/embedding LSH) are only half of a
+# dedup pass: a training pipeline then has to GROUP transitively-connected
+# pairs into clusters and keep one canonical document per cluster.  That is
+# connected components over the pair graph.  The implementation is the
+# alternating large-star / small-star algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14): O(log n) rounds regardless
+# of component diameter, and every step is a keyed groupBy-min + a
+# one-row-per-key join — no collect_set/collect_list, so a hot node (a
+# million-member boilerplate cluster at 10^12 docs) never materializes a
+# neighbor list on one reducer.  Labels are compared with Spark's natural
+# ordering, so ids may be strings or numbers (component id = lexicographic
+# or numeric min member).
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Orient every edge (big, small), drop self-loops + duplicates."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) + {u}).  Input/output: undirected edge set."""
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its smaller-or-equal neighbors N-(u): connect
+    every member of N-(u) + {u} (except the min itself) to min(N-(u))."""
+    e = _canonical_edges(edges)
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    to_members = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    to_center = mins.select("u", F.col("m").alias("v"))
+    return (
+        to_members.unionByName(to_center)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    report_out: dict | None = None,
+) -> DataFrame:
+    """(id, comp_id) for every node appearing in ``pairs``; comp_id is the
+    minimum member id of the node's component.
+
+    Alternates large-star / small-star until the edge set reaches a fixed
+    point (checked with a count + order-independent xxhash64 checksum — one
+    tiny aggregate per round).  On convergence the edge set is a union of
+    stars centered on each component's minimum, so the label read-off is a
+    single projection.  ``max_iter`` defaults far above the O(log n) bound
+    (2^25 >> any component count); hitting it raises rather than returning
+    a partially-contracted labeling."""
+    # localCheckpoint (not persist) each round: persist caches data but
+    # KEEPS lineage, and each star round references its input 2-3x, so the
+    # logical plan grows ~6^rounds — by round 7 even printing the tree
+    # OOMs the driver.  Eager local checkpoints truncate lineage to the
+    # materialized blocks; a superseded round's blocks are freed by the
+    # ContextCleaner once the DataFrame reference is dropped.  (On a real
+    # cluster with executor loss concerns, swap for reliable checkpoint().)
+    edges = _canonical_edges(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        # decimal(38) sum: order-independent and overflow-free under ANSI
+        # (an int64 sum of xxhash64 values overflows at a few edges)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(edges)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = _sig(nxt)
+        edges = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    if report_out is not None:
+        report_out["cc_rounds"] = rounds
+    # fixed point = stars: every non-center node carries exactly one edge
+    # (node, component_min); centers label themselves.
+    labels = nodes.join(
+        edges.select(F.col("u").alias("_n"), F.col("v").alias("_c")),
+        nodes["u"] == F.col("_n"),
+        "left",
+    ).select(
+        F.col("u").alias("id"),
+        F.coalesce(F.col("_c"), F.col("u")).alias("comp_id"),
+    )
+    return labels
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    report_out: dict | None = None,
+) -> DataFrame:
+    """Cluster near-dup pairs: (id, comp_id, comp_size, is_canonical).
+
+    comp_id is the minimum member id, which doubles as the canonical
+    document choice (deterministic, engine-portable); comp_size is the
+    cluster population.  The size/canonical window partitions by comp_id —
+    a shuffle whose key count is the number of clusters, with AQE handling
+    the one giant boilerplate cluster case."""
+    labels = connected_components(pairs, id_a, id_b, max_iter, report_out)
+    w = Window.partitionBy("comp_id")
+    return labels.select(
+        "id",
+        "comp_id",
+        F.count(F.lit(1)).over(w).alias("comp_size"),
+        (F.col("id") == F.col("comp_id")).alias("is_canonical"),
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Drop every non-canonical member of every near-dup cluster from
+    ``df`` (docs in no cluster are kept).  Broadcast-sized in the common
+    case is NOT assumed: the drop list is a left_anti join keyed on
+    ``id_col``, which AQE converts to broadcast when it is small."""
+    labels = connected_components(pairs, max_iter=max_iter)
+    losers = labels.where(F.col("id") != F.col("comp_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

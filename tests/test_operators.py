@@ -609,3 +609,156 @@ def test_ivf_kmeans_refinement_improves_or_holds_recall(spark, embeddings):
     # Lloyd refinement tightens cells around the data; recall at equal
     # n_probe should not collapse (allow small jitter on random vectors)
     assert recall(refined) >= recall(base) - 0.15
+
+
+# ---------------------------------------------------------------- connected components
+
+
+def _cc_pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a string, id_b string")
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """A 100-node path is the worst case for label propagation (diameter
+    99); star contraction must close it in O(log n) rounds."""
+    from schemasaurus_spark.operators.dedup import connected_components
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(99)]
+    report = {}
+    labels = connected_components(
+        _cc_pairs(spark, edges), report_out=report
+    ).collect()
+    assert len(labels) == 100
+    assert {r["comp_id"] for r in labels} == {"n000"}
+    assert report["cc_rounds"] <= 10  # ~log2(100) + fixed-point check
+
+
+def test_cc_matches_union_find(spark):
+    """Random multi-component graph vs a driver-side union-find."""
+    import random
+
+    from schemasaurus_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = [f"d{i:04d}" for i in range(200)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(120)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    in_graph = {n for e in edges for n in e}
+    expected = {}
+    for n in sorted(in_graph):
+        expected.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    got = {
+        r["id"]: r["comp_id"]
+        for r in connected_components(_cc_pairs(spark, edges)).collect()
+    }
+    assert got == want
+
+
+def test_duplicate_components_sizes_and_canonical(spark):
+    from schemasaurus_spark.operators.dedup import duplicate_components
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    rows = {
+        r["id"]: r
+        for r in duplicate_components(_cc_pairs(spark, edges)).collect()
+    }
+    assert rows["a"]["comp_id"] == "a" and rows["a"]["is_canonical"]
+    assert rows["c"]["comp_id"] == "a" and not rows["c"]["is_canonical"]
+    assert rows["a"]["comp_size"] == 3 and rows["x"]["comp_size"] == 2
+    assert rows["x"]["comp_id"] == "x" and rows["y"]["comp_id"] == "x"
+
+
+def test_dedup_by_components_keeps_canonical_and_unpaired(spark):
+    from schemasaurus_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d in ["a", "b", "c", "x", "y", "solo"]],
+        "doc_id string, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_components(
+            docs, _cc_pairs(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+        ).collect()
+    }
+    assert kept == {"a", "x", "solo"}
+
+
+def test_cc_empty_and_self_loop_pairs(spark):
+    from schemasaurus_spark.operators.dedup import connected_components
+
+    assert connected_components(_cc_pairs(spark, [("a", "a")])).count() == 0
+    empty = _cc_pairs(spark, []).where("id_a IS NOT NULL")
+    assert connected_components(empty).count() == 0
+
+
+# ---------------------------------------------------------------- deterministic sampling
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    from schemasaurus_spark.operators.sampling import deterministic_sample
+
+    docs = spark.range(20000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id")
+    )
+    kept = deterministic_sample(docs, 0.3, seed=3)
+    n = kept.count()
+    assert abs(n / 20000 - 0.3) < 0.02
+    # invariant under repartitioning (per-partition RNG sampling is not)
+    ids_a = {r["doc_id"] for r in kept.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), 0.3, seed=3).collect()
+    }
+    assert ids_a == ids_b
+    # disjoint-ish under a different seed (not the same row set)
+    ids_c = {
+        r["doc_id"] for r in deterministic_sample(docs, 0.3, seed=4).collect()
+    }
+    assert ids_a != ids_c
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from schemasaurus_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(30000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        docs, {"en": 0.1, "de": 0.6}, "lang", default_fraction=1.0, seed=1
+    )
+    rates = {
+        r["lang"]: r["n"] / 10000
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["en"] - 0.1) < 0.03
+    assert abs(rates["de"] - 0.6) < 0.03
+    assert rates["fr"] == 1.0
+
+
+def test_sample_fraction_bounds():
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    assert _keep_threshold(0.0) == 0
+    assert _keep_threshold(1.0) == 65536
+    with _pytest.raises(ValueError):
+        _keep_threshold(1.5)
