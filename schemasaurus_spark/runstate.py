@@ -24,6 +24,16 @@ and the "new" overlapping units would re-validate already-counted rows.
 current listing) and by default refuses with ``LineageDriftError``;
 ``on_drift="reset"`` instead deletes the orphaned manifests *and* their
 violation dirs, then reruns whatever the new listing requires.
+
+**Per-unit stats snapshots** (optional ``snapshot_spec``): each unit also
+writes a mergeable stats snapshot (``operators/snapshot.py`` — HLL distinct
+sketches, fixed-grid histograms, category counts) under
+``snapshots/unit=<id>/``.  The bin grid is frozen from the first unit and
+persisted (``snapshot_grid/``) so resumed runs and later units histogram
+onto identical edges.  ``merged_snapshot`` folds ONLY manifested units'
+snapshots into the corpus snapshot — an algebraic merge over
+metadata-sized frames, no rescan of data files — giving resumable,
+exactly-once corpus stats and a ready baseline for drift checks.
 """
 
 from __future__ import annotations
@@ -124,9 +134,17 @@ class ResumableValidation:
         schema: dict | None = None,
         files_per_unit: int = 4,
         options: dict | None = None,
+        snapshot_spec=None,
+        snapshot_prep=None,
     ):
+        """``snapshot_spec``: a ``snapshot.SnapshotSpec`` to also write a
+        mergeable per-unit stats snapshot.  ``snapshot_prep``: optional
+        ``df -> df`` projection run before snapshotting (derive stats
+        columns, e.g. ``size(spans)``); defaults to identity."""
         self.job = ValidationJob(schema, options)
         self.files_per_unit = files_per_unit
+        self.snapshot_spec = snapshot_spec
+        self.snapshot_prep = snapshot_prep or (lambda df: df)
 
     def run(
         self,
@@ -150,10 +168,11 @@ class ResumableValidation:
             if on_drift == "reset":
                 for uid in orphans:
                     os.remove(os.path.join(out_dir, "manifests", f"{uid}.json"))
-                    shutil.rmtree(
-                        os.path.join(out_dir, "violations", f"unit={uid}"),
-                        ignore_errors=True,
-                    )
+                    for sub in ("violations", "snapshots"):
+                        shutil.rmtree(
+                            os.path.join(out_dir, sub, f"unit={uid}"),
+                            ignore_errors=True,
+                        )
                 done = state.completed()
             else:
                 raise LineageDriftError(
@@ -168,11 +187,12 @@ class ResumableValidation:
         # disappeared via lineage drift).  Manifested orphans were handled
         # above, so at this point any unit=* dir outside the current listing
         # is garbage that violations_table() would double-count forever.
-        vdir = os.path.join(out_dir, "violations")
-        if os.path.isdir(vdir):
-            for name in os.listdir(vdir):
-                if name.startswith("unit=") and name[len("unit="):] not in current_ids:
-                    shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+        for sub in ("violations", "snapshots"):
+            vdir = os.path.join(out_dir, sub)
+            if os.path.isdir(vdir):
+                for name in os.listdir(vdir):
+                    if name.startswith("unit=") and name[len("unit="):] not in current_ids:
+                        shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
         pending = [u for u in units if u["unit_id"] not in done]
         processed = 0
         for unit in pending:
@@ -197,6 +217,25 @@ class ResumableValidation:
             },
         }
 
+    def _snapshot_grid(self, spark: SparkSession, docs: DataFrame, out_dir: str) -> dict:
+        """Load the frozen bin grid, or freeze it from the first unit.
+
+        Freezing from the first unit (not the whole input) keeps grid setup
+        O(one unit) at 10^12 docs; later values outside that range land in
+        ``width_bucket``'s edge buckets, counted rather than lost."""
+        from schemasaurus_spark.operators import snapshot as snap
+
+        grid_dir = os.path.join(out_dir, "snapshot_grid")
+        if os.path.isdir(grid_dir):
+            g = spark.read.parquet(grid_dir)
+            return {r.column: (r.lo, r.hi, r.n_bins) for r in g.collect()}
+        grid = snap._default_grid(self.snapshot_prep(docs), self.snapshot_spec)
+        rows = [(c, lo, hi, nb) for c, (lo, hi, nb) in grid.items()]
+        spark.createDataFrame(
+            rows, "column string, lo double, hi double, n_bins int"
+        ).coalesce(1).write.mode("overwrite").parquet(grid_dir)
+        return grid
+
     def _run_unit(self, spark: SparkSession, unit: dict, out_dir: str) -> dict:
         docs = spark.read.parquet(*unit["files"])
         # violations sink (full error records), overwrite => crash-idempotent
@@ -204,6 +243,16 @@ class ResumableValidation:
         violations.write.mode("overwrite").parquet(
             os.path.join(out_dir, "violations", f"unit={unit['unit_id']}")
         )
+        if self.snapshot_spec is not None:
+            from schemasaurus_spark.operators.snapshot import write_snapshot
+
+            grid = self._snapshot_grid(spark, docs, out_dir)
+            write_snapshot(
+                self.snapshot_prep(docs),
+                self.snapshot_spec,
+                os.path.join(out_dir, "snapshots", f"unit={unit['unit_id']}"),
+                grid=grid,
+            )
         # verdict metrics via the count-only fast path (no error structs)
         verd = self.job.verdicts(self.job.counted(docs)).collect()
         return {
@@ -218,3 +267,23 @@ class ResumableValidation:
 def violations_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """All violation rows accumulated across completed units."""
     return spark.read.parquet(os.path.join(out_dir, "violations"))
+
+
+def merged_snapshot(spark: SparkSession, out_dir: str):
+    """Corpus stats snapshot folded from MANIFESTED units only.
+
+    A unit that crashed after its snapshot write but before its manifest is
+    excluded (it will be rewritten on resume — overwrite-idempotent), so
+    every row of input contributes exactly once.  The merge itself touches
+    only the metadata-sized snapshot frames, never the data files."""
+    from schemasaurus_spark.operators.snapshot import merge_snapshots
+
+    done = RunState(os.path.join(out_dir, "manifests")).completed()
+    paths = [
+        os.path.join(out_dir, "snapshots", f"unit={uid}")
+        for uid in sorted(done)
+        if os.path.isdir(os.path.join(out_dir, "snapshots", f"unit={uid}"))
+    ]
+    if not paths:
+        raise ValueError(f"no manifested unit snapshots under {out_dir}/snapshots")
+    return merge_snapshots(spark, paths)

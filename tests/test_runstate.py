@@ -93,3 +93,50 @@ def test_lineage_drift_detected_and_reset(spark, tmp_path):
     assert summary["totals"]["n_violations"] == direct.n_viol
     # no stale violation dirs double-counting rows
     assert violations_table(spark, out).count() == direct.n_viol
+
+
+def test_per_unit_snapshots_merge_to_whole_and_survive_resume(spark, docs_path, tmp_path):
+    """snapshot_spec: each unit writes a mergeable stats snapshot; the
+    manifested-units merge equals a whole-corpus snapshot (same grid), and
+    kill/resume neither loses nor double-counts any unit's contribution."""
+    from schemasaurus_spark.operators.snapshot import (
+        SnapshotSpec, compute_snapshot, distinct_estimates,
+    )
+    from schemasaurus_spark.runstate import merged_snapshot
+
+    spec = SnapshotSpec(numeric=("n_spans",), categorical=("first_kind",), n_bins=32)
+    prep = lambda df: df.select(
+        F.size("spans").alias("n_spans"),
+        F.col("spans")[0]["kind"].alias("first_kind"),
+    )
+    out = str(tmp_path / "out")
+    rv = ResumableValidation(files_per_unit=2, snapshot_spec=spec, snapshot_prep=prep)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        rv.run(spark, docs_path, out, fail_after_units=2)
+    # mid-crash: only manifested units merge (exactly-once, partial corpus)
+    partial = merged_snapshot(spark, out)
+    assert partial.columns.count() == 2
+    n_partial = {r.column: r.n for r in partial.columns.collect()}["n_spans"]
+    assert 0 < n_partial < 4000
+
+    rv.run(spark, docs_path, out)
+    merged = merged_snapshot(spark, out)
+
+    whole = compute_snapshot(prep(spark.read.parquet(docs_path)), spec, grid=merged.grid)
+    m_cols = {r.column: r for r in merged.columns.collect()}
+    w_cols = {r.column: r for r in whole.columns.collect()}
+    for c in ("n_spans", "first_kind"):
+        assert m_cols[c].n == w_cols[c].n == 4000
+        assert m_cols[c].n_null == w_cols[c].n_null
+    m_est = {r.column: r.distinct_est for r in distinct_estimates(merged).collect()}
+    w_est = {r.column: r.distinct_est for r in distinct_estimates(whole).collect()}
+    assert m_est == w_est
+    assert (
+        {(r.column, r.bin): r.cnt for r in merged.bins.collect()}
+        == {(r.column, r.bin): r.cnt for r in whole.bins.collect()}
+    )
+    assert (
+        {(r.column, r.value): r.cnt for r in merged.categories.collect()}
+        == {(r.column, r.value): r.cnt for r in whole.categories.collect()}
+    )
