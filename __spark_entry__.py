@@ -702,9 +702,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(source: str = "documents") -> str:
     """CTE chain ending in ``scored(id_a, id_b, jaccard)`` — shared by the
-    pair oracle and the connected-components oracle."""
+    pair oracle, the connected-components oracle, and the training-corpus
+    pipeline oracle (which feeds it a filtered CTE instead of the raw
+    table)."""
     from schemasaurus_spark.operators.dedup import MINHASH_P, minhash_params
 
     sig_terms = ",\n         ".join(
@@ -714,7 +716,7 @@ def _minhash_pair_ctes() -> str:
     bhash = ", ".join(f"CAST(sig[4*t.b+{i}] AS VARCHAR)" for i in range(1, 5))
     return f"""norm AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-  FROM documents WHERE text IS NOT NULL
+  FROM {source} WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT doc_id,
@@ -805,6 +807,87 @@ SELECT doc_id, comp_id,
        count(*) OVER (PARTITION BY comp_id) AS comp_size,
        (doc_id = comp_id) AS is_canonical
 FROM comp
+"""
+
+
+_TC_QUALITY_MIN = 0.35
+_TC_FRACTIONS = {"en": 0.6, "de": 0.4}
+_TC_DEFAULT = 0.8
+_TC_SEED = 11
+
+
+def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (plans/pipeline.py): validate ->
+    quality filter -> exact dedup -> MinHash-components near-dedup ->
+    stratified sample, as ONE lazy plan.
+
+    Every stage is deterministic and md5-derived, so the oracle replays
+    the entire pipeline in SQL: the violation + quality CTEs filter the
+    corpus, a window keeps min-id per fingerprint, the (source-
+    parameterized) MinHash pair CTEs + recursive reachability drop
+    non-canonical cluster members, and the md5-bucket CASE applies the
+    stratified thresholds.  A drift anywhere in the five stages — or in
+    their COMPOSITION ORDER — breaks the hash."""
+    from schemasaurus_spark.plans.pipeline import CorpusPipeline
+
+    pipe = CorpusPipeline(
+        schema=FLAT_DOC_SCHEMA,
+        quality_min=_TC_QUALITY_MIN,
+        minhash_threshold=0.5,
+        sample_fractions=_TC_FRACTIONS,
+        sample_default=_TC_DEFAULT,
+        sample_seed=_TC_SEED,
+    )
+    return pipe.run(_docs(spark, sf_dir)).select("doc_id", "lang", "quality")
+
+
+def _training_corpus_oracle_sql() -> str:
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    whens = " ".join(
+        f"WHEN '{v}' THEN {_keep_threshold(f)}"
+        for v, f in sorted(_TC_FRACTIONS.items())
+    )
+    return f"""
+WITH RECURSIVE
+viol AS ({_VALIDATION_ORACLE}),
+qual AS ({_QUALITY_ORACLE}),
+valid_docs AS (
+  SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM viol)
+),
+good AS (
+  SELECT v.*, q.quality FROM valid_docs v JOIN qual q USING (doc_id)
+  WHERE q.quality >= {_TC_QUALITY_MIN}
+),
+exact_kept AS (
+  SELECT * EXCLUDE (keep_id) FROM (
+    SELECT g.*,
+           min(doc_id) OVER (
+             PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ) AS keep_id
+    FROM good g)
+  WHERE doc_id = keep_id
+),
+{_minhash_pair_ctes(source="exact_kept")},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+),
+comp AS (SELECT id AS doc_id, min(r) AS comp_id FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> comp_id),
+survivors AS (
+  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT doc_id, lang, quality FROM survivors
+WHERE CAST(('0x' || substr(md5(doc_id || ':{_TC_SEED}'), 1, 4)) AS INTEGER)
+      < CASE lang {whens} ELSE {_keep_threshold(_TC_DEFAULT)} END
 """
 
 
@@ -1266,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "minhash_near_dups": minhash_near_dups,
         "doc_dup_components": doc_dup_components,
+        "doc_training_corpus": doc_training_corpus,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
         "event_windowed_counts": event_windowed_counts,
@@ -1303,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "doc_dup_components": _components_oracle_sql(),
+        "doc_training_corpus": _training_corpus_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,

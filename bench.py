@@ -91,6 +91,7 @@ def main():
         "doc_lang_id",
         "doc_exact_dup_groups",
         "lineitem_dup_rows",
+        "doc_training_corpus",
         "minhash_near_dups",
         "simhash_near_dups",
         "embedding_topk",

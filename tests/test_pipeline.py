@@ -1,0 +1,94 @@
+"""Composed training-corpus curation pipeline (plans/pipeline.py).
+
+The oracle contract (doc_training_corpus) pins the exact survivor set;
+these tests pin the pipeline's *shape*: stage attribution accounts for
+every dropped row, each stage drops what it should and nothing else, and
+the single-plan ``run`` equals the instrumented ``run_with_counts``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.plans.pipeline import CorpusPipeline
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer", "required": True, "minimum": 0},
+        "text": {"type": "string", "required": True, "minLength": 5},
+        "lang": {"type": "string", "enum": ["en", "de"]},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    words = (
+        "alpine borrow cactus dolphin ember forest glacier harbor island "
+        "jungle kettle lantern meadow nectar orchard pebble quarry river "
+        "saddle timber urchin velvet walnut yonder zephyr basalt copper "
+        "drizzle ferret gossip hammock ivory jigsaw kayak lichen mosaic"
+    ).split()
+    rows = []
+    # 20 valid docs with genuinely distinct content: the doc-index suffix on
+    # every word keeps cross-doc shingle overlap (hence Jaccard) near zero
+    for i in range(20):
+        w = [f"{words[(i + k * 3) % len(words)]}{i}" for k in range(8)]
+        rows.append((i, f"doc {i}: " + " ".join(w), "en"))
+    base0 = rows[0][1]
+    base1 = rows[1][1]
+    # exact duplicates of doc 0 (normalized-whitespace variants)
+    rows.append((100, base0, "en"))
+    rows.append((101, "  " + base0.replace(" ", "   ") + "  ", "en"))
+    # near duplicate of doc 1 (one word appended)
+    rows.append((102, base1 + " extra", "en"))
+    # schema violations: bad lang, short text, negative id
+    rows.append((103, "perfectly fine text here", "zz"))
+    rows.append((104, "tiny", "en"))
+    rows.append((-1, "negative id document text", "de"))
+    # junk quality: pure punctuation
+    rows.append((105, "!!! ??? *** &&& ^^^ %%% $$$ @@@ ###", "de"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stage_attribution_accounts_for_every_row(spark, raw_docs):
+    pipe = CorpusPipeline(schema=SCHEMA, quality_min=0.3, minhash_threshold=0.5)
+    out, counts = pipe.run_with_counts(raw_docs)
+    assert counts["input"] == 27
+    assert counts["after_validation"] == 24  # -103 (enum) -104 (minLength) -(-1) (minimum)
+    assert counts["after_quality"] == 23  # -105 (punctuation junk)
+    assert counts["after_exact_dedup"] == 21  # -100 -101 (copies of doc 0)
+    assert counts["after_near_dedup"] == 20  # -102 (near-dup of doc 1)
+    assert counts["after_sampling"] == 20  # no sampling configured
+    # monotone non-increasing by construction
+    vals = list(counts.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_canonical_choices_and_survivors(spark, raw_docs):
+    pipe = CorpusPipeline(schema=SCHEMA, quality_min=0.3, minhash_threshold=0.5)
+    kept = {r.doc_id for r in pipe.run(raw_docs).select("doc_id").collect()}
+    assert kept == set(range(20))  # min-id canonical survives each cluster
+
+
+def test_run_equals_instrumented_run(spark, raw_docs):
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.3,
+        sample_fractions={"en": 0.5},
+        sample_default=1.0,
+        sample_seed=3,
+    )
+    a = sorted(r.doc_id for r in pipe.run(raw_docs).collect())
+    b, counts = pipe.run_with_counts(raw_docs)
+    assert a == sorted(r.doc_id for r in b.collect())
+    assert counts["after_sampling"] == len(a) < counts["after_near_dedup"]
+
+
+def test_quality_column_present_in_output(spark, raw_docs):
+    pipe = CorpusPipeline(schema=SCHEMA, quality_min=0.0)
+    out = pipe.run(raw_docs)
+    assert "quality" in out.columns
+    assert out.where(F.col("quality") < 0).count() == 0
