@@ -1291,6 +1291,47 @@ FROM counts, tot
 """
 
 
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic of the value
+    distribution between the same two deterministic halves the chi-square
+    query uses (even vs odd event_id), computed fully in-engine:
+
+        group by value (map-side-combined; rows shrink to |distinct|)
+        -> cumulative counts over value order -> max |ECDF1 - ECDF2|.
+
+    Scale note (declared design, like embedding_topk's brute force): the
+    cumulative step is a global ordered window — a single-reducer sort over
+    DISTINCT values, fine whenever value cardinality is bounded (here and
+    for any quantized measure) and the exactness anchor for the drift
+    family.  The unbounded-cardinality scale path is the mergeable binned
+    KS in operators/snapshot.py (frozen grid, algebraic merge), whose
+    statistic this query cross-checks at grid resolution."""
+    from schemasaurus_spark.operators.drift import exact_ks_statistic
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "value")
+    return exact_ks_statistic(ev, "value", F.col("event_id") % 2 == 0)
+
+
+_KS_ORACLE = """
+WITH counts AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE value IS NOT NULL GROUP BY value
+),
+cum AS (
+  SELECT
+    sum(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    sum(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM counts
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts)
+SELECT round(max(abs(cum1 / CAST(n1 AS DOUBLE) - cum2 / CAST(n2 AS DOUBLE))), 6) AS ks_statistic,
+       CAST(max(n1) AS BIGINT) AS n_base, CAST(max(n2) AS BIGINT) AS n_cur
+FROM cum, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # drift inputs: exact interpolated quantiles per category
 # ---------------------------------------------------------------------------
@@ -1361,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_dangling_media": northrule_dangling_media,
         "event_value_quartiles": event_value_quartiles,
         "event_type_chi2_drift": event_type_chi2_drift,
+        "event_value_ks_drift": event_value_ks_drift,
     }
 
 
@@ -1398,4 +1440,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
         "event_type_chi2_drift": _CHI2_ORACLE,
+        "event_value_ks_drift": _KS_ORACLE,
     }

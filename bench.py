@@ -99,6 +99,7 @@ def main():
         "embedding_near_dups",
         "embedding_ivf_topk",
         "event_value_quartiles",
+        "event_value_ks_drift",
         "event_windowed_counts",
         "media_image_features",
     ]:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from schemasaurus_spark.operators.stats import category_counts, quantile_vector
 
@@ -131,6 +132,43 @@ def chi_square_from_counts(base: dict[str, int], cur: dict[str, int]) -> tuple[f
 
 
 DEFAULT_PROBS = [i / 100.0 for i in range(1, 100)]
+
+
+def exact_ks_statistic(df: DataFrame, value_col: str, is_base) -> DataFrame:
+    """EXACT two-sample KS statistic, fully in-engine: one row
+    ``(ks_statistic, n_base, n_cur)``.
+
+    ``is_base`` is a boolean Column splitting rows into base vs current.
+    Shape: groupBy value (map-side combine shrinks input to |distinct|
+    values) -> cumulative counts over value order -> max |ECDF1 - ECDF2|.
+    The cumulative window is a single-reducer global sort over DISTINCT
+    values — exactness anchor for bounded-cardinality measures; the
+    unbounded-cardinality scale path is the mergeable frozen-grid binned
+    KS in ``operators/snapshot.py``, which this cross-checks at grid
+    resolution."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(is_base.cast("long")).alias("c1"),
+            F.sum((~is_base).cast("long")).alias("c2"),
+        )
+    )
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.agg(
+        F.round(
+            F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))), 6
+        ).alias("ks_statistic"),
+        F.max("n1").alias("n_base"),
+        F.max("n2").alias("n_cur"),
+    )
 
 
 def ks_drift(base_df: DataFrame, cur_df: DataFrame, col: str,

@@ -175,3 +175,29 @@ def test_ks_pvalue_sanity():
     assert ks_significance(0.0, 1000, 1000) == 1.0
     assert ks_significance(0.2, 2000, 2000) < 1e-6
     assert 0.0 <= ks_significance(0.01, 500, 500) <= 1.0
+
+
+def test_exact_ks_known_value_and_binned_crosscheck(spark):
+    """Planted distributions with a closed-form KS: base uniform over
+    0..99, cur uniform over 50..149 => exact KS = 0.5.  The snapshot's
+    binned KS must agree to within one bin of resolution."""
+    from schemasaurus_spark.operators.drift import exact_ks_statistic
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, F.col("id"))
+        .otherwise(F.col("id") - 50)
+        .cast("double")
+        .alias("value"),
+        (F.col("id") < 100).alias("is_base"),
+    )
+    row = exact_ks_statistic(df, "value", F.col("is_base")).first()
+    assert row.ks_statistic == 0.5
+    assert row.n_base == 100 and row.n_cur == 100
+
+    spec = SnapshotSpec(numeric=("value",), n_bins=50)
+    base = compute_snapshot(df.where("is_base"), spec)
+    rep = drift_vs_snapshot(df.where("NOT is_base"), base, spec)
+    binned = rep[0]["statistic"]
+    assert abs(binned - 0.5) <= 1.0 / 50 + 1e-9
+    assert rep[0]["drifted"]
