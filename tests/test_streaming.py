@@ -167,3 +167,68 @@ def test_windowed_counts_stream_matches_batch_and_drops_late(spark, tmp_path):
     }
     assert batch[("2024-01-01 00:00:00", "view")] == (3, 103.0)
     assert batch[("2024-01-01 00:00:00", "click")] == (1, 3.0)
+
+
+def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
+    """Streaming drift monitor: baseline snapshot written once; a stream
+    of micro-batches gets one report row per tracked column per batch —
+    quiet on same-distribution data, firing on a shifted increment — and
+    a replayed batch_id overwrites its partition instead of duplicating."""
+    from schemasaurus_spark.operators.snapshot import (
+        SnapshotSpec,
+        read_snapshot,
+        write_snapshot,
+    )
+    from schemasaurus_spark.streaming.drift_stream import (
+        drift_log,
+        make_drift_sink,
+        monitor_drift_stream,
+    )
+
+    spec = SnapshotSpec(numeric=("value",), categorical=("event_type",), n_bins=32)
+
+    def gen(lo, hi, shift=0.0):
+        return spark.range(lo, hi).select(
+            ((F.col("id") * 37 % 500) / 5.0 + shift).alias("value"),
+            F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias("event_type"),
+        )
+
+    snap_path = str(tmp_path / "baseline")
+    write_snapshot(gen(0, 3000), spec, snap_path)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    # batch 0: same distribution; drain
+    gen(3000, 5000).coalesce(1).write.mode("append").parquet(in_dir)
+    q = monitor_drift_stream(
+        spark, in_dir, snap_path, spec, out_dir,
+        input_schema="value double, event_type string",
+    )
+    q.awaitTermination(120)
+    # batch 1: shifted values + skewed types; drain again
+    gen(5000, 7000, shift=60.0).where(F.col("event_type") != "t0").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = monitor_drift_stream(
+        spark, in_dir, snap_path, spec, out_dir,
+        input_schema="value double, event_type string",
+    )
+    q2.awaitTermination(120)
+
+    log = drift_log(spark, out_dir)
+    assert log.count() == 4  # 2 batches x 2 tracked columns
+    by_batch = {
+        (r.batch_id, r.column): r for r in log.collect()
+    }
+    batches = sorted({b for b, _ in by_batch})
+    quiet, shifted = batches[0], batches[1]
+    assert not by_batch[(quiet, "value")].drifted
+    assert not by_batch[(quiet, "event_type")].drifted
+    assert by_batch[(shifted, "value")].drifted
+    assert by_batch[(shifted, "event_type")].drifted
+
+    # replay idempotence: re-invoking the sink with an existing batch_id
+    # rewrites that partition, leaving the total row count unchanged
+    base = read_snapshot(spark, snap_path)
+    make_drift_sink(base, spec, out_dir)(gen(3000, 5000), shifted)
+    assert drift_log(spark, out_dir).count() == 4
