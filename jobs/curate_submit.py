@@ -1,0 +1,88 @@
+"""spark-submit entrypoint for the training-corpus curation pipeline.
+
+    spark-submit --py-files dist/schemasaurus_spark.zip jobs/curate_submit.py \
+        --input  /data/documents         (parquet dir of raw docs) \
+        --output /data/corpus_out        (corpus/ parquet + report.json) \
+        --schema schema.json             (draft-4 doc schema) \
+        [--quality-min 0.35] [--minhash-threshold 0.5] \
+        [--sample '{"en": 0.6, "de": 0.4}'] [--sample-default 1.0] \
+        [--sample-seed 0] [--strata-col lang] [--with-counts]
+
+Runs plans/pipeline.py's CorpusPipeline — validate, quality-filter,
+exact-dedup, near-dedup by MinHash connected components, stratified
+sample — and writes the curated corpus plus a JSON report.  With
+--with-counts the report attributes every dropped row to its stage
+(one extra cheap aggregate per stage boundary); without it the whole
+pipeline is exactly one job.  Cluster sizing comes from spark-submit's
+conf; this script sets only engine-level SQL conf (AQE + skew join for
+the LSH and components shuffles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.appName("schemasaurus_spark.curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--schema", required=True, help="JSON Schema file")
+    ap.add_argument("--quality-min", type=float, default=0.35)
+    ap.add_argument("--minhash-threshold", type=float, default=0.5)
+    ap.add_argument("--sample", default="{}", help='per-stratum fractions, e.g. {"en": 0.6}')
+    ap.add_argument("--sample-default", type=float, default=1.0)
+    ap.add_argument("--sample-seed", type=int, default=0)
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--with-counts", action="store_true")
+    args = ap.parse_args()
+
+    from schemasaurus_spark.plans.pipeline import CorpusPipeline
+
+    with open(args.schema) as f:
+        schema = json.load(f)
+
+    pipe = CorpusPipeline(
+        schema=schema,
+        quality_min=args.quality_min,
+        minhash_threshold=args.minhash_threshold,
+        sample_fractions=json.loads(args.sample),
+        sample_default=args.sample_default,
+        sample_seed=args.sample_seed,
+        strata_col=args.strata_col,
+    )
+
+    spark = build_session()
+    docs = spark.read.parquet(args.input)
+    report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}
+    if args.with_counts:
+        corpus, counts = pipe.run_with_counts(docs)
+        report["stage_counts"] = counts
+    else:
+        corpus = pipe.run(docs)
+    corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
+    report["corpus_rows"] = spark.read.parquet(os.path.join(args.output, "corpus")).count()
+    with open(os.path.join(args.output, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

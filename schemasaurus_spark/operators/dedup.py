@@ -18,8 +18,9 @@ type hints at definition time and stringified hints break it.)
 """
 
 import logging
+import threading
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -211,6 +212,16 @@ def oversize_bucket_report(band_rows: DataFrame, key_cols: list, cap: int) -> Da
     )
 
 
+def _log_truncation(cap: int, label: str, n_buckets: int, n_rows: int) -> None:
+    if n_buckets:
+        logger.warning(
+            "%s: bucket cap %d dropped %d bucket(s) / %d member rows — "
+            "near-dup recall on those documents is lost (raise the cap or "
+            "pre-collapse harder if they matter)",
+            label, cap, n_buckets, n_rows,
+        )
+
+
 def _cap_buckets_reported(
     band_rows: DataFrame,
     key_cols: list,
@@ -219,36 +230,59 @@ def _cap_buckets_reported(
     label: str = "lsh",
 ) -> DataFrame:
     """``_cap_buckets`` plus the 'no silent caps' rule: when the cap drops
-    anything, a WARNING with the truncated bucket/row counts is logged (and
-    written into ``report_out`` when the caller passes a dict).
+    anything, a WARNING with the truncated bucket/row counts is emitted.
 
-    The bucket-size aggregate is computed ONCE (pinned) and reused for both
-    the report and the cap semi-join, so the report costs one extra action
-    over a frame that is already one row per bucket — negligible next to
-    the pair join it guards.  NB this makes capped pipeline *builders*
-    eager (one small job runs at build time); the signature/band subplans
-    they force are pinned and reused by the final action."""
+    Two delivery modes:
+
+    * ``report_out=None`` (the pipeline/bench hot path): the counts ride
+      the FINAL action as an ``Observation`` over the bucket-size frame —
+      zero extra Spark jobs; a daemon thread logs the warning as soon as
+      the first action over the returned plan completes.  (Round-3 perf
+      note: the earlier eager ``collect()`` here added a full extra pass
+      per LSH call — 2x on simhash — for a report that is pure metadata.)
+    * ``report_out=dict`` (tests / callers that need counts in hand when
+      the builder returns): one small eager job fills the dict
+      synchronously, logging immediately."""
     if cap is None:
         if report_out is not None:
             report_out.update(n_truncated_buckets=0, n_truncated_rows=0)
         return band_rows
-    sizes = _pin(
-        band_rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
-    )
-    over = sizes.where(F.col("_bucket_n") > cap).agg(
-        F.count(F.lit(1)).alias("b"),
-        F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("r"),
-    ).collect()[0]
-    n_buckets, n_rows = int(over["b"]), int(over["r"])
+    sizes = band_rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
     if report_out is not None:
+        sizes = _pin(sizes)
+        over = sizes.where(F.col("_bucket_n") > cap).agg(
+            F.count(F.lit(1)).alias("b"),
+            F.coalesce(F.sum("_bucket_n"), F.lit(0)).alias("r"),
+        ).collect()[0]
+        n_buckets, n_rows = int(over["b"]), int(over["r"])
         report_out.update(n_truncated_buckets=n_buckets, n_truncated_rows=n_rows)
-    if n_buckets:
-        logger.warning(
-            "%s: bucket cap %d dropped %d bucket(s) / %d member rows — "
-            "near-dup recall on those documents is lost (raise the cap or "
-            "pre-collapse harder if they matter)",
-            label, cap, n_buckets, n_rows,
+        _log_truncation(cap, label, n_buckets, n_rows)
+    else:
+        obs = Observation()
+        sizes = sizes.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("_bucket_n") > cap, 1)), F.lit(0)
+            ).alias("n_truncated_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bucket_n") > cap, F.col("_bucket_n"))),
+                F.lit(0),
+            ).alias("n_truncated_rows"),
         )
+
+        def _wait_and_log():
+            try:
+                got = obs.get  # blocks until the first action completes
+                _log_truncation(
+                    cap, label,
+                    int(got["n_truncated_buckets"]), int(got["n_truncated_rows"]),
+                )
+            except Exception:  # session stopped before any action ran
+                pass
+
+        threading.Thread(
+            target=_wait_and_log, name=f"{label}-cap-report", daemon=True
+        ).start()
     small = sizes.where(F.col("_bucket_n") <= cap).select(*key_cols)
     return band_rows.join(small, key_cols, "left_semi")
 
