@@ -763,6 +763,53 @@ def _minhash_oracle_sql() -> str:
     )
 
 
+def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (the no-approximation tier of
+    the dedup family: MinHash estimates this number; this computes it).
+    Shared-shingle join, so only pairs with at least one common 8-gram are
+    ever scored — selective shingles keep the join sparse; LSH is the
+    scale path when they aren't.  Output is integers only (intersection /
+    union sizes); the threshold compares in exact integer arithmetic, so
+    the cross-engine hash never touches a rounded double."""
+    from schemasaurus_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_k=8, min_jaccard=0.8
+    ).select("id_a", "id_b", "n_common", "n_union")
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN length(t) < 8 THEN [t]
+                ELSE list_transform(generate_series(1, length(t) - 7), i -> substr(t, i, 8))
+           END
+         ) AS dsh
+  FROM norm
+),
+e AS (SELECT doc_id, unnest(dsh) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT id_a, id_b, n_common,
+         len(x.dsh) + len(y.dsh) - n_common AS n_union
+  FROM common
+  JOIN sh x ON x.doc_id = common.id_a
+  JOIN sh y ON y.doc_id = common.id_b
+)
+SELECT id_a, id_b, n_common, n_union FROM sized
+WHERE n_common >= 0.8 * n_union
+"""
+
+
 def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash pairs -> connected components ->
     (doc_id, comp_id, comp_size, is_canonical).
@@ -1389,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
         "minhash_near_dups": minhash_near_dups,
+        "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
         "doc_training_corpus": doc_training_corpus,
         "simhash_near_dups": simhash_near_dups,
@@ -1428,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
+        "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),

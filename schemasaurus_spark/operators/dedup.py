@@ -293,11 +293,19 @@ def _cap_buckets_reported(
 def char_shingles_expr(text_col: str, k: int = 5):
     """Character k-shingles of normalized text as an array column —
     JVM-side sequence + substring, no UDF (substring with a Column start
-    needs SQL-expr form)."""
+    needs SQL-expr form).
+
+    The normalization is bound ONCE as a lambda variable (`transform` over
+    a one-element array) instead of being inlined at every use site:
+    inlined, Catalyst re-evaluates the full `regexp_replace` for EVERY
+    shingle position — O(len^2) regex work per document (measured 25 s
+    for a 200k-doc shingle pass that runs in ~3 s bound)."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     return F.expr(
-        f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
-        f"ELSE transform(sequence(1, length({norm}) - {k} + 1), i -> substring({norm}, i, {k})) END"
+        f"transform(array({norm}), t -> "
+        f"CASE WHEN length(t) < {k} THEN array(t) "
+        f"ELSE transform(sequence(1, length(t) - {k} + 1), i -> substring(t, i, {k})) END"
+        f")[0]"
     )
 
 
@@ -508,35 +516,104 @@ def ngram_jaccard_pairs(
     shingle_k: int = 8,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over distinct char shingles for all pairs sharing at
-    least one shingle.  Shuffles one row per (doc, shingle) — fine when
-    shingles are selective (larger k); LSH is the scale path otherwise."""
+    """EXACT Jaccard near-dup pairs over distinct char shingles, with
+    AllPairs/PPJoin prefix filtering for candidate generation.
+
+    A naive shared-shingle self-join is quadratic in document frequency:
+    one template phrase appearing in d docs alone emits d^2 join rows
+    (measured: 85 s for 20k generated docs; DNF at 200k).  Prefix
+    filtering (Bayardo et al., WWW'07) fixes that without approximation:
+    order every doc's shingle set by GLOBAL document frequency ascending
+    (rarest first, md5 tie-break), keep only the first
+    ``n - floor(t*n) + 1`` shingles (the *prefix*), and join prefixes —
+    any pair with Jaccard >= t must collide inside both prefixes
+    (pigeonhole: two sets sharing NO prefix element overlap in fewer than
+    t/(1+t)-fraction positions).  Hot shingles have maximal df, sort
+    LAST, and thus never enter candidate generation; the join keys are by
+    construction the rarest shingles.  Candidates are then verified
+    EXACTLY (full intersection count), so the output is identical to the
+    brute-force join — the prefix only prunes work, never recall.
+
+    Scale shape: two linear map-side-combined aggregates (per-doc sizes,
+    global df), one per-doc window for the rank (linear shuffle), a
+    sparse prefix-prefix join, and a candidates-only verify join — no
+    step is quadratic in a shingle's document frequency."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_shingles_expr(text_col, shingle_k))).alias("sh"),
     ).withColumn("sh", F.md5("sh"))
+    sh = _pin(sh)  # feeds df-count, prefix ranking, and the verify join
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    # prefix length n - floor(t*n) + 1: one MORE than the tight
+    # n - ceil(t*n) + 1 when t*n is fractional — float floor/ceil edge
+    # cases can only widen the candidate set, never lose a true pair
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("_df", "sh")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("_rk", rk)
+        .join(sizes, id_col)
+        .where(
+            F.col("_rk")
+            <= F.col("n_sh") - F.floor(F.lit(float(min_jaccard)) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "sh", "n_sh")
+    )
+    # length filter rides the same join: J(A,B) >= t forces
+    # t*|A| <= |B| <= |A|/t, so wildly different-sized sets never become
+    # candidates even when a prefix shingle collides
+    t = F.lit(float(min_jaccard))
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "sh")
+        .where(
+            (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            & (F.col("pb.n_sh") >= t * F.col("pa.n_sh"))
+            & (F.col("pa.n_sh") >= t * F.col("pb.n_sh"))
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verify: per-doc shingle SETS as sorted arrays, candidates join
+    # two array columns and intersect in-row — no exploded intermediate
+    # (the row-per-(pair, shingle) formulation shuffled ~7x more rows and
+    # was 3x the wall of everything else combined)
+    sets = sh.groupBy(id_col).agg(F.sort_array(F.collect_list("sh")).alias("_shs"))
+    common = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_common"),
         )
-        .where(F.col("jaccard") >= min_jaccard)
+        .where(F.col("n_common") > 0)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_common", n_union)
+        # threshold in exact integer arithmetic (n_common/n_union >= t  <=>
+        # n_common >= t*n_union with one float multiply both engines agree
+        # on), so the cross-engine contract never compares rounded doubles
+        .where(F.col("n_common") >= F.lit(float(min_jaccard)) * F.col("n_union"))
+        .withColumn(
+            "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6)
+        )
     )
 
 
