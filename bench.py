@@ -74,8 +74,16 @@ def main():
     catalog = generate_media_catalog(spark, seed=7)
     job = ValidationJob()
 
-    # warm the JVM/codegen once so timings measure steady-state throughput
+    # warm the JVM/codegen once so timings measure steady-state throughput;
+    # same for the Arrow python-worker pool (first pandas-UDF stage of a
+    # session pays ~3 s of worker spawn that is per-SESSION, not per-query)
     force(job.verdicts(job.validated(docs.limit(1000))))
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: this module's `from __future__ import annotations` would
+    # stringify the type hints a def-style pandas_udf needs
+    _arrow_warm = pandas_udf(lambda s: s.str.len(), "long")
+    force(spark.range(64).selectExpr("cast(id as string) s").select(_arrow_warm("s")))
 
     run("validate_spans_verdicts", lambda: force(job.verdicts(job.counted(docs))))
     run("validate_spans_violations", lambda: force(job.violations(job.validated(docs))))
@@ -93,6 +101,7 @@ def main():
         "lineitem_dup_rows",
         "doc_training_corpus",
         "minhash_near_dups",
+        "doc_ngram_jaccard_dups",
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
@@ -106,7 +115,16 @@ def main():
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
-    validate_sec = timings["validate_spans_verdicts"]
+    # headline docs/sec: median of three repeats — this box is co-tenant
+    # (BENCH/BASELINE.md) and a single 2-3 s sample of the verdict pass
+    # swings 3x with neighbor load; the median is the drift-robust
+    # capability number (the suite-wall timings above stay single-shot)
+    reps = [timings["validate_spans_verdicts"]]
+    for _ in range(2):
+        t0 = time.time()
+        force(job.verdicts(job.counted(docs)))
+        reps.append(round(time.time() - t0, 3))
+    validate_sec = sorted(reps)[1]
     print(
         json.dumps(
             {

@@ -172,6 +172,48 @@ def test_ngram_jaccard(spark):
     assert (1, 2) in ids
 
 
+def test_ngram_jaccard_prefix_filter_equals_brute_force(spark):
+    """The AllPairs prefix filter is a pruning strategy, not an
+    approximation: on a randomized corpus with deliberately hot shared
+    shingles, the operator's pairs must equal an independent brute-force
+    Jaccard computed in plain Python — across several thresholds
+    (including ones where floor/ceil prefix-length edge cases differ)."""
+    import random
+
+    rng = random.Random(42)
+    frags = ["the quick brown fox", "lorem ipsum dolor", "pack my box with",
+             "jumps over the lazy", "five dozen liquor jugs"]
+    docs = []
+    for i in range(60):
+        base = " ".join(rng.choices(frags, k=rng.randint(1, 4)))
+        if rng.random() < 0.4 and docs:
+            # near-dup of an earlier doc: tweak a couple of characters
+            src = docs[rng.randrange(len(docs))][1]
+            pos = rng.randrange(max(1, len(src)))
+            base = src[:pos] + rng.choice("XYZ") + src[pos + 1:]
+        docs.append((i, base))
+    k = 6
+
+    def shingles(t):
+        t = " ".join(t.lower().strip().split())
+        return {t} if len(t) < k else {t[i:i + k] for i in range(len(t) - k + 1)}
+
+    for t in (0.3, 0.5, 0.75, 1.0):
+        expected = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = shingles(docs[i][1]), shingles(docs[j][1])
+                inter = len(a & b)
+                if inter and inter >= t * len(a | b):
+                    expected.add((docs[i][0], docs[j][0]))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(df, shingle_k=k, min_jaccard=t).collect()
+        }
+        assert got == expected, f"threshold {t}: {got ^ expected}"
+
+
 def test_simhash_near_duplicates(spark):
     """Self-calibrating: measure the planted pair's actual Hamming distance,
     then assert the derived banding finds it at exactly that radius (the
