@@ -27,6 +27,14 @@ import sys
 
 from pyspark.sql import SparkSession
 
+# spark-submit ships the package via --py-files; when run as plain
+# `python jobs/curate_submit.py` (local mode / smoke tests) fall back to
+# the repo root so the driver-side import resolves
+try:
+    import schemasaurus_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build_session() -> SparkSession:
     return (

@@ -92,9 +92,13 @@ class ValidationJob:
         ex = validated.where(~F.col("valid")).select(
             F.col(id_col), F.posexplode("errors").alias("err_idx", "err")
         )
+        # span_idx is NULL for violations not under /spans/<i> (root-level
+        # required, or a custom flat schema) — an unconditional cast of the
+        # empty regexp_extract result crashes under ANSI mode
+        _sidx = F.regexp_extract("err.path", r"^/spans/(\d+)", 1)
         return ex.select(
             id_col,
-            F.regexp_extract("err.path", r"^/spans/(\d+)", 1).cast("int").alias("span_idx"),
+            F.when(_sidx != "", _sidx.cast("int")).alias("span_idx"),
             F.col("err.code").alias("keyword"),
             F.col("err.path").alias("json_pointer"),
             F.col("err.code").alias("code"),
