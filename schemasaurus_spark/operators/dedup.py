@@ -559,19 +559,27 @@ def ngram_jaccard_pairs(
             F.col("_rk")
             <= F.col("n_sh") - F.floor(F.lit(float(min_jaccard)) * F.col("n_sh")) + 1
         )
-        .select(id_col, "sh", "n_sh")
+        .select(id_col, "sh", "n_sh", "_rk")
     )
-    # length filter rides the same join: J(A,B) >= t forces
-    # t*|A| <= |B| <= |A|/t, so wildly different-sized sets never become
-    # candidates even when a prefix shingle collides
+    # two more PPJoin prunes ride the same join, both conservative
+    # (float comparisons only ever widen the candidate set):
+    # * length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t;
+    # * positional filter: a collision at ranks (ra, rb) bounds the
+    #   overlap by 1 + min(|A|-ra, |B|-rb), which must reach the Jaccard
+    #   overlap requirement t/(1+t)*(|A|+|B|) — deep-position-only
+    #   collisions (the template-corpus failure mode where many docs
+    #   share moderately-rare shingles) are pruned before the distinct.
     t = F.lit(float(min_jaccard))
+    _na, _nb = F.col("pa.n_sh"), F.col("pb.n_sh")
+    _ubound = 1 + F.least(_na - F.col("pa._rk"), _nb - F.col("pb._rk"))
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "sh")
         .where(
             (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
-            & (F.col("pb.n_sh") >= t * F.col("pa.n_sh"))
-            & (F.col("pa.n_sh") >= t * F.col("pb.n_sh"))
+            & (_nb >= t * _na)
+            & (_na >= t * _nb)
+            & (_ubound >= t / (1 + t) * (_na + _nb))
         )
         .select(
             F.col(f"pa.{id_col}").alias("id_a"),
