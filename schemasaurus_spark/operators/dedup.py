@@ -299,7 +299,7 @@ def char_shingles_expr(text_col: str, k: int = 5):
     a one-element array) instead of being inlined at every use site:
     inlined, Catalyst re-evaluates the full `regexp_replace` for EVERY
     shingle position — O(len^2) regex work per document (measured 25 s
-    for a 200k-doc shingle pass that runs in ~3 s bound)."""
+    for a 5k-doc / 1.35M-shingle pass that runs in ~3 s bound)."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     return F.expr(
         f"transform(array({norm}), t -> "
@@ -521,7 +521,8 @@ def ngram_jaccard_pairs(
 
     A naive shared-shingle self-join is quadratic in document frequency:
     one template phrase appearing in d docs alone emits d^2 join rows
-    (measured: 85 s for 20k generated docs; DNF at 200k).  Prefix
+    (measured: 85 s for 500 docs of repetitive template text; DNF at
+    5k).  Prefix
     filtering (Bayardo et al., WWW'07) fixes that without approximation:
     order every doc's shingle set by GLOBAL document frequency ascending
     (rarest first, md5 tie-break), keep only the first
