@@ -25,7 +25,8 @@ import json
 import os
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 # spark-submit ships the package via --py-files; when run as plain
 # `python jobs/curate_submit.py` (local mode / smoke tests) fall back to
@@ -44,6 +45,20 @@ def build_session() -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API so the report
+    lands next to the corpus on ANY scheme spark can write (s3a://,
+    hdfs://, file://) — a plain open() only works for local paths."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def main() -> None:
@@ -83,10 +98,18 @@ def main() -> None:
         report["stage_counts"] = counts
     else:
         corpus = pipe.run(docs)
-    corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
-    report["corpus_rows"] = spark.read.parquet(os.path.join(args.output, "corpus")).count()
-    with open(os.path.join(args.output, "report.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    # corpus_rows rides the write as an Observation — no read-back scan of
+    # the output (which would also be the job's only local-FS assumption)
+    obs = Observation()
+    corpus.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "corpus"))
+    report["corpus_rows"] = int(obs.get["n"])
+    _write_text(
+        spark,
+        os.path.join(args.output, "report.json"),
+        json.dumps(report, indent=2),
+    )
     print(json.dumps(report))
     spark.stop()
     sys.exit(0)

@@ -240,9 +240,23 @@ def _cap_buckets_reported(
       the first action over the returned plan completes.  (Round-3 perf
       note: the earlier eager ``collect()`` here added a full extra pass
       per LSH call — 2x on simhash — for a report that is pure metadata.)
-    * ``report_out=dict`` (tests / callers that need counts in hand when
-      the builder returns): one small eager job fills the dict
-      synchronously, logging immediately."""
+
+      This mode is explicitly BEST-EFFORT logging, not an audit record:
+      the waiter is a daemon thread blocked on ``Observation.get`` (the
+      API has no timeout), so if the returned plan never receives an
+      action the thread idles until process exit (daemon => it never
+      blocks shutdown, but long-lived sessions that build-and-discard
+      many LSH plans accumulate idle waiters); metrics reflect only the
+      FIRST action, and a short-circuiting first action (``first()`` /
+      ``isEmpty()``) may evaluate only part of the observed subtree and
+      under-report.  In this engine every LSH builder's plan flows into a
+      full action (the verify join / pair materialization), which is why
+      the hot path accepts those semantics.
+    * ``report_out=dict`` (tests / audit runs / callers that need counts
+      in hand when the builder returns): one small eager job fills the
+      dict synchronously, logging immediately — this is the GUARANTEED
+      -accurate mode; use it whenever truncation counts are part of the
+      run's contract rather than operator telemetry."""
     if cap is None:
         if report_out is not None:
             report_out.update(n_truncated_buckets=0, n_truncated_rows=0)
@@ -570,7 +584,15 @@ def ngram_jaccard_pairs(
     #   overlap requirement t/(1+t)*(|A|+|B|) — deep-position-only
     #   collisions (the template-corpus failure mode where many docs
     #   share moderately-rare shingles) are pruned before the distinct.
-    t = F.lit(float(min_jaccard))
+    # candidate-stage thresholds carry a small epsilon: the verify stage
+    # decides with n_common >= t*n_union, and while these filters are equal
+    # to it in exact arithmetic, an ulp-level rounding disagreement at an
+    # exact-boundary integer ratio could otherwise prune a pair verify
+    # would accept — candidate generation only needs to be conservative,
+    # so the slack is free (it can only admit a few extra candidates)
+    eps = 1e-9
+    t = F.lit(float(min_jaccard) - eps)
+    t_pos = F.lit(float(min_jaccard) / (1.0 + float(min_jaccard)) - eps)
     _na, _nb = F.col("pa.n_sh"), F.col("pb.n_sh")
     _ubound = 1 + F.least(_na - F.col("pa._rk"), _nb - F.col("pb._rk"))
     cand = (
@@ -580,7 +602,7 @@ def ngram_jaccard_pairs(
             (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
             & (_nb >= t * _na)
             & (_na >= t * _nb)
-            & (_ubound >= t / (1 + t) * (_na + _nb))
+            & (_ubound >= t_pos * (_na + _nb))
         )
         .select(
             F.col(f"pa.{id_col}").alias("id_a"),

@@ -55,6 +55,22 @@ class SnapshotSpec:
     n_bins: int = 256
     lg_k: int = 12  # HLL registers = 2^lg_k (~1.6% rsd at 12)
 
+    def __post_init__(self):
+        # an empty spec would hand df.agg() zero aggregates (a confusing
+        # engine error three frames deep), and a column tracked as BOTH
+        # kinds would emit duplicate aliases in the wide aggregate
+        if not self.numeric and not self.categorical:
+            raise ValueError(
+                "SnapshotSpec tracks no columns — pass numeric=... and/or "
+                "categorical=..."
+            )
+        both = set(self.numeric) & set(self.categorical)
+        if both:
+            raise ValueError(
+                f"column(s) {sorted(both)} listed as both numeric and "
+                "categorical — a column has exactly one kind"
+            )
+
 
 @dataclass
 class Snapshot:

@@ -29,13 +29,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from schemasaurus_spark.operators.dedup import (
     dedup_by_components,
     dedup_exact,
     minhash_near_duplicates,
+    pin_scope,
 )
 from schemasaurus_spark.operators.sampling import stratified_sample
 from schemasaurus_spark.operators.text import quality_score
@@ -68,10 +70,17 @@ class CorpusPipeline:
         return dedup_exact(docs, self.text_col, self.id_col)
 
     def near_deduped(self, docs: DataFrame) -> DataFrame:
-        pairs = minhash_near_duplicates(
-            docs, self.text_col, self.id_col, threshold=self.minhash_threshold
-        )
-        return dedup_by_components(docs, pairs, self.id_col)
+        # pin_scope bounds the lifetime of the 4-5 intermediates the LSH
+        # stage persists: connected components inside dedup_by_components
+        # localCheckpoints the pair graph EAGERLY during plan construction,
+        # so by the time this returns, the returned plan references only
+        # the checkpointed label blocks — the pins are safe to free here
+        # instead of leaking into the session's LRU cache
+        with pin_scope():
+            pairs = minhash_near_duplicates(
+                docs, self.text_col, self.id_col, threshold=self.minhash_threshold
+            )
+            return dedup_by_components(docs, pairs, self.id_col)
 
     def sampled(self, docs: DataFrame) -> DataFrame:
         if not self.sample_fractions and self.sample_default >= 1.0:
@@ -86,7 +95,14 @@ class CorpusPipeline:
         )
 
     def run(self, docs: DataFrame) -> DataFrame:
-        """The curated corpus as one lazy plan."""
+        """The curated corpus as a composed plan.
+
+        Stages 1-3 and 5 compose lazily; stage 4 (near-dedup) is NOT lazy:
+        building it runs the MinHash+LSH and connected-components jobs
+        eagerly (the component labeling is iterative and localCheckpointed),
+        so calling ``run`` already executes those jobs.  The returned frame
+        re-derives stages 1-3 lazily on the caller's action and anti-joins
+        the (already materialized) cluster-loser list."""
         return self.sampled(
             self.near_deduped(self.exact_deduped(self.quality_docs(self.valid_docs(docs))))
         )
@@ -94,16 +110,35 @@ class CorpusPipeline:
     def run_with_counts(self, docs: DataFrame) -> tuple[DataFrame, dict]:
         """Curated corpus + per-stage survivor counts (the no-silent-drops
         report: every row lost between raw input and final corpus is
-        attributed to a stage)."""
-        counts = {"input": docs.count()}
-        cur = self.valid_docs(docs)
-        counts["after_validation"] = cur.count()
-        cur = self.quality_docs(cur)
-        counts["after_quality"] = cur.count()
-        cur = self.exact_deduped(cur)
-        counts["after_exact_dedup"] = cur.count()
-        cur = self.near_deduped(cur)
-        counts["after_near_dedup"] = cur.count()
-        out = self.sampled(cur)
-        counts["after_sampling"] = out.count()
+        attributed to a stage).
+
+        Cost shape: the raw input is scanned ONCE — the input count rides
+        the validation count as an Observation, the validated frame is
+        persisted, and every later stage (quality, exact dedup, the whole
+        LSH/components stage, sampling, and all their counts) reads from
+        that cache.  Boundary caches are unpersisted before returning, so
+        no pinned frames outlive the call; the caller's final action
+        recomputes stages 1-3 from raw (its one scan)."""
+        obs = Observation()
+        observed = docs.observe(obs, F.count(F.lit(1)).alias("n_input"))
+        valid = self.valid_docs(observed).persist(StorageLevel.MEMORY_AND_DISK)
+        exact = None
+        try:
+            counts = {"input": 0}
+            counts["after_validation"] = valid.count()  # the one raw scan
+            counts["input"] = int(obs.get["n_input"])
+            quality = self.quality_docs(valid)
+            counts["after_quality"] = quality.count()
+            exact = self.exact_deduped(quality).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            counts["after_exact_dedup"] = exact.count()
+            deduped = self.near_deduped(exact)
+            counts["after_near_dedup"] = deduped.count()
+            out = self.sampled(deduped)
+            counts["after_sampling"] = out.count()
+        finally:
+            valid.unpersist()
+            if exact is not None:
+                exact.unpersist()
         return out, counts

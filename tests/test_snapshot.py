@@ -201,3 +201,13 @@ def test_exact_ks_known_value_and_binned_crosscheck(spark):
     binned = rep[0]["statistic"]
     assert abs(binned - 0.5) <= 1.0 / 50 + 1e-9
     assert rep[0]["drifted"]
+
+
+def test_spec_rejects_empty_and_overlapping_columns():
+    """Round-4 hardening: an empty spec used to surface as a confusing
+    df.agg(*[]) engine error; a column tracked as both kinds used to emit
+    duplicate aliases in the wide aggregate."""
+    with pytest.raises(ValueError, match="tracks no columns"):
+        SnapshotSpec()
+    with pytest.raises(ValueError, match="both numeric and categorical"):
+        SnapshotSpec(numeric=("value",), categorical=("value", "event_type"))
