@@ -552,6 +552,49 @@ def test_png_roundtrip_all_filters():
             )
 
 
+def test_png_mixed_per_row_filters_roundtrip():
+    """Adaptive encoders switch filters per scanline; the decoder's
+    run-segmented reconstruction must handle arbitrary filter sequences
+    (including run length 1)."""
+    import numpy as np
+
+    from schemasaurus_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(41, 19, 3), dtype=np.uint8)
+    for seq in (
+        [i % 5 for i in range(41)],          # every row a new run
+        [(i // 7) % 5 for i in range(41)],   # runs of 7
+        [4] * 20 + [3] * 21,                 # two wavefront runs
+    ):
+        assert np.array_equal(a, decode_png(encode_png(a, filter_type=seq)))
+    g = rng.integers(0, 256, size=(13, 29), dtype=np.uint8)  # grayscale
+    assert np.array_equal(
+        g, decode_png(encode_png(g, filter_type=[i % 5 for i in range(13)]))
+    )
+
+
+def test_png_paeth_decode_throughput():
+    """Round-3 verdict item: Sub/Average/Paeth reconstruction was per-pixel
+    Python (minutes for a photographic frame).  The wavefront kernel must
+    decode a Paeth-filtered 1024x1024 RGB well under a second of pure
+    compute; the bound below is 10x slack for co-tenant noise."""
+    import time
+
+    import numpy as np
+
+    from schemasaurus_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(1024, 1024, 3), dtype=np.uint8)
+    data = encode_png(img, filter_type=4)
+    t0 = time.perf_counter()
+    out = decode_png(data)
+    elapsed = time.perf_counter() - t0
+    assert np.array_equal(img, out)
+    assert elapsed < 2.5, f"paeth decode took {elapsed:.2f}s (expect ~0.2s)"
+
+
 def test_png_decode_rejects_unsupported():
     import pytest as _pytest
 
