@@ -1096,6 +1096,54 @@ FROM px
 """
 
 
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (round-4, closes the audio stub): executor-
+    side WAV ENCODE of deterministic closed-form PCM samples (stdlib
+    ``wave`` codec, operators/wav.py) followed by the production DECODE
+    kernel extracting rate/shape + exact int64 sample sums.  The oracle
+    never touches the bytes — it recomputes the expected sums from the
+    sample formula in SQL, so a decoder bug (endianness, interleave,
+    channel count) hash-mismatches."""
+    from schemasaurus_spark.operators.media import (
+        extract_wav_features,
+        synth_wav_media_table,
+    )
+
+    return extract_wav_features(synth_wav_media_table(spark, 200, seed=42))
+
+
+# sample(id,t,c) = (id*31 + t*17 + c*7 + 42) % 65536 - 32768 over
+# n = id%256+64 frames, ch = id%2+1 channels — enumerated and summed in SQL
+_MEDIA_WAV_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS id,
+         t.i % 256 + 64 AS n,
+         t.i % 2 + 1 AS ch,
+         8000 + (t.i % 4) * 4000 AS rate
+  FROM generate_series(0, 199) AS t(i)
+),
+s AS (
+  SELECT d.id, d.n, d.ch, d.rate,
+         CAST(sum((d.id*31 + t.v*17 + c.v*7 + 42) % 65536 - 32768) AS BIGINT)
+             AS sample_sum,
+         CAST(sum(abs((d.id*31 + t.v*17 + c.v*7 + 42) % 65536 - 32768)) AS BIGINT)
+             AS abs_sum
+  FROM dims d
+  JOIN generate_series(0, 319) AS t(v) ON t.v < d.n
+  JOIN generate_series(0, 1) AS c(v) ON c.v < d.ch
+  GROUP BY d.id, d.n, d.ch, d.rate
+)
+SELECT 'media://wav/' || CAST(id AS VARCHAR) AS media_ref,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       sample_sum,
+       abs_sum,
+       CAST(sample_sum AS DOUBLE) / (n * ch) AS mean_sample
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-rule engine over the interleaved documents table.  The deterministic
 # generated table (n=2000, seed=7) is materialized to parquet once per
@@ -1467,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windowed_counts": event_windowed_counts,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
+        "media_wav_features": media_wav_features,
         "northrule_violations": northrule_violations,
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
@@ -1507,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
+        "media_wav_features": _MEDIA_WAV_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,

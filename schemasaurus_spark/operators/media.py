@@ -4,10 +4,12 @@ columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 The Spark side — schemas, batch iteration, partition sizing, output
 contracts — is real and tested.  Codecs: **PNG decode is REAL**
 (``extract_png_features`` over the pure zlib+numpy kernel in
-``operators/png.py`` — no PIL needed); JPEG/audio/video codecs require
-libraries not present in this container, so those kernels stay stubbed
-behind a deterministic fake (``fake_decode=True``, default) or
-``NotImplementedError`` — swap in PIL / soundfile / pyav when available.
+``operators/png.py`` — no PIL needed) and **WAV decode is REAL**
+(``extract_wav_features`` over the stdlib ``wave`` kernel in
+``operators/wav.py``); JPEG/video codecs require libraries not present in
+this container, so those kernels stay stubbed behind a deterministic fake
+(``fake_decode=True``, default) or ``NotImplementedError`` — swap in PIL /
+pyav when available.
 """
 
 from __future__ import annotations
@@ -178,6 +180,99 @@ def extract_png_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+def synth_wav_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE bytes (16-bit PCM).
+
+    Samples are a deterministic closed-form sequence so downstream decoded
+    features are independently recomputable (the contract oracle rebuilds
+    the expected sums in pure SQL without decoding):
+
+        sample(id, t, c) = ((id*31 + t*17 + c*7 + seed) % 65536) - 32768
+        n_samples = id % 256 + 64,  channels = id % 2 + 1,
+        rate = 8000 + (id % 4) * 4000
+
+    Encoding runs executor-side inside mapInPandas (no driver bytes) —
+    same shape as ``synth_png_media_table``."""
+    from typing import Iterator as _It
+
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 256 + 1))
+    ids = spark.range(0, n, 1, parts)
+
+    def encode_batches(it: _It) -> _It:
+        import numpy as np
+        import pandas as pd
+
+        from schemasaurus_spark.operators.wav import encode_wav
+
+        for pdf in it:
+            rows = []
+            for id_ in pdf["id"]:
+                id_ = int(id_)
+                n_samp = id_ % 256 + 64
+                ch = id_ % 2 + 1
+                rate = 8000 + (id_ % 4) * 4000
+                t = np.arange(n_samp)[:, None]
+                c = np.arange(ch)[None, :]
+                s = ((id_ * 31 + t * 17 + c * 7 + seed) % 65536 - 32768).astype(
+                    np.int16
+                )
+                rows.append(
+                    (
+                        f"media://wav/{id_}",
+                        "audio",
+                        encode_wav(s, rate),
+                        {"codec": "pcm16", "rate": str(rate), "ch": str(ch)},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_kind", "payload", "meta"]
+            )
+
+    return ids.mapInPandas(encode_batches, MEDIA_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "media_ref string, sample_rate int, n_channels int, n_samples bigint, "
+    "sample_sum bigint, abs_sum bigint, mean_sample double"
+)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode the WAV payload (operators/
+    wav.py kernel) inside Arrow-batched mapInPandas and emit rate/shape +
+    exact int64 sample sums.  ``sample_sum``/``abs_sum`` are exact integers
+    so the result is bit-comparable across engines; ``mean_sample`` is one
+    IEEE division of them (no rounding)."""
+    from typing import Iterator as _It
+
+    def batches(it: _It) -> _It:
+        import numpy as np
+        import pandas as pd
+
+        from schemasaurus_spark.operators.wav import decode_wav
+
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr, rate = decode_wav(bytes(payload))
+                n, ch = arr.shape
+                a64 = arr.astype(np.int64)
+                total = int(a64.sum())
+                abs_total = int(np.abs(a64).sum())
+                rows.append(
+                    (ref, rate, ch, n, total, abs_total, total / float(n * ch))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "sample_rate", "n_channels", "n_samples",
+                    "sample_sum", "abs_sum", "mean_sample",
+                ],
+            )
+
+    return media.mapInPandas(batches, WAV_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

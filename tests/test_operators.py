@@ -604,6 +604,71 @@ def test_png_decode_rejects_unsupported():
         decode_png(b"not a png at all")
 
 
+def test_wav_roundtrip_mono_stereo():
+    import numpy as np
+
+    from schemasaurus_spark.operators.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    for shape, rate in [((64,), 8000), ((100, 1), 16000), ((321, 2), 44100)]:
+        a = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+        arr, r = decode_wav(encode_wav(a, rate))
+        assert r == rate
+        expect = a[:, None] if a.ndim == 1 else a
+        assert np.array_equal(arr, expect), (shape, rate)
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.wav import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(np.zeros(16, dtype=np.uint8).tobytes())
+    with _pytest.raises(NotImplementedError):
+        decode_wav(buf.getvalue())
+
+
+def test_wav_media_pipeline_real_decode(spark):
+    """End-to-end REAL audio decode: executor-side encode of closed-form
+    PCM samples, production decode kernel, features checked against the
+    sample formula recomputed independently here."""
+    import numpy as np
+
+    from schemasaurus_spark.operators.media import (
+        extract_wav_features,
+        synth_wav_media_table,
+    )
+
+    feats = {
+        r.media_ref: r
+        for r in extract_wav_features(
+            synth_wav_media_table(spark, 24, seed=42)
+        ).collect()
+    }
+    assert len(feats) == 24
+    for id_ in (0, 1, 7, 23):
+        n, ch = id_ % 256 + 64, id_ % 2 + 1
+        t = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        s = (id_ * 31 + t * 17 + c * 7 + 42) % 65536 - 32768
+        r = feats[f"media://wav/{id_}"]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (
+            8000 + (id_ % 4) * 4000, ch, n,
+        )
+        assert r.sample_sum == int(s.sum())
+        assert r.abs_sum == int(np.abs(s).sum())
+        assert r.mean_sample == s.sum() / float(n * ch)
+
+
 def test_png_media_pipeline_real_decode(spark):
     """End-to-end REAL decode: executor-side encode of closed-form pixels,
     production decode kernel, features equal the formula's ground truth."""
