@@ -111,6 +111,8 @@ def main():
         "event_value_ks_drift",
         "event_windowed_counts",
         "media_image_features",
+        "media_png_features",
+        "media_wav_features",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
