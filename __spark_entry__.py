@@ -1144,6 +1144,103 @@ FROM s
 """
 
 
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode path (round-4, closes the image-codec stub):
+    executor-side baseline-JPEG ENCODE of block-constant grayscale pixels
+    (pure numpy T.81 codec, operators/jpeg.py) followed by the production
+    DECODE kernel extracting dimensions + exact int64 luma sums.  Block-
+    constant content round-trips EXACTLY (DC-only FDCT is integer with
+    all-ones quant tables) while the bytes exercise the full marker /
+    zigzag / DC-prediction / huffman / byte-stuffing / restart-marker
+    machinery; the oracle recomputes the sums from the closed-form block
+    formula in SQL, so a decoder bug hash-mismatches."""
+    from schemasaurus_spark.operators.media import (
+        extract_jpeg_features,
+        synth_jpeg_media_table,
+    )
+
+    return extract_jpeg_features(synth_jpeg_media_table(spark, 200, seed=42))
+
+
+# block(id,bi,bj) = (id*37 + bi*11 + bj*5 + 42) % 256 over hb=id%2+2 x
+# wb=id%3+2 blocks of 64 px each — enumerated and summed in SQL
+_MEDIA_JPEG_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS id,
+         t.i % 3 + 2 AS wb,
+         t.i % 2 + 2 AS hb
+  FROM generate_series(0, 199) AS t(i)
+),
+px AS (
+  SELECT d.id, d.wb, d.hb,
+         64 * CAST(sum((d.id*37 + bi.v*11 + bj.v*5 + 42) % 256) AS BIGINT)
+             AS luma_sum
+  FROM dims d
+  JOIN generate_series(0, 3) AS bi(v) ON bi.v < d.hb
+  JOIN generate_series(0, 4) AS bj(v) ON bj.v < d.wb
+  GROUP BY d.id, d.wb, d.hb
+)
+SELECT 'media://jpg/' || CAST(id AS VARCHAR) AS media_ref,
+       CAST(wb * 8 AS INTEGER) AS width,
+       CAST(hb * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       luma_sum,
+       CAST(luma_sum AS DOUBLE) / (wb * 8 * hb * 8) AS mean_luma
+FROM px
+"""
+
+
+def media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling path (round-4, closes the video stub for
+    the MJPEG container): executor-side ENCODE of multi-frame MJPEG
+    streams (concatenated baseline JPEGs), then the production kernel
+    splits frames marker-aware and DECODES every 2nd frame.  The oracle
+    recomputes each sampled frame's luma sum from the closed-form block
+    formula in SQL."""
+    from schemasaurus_spark.operators.media import (
+        extract_mjpeg_frame_features,
+        synth_mjpeg_media_table,
+    )
+
+    return extract_mjpeg_frame_features(
+        synth_mjpeg_media_table(spark, 200, seed=42), every_n=2
+    )
+
+
+# frame block(id,f,bi,bj) = (id*37 + f*29 + bi*11 + bj*5 + 42) % 256;
+# frames = id%3+2, sampled every 2nd (f in 0,2) — enumerated in SQL
+_MEDIA_MJPEG_ORACLE = """
+WITH dims AS (
+  SELECT t.i AS id,
+         t.i % 3 + 2 AS wb,
+         t.i % 2 + 2 AS hb,
+         t.i % 3 + 2 AS nf
+  FROM generate_series(0, 199) AS t(i)
+),
+frames AS (
+  SELECT d.*, f.v AS frame_idx
+  FROM dims d
+  JOIN generate_series(0, 4) AS f(v) ON f.v < d.nf AND f.v % 2 = 0
+),
+px AS (
+  SELECT fr.id, fr.wb, fr.hb, fr.frame_idx,
+         64 * CAST(sum((fr.id*37 + fr.frame_idx*29 + bi.v*11 + bj.v*5 + 42) % 256)
+                   AS BIGINT) AS luma_sum
+  FROM frames fr
+  JOIN generate_series(0, 3) AS bi(v) ON bi.v < fr.hb
+  JOIN generate_series(0, 4) AS bj(v) ON bj.v < fr.wb
+  GROUP BY fr.id, fr.wb, fr.hb, fr.frame_idx
+)
+SELECT 'media://mjpeg/' || CAST(id AS VARCHAR) AS media_ref,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(wb * 8 AS INTEGER) AS width,
+       CAST(hb * 8 AS INTEGER) AS height,
+       luma_sum,
+       CAST(luma_sum AS DOUBLE) / (wb * 8 * hb * 8) AS mean_luma
+FROM px
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-rule engine over the interleaved documents table.  The deterministic
 # generated table (n=2000, seed=7) is materialized to parquet once per
@@ -1516,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "media_wav_features": media_wav_features,
+        "media_jpeg_features": media_jpeg_features,
+        "media_mjpeg_frames": media_mjpeg_frames,
         "northrule_violations": northrule_violations,
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
@@ -1557,6 +1656,8 @@ def oracle_sql() -> dict[str, str]:
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "media_wav_features": _MEDIA_WAV_ORACLE,
+        "media_jpeg_features": _MEDIA_JPEG_ORACLE,
+        "media_mjpeg_frames": _MEDIA_MJPEG_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,

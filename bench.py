@@ -113,6 +113,8 @@ def main():
         "media_image_features",
         "media_png_features",
         "media_wav_features",
+        "media_jpeg_features",
+        "media_mjpeg_frames",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

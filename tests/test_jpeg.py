@@ -1,0 +1,274 @@
+"""Baseline JPEG codec (operators/jpeg.py) + MJPEG frame sampling.
+
+Verification strategy mirrors the PNG kernel's: (a) exact round trips on
+content whose FDCT is integer (block-constant grayscale), (b) an
+INDEPENDENT O(N^4) direct-cosine IDCT cross-check so the fast
+tensordot path isn't validating itself, (c) lossy-tolerance round trips
+for gradients / color / subsampling, (d) container edge cases (restart
+markers, byte stuffing, non-multiple-of-8 dims, fill bytes, truncation),
+(e) the Spark mapInPandas pipelines against pandas-side recomputes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from schemasaurus_spark.operators.jpeg import (
+    DCT_BASIS,
+    UNZIGZAG,
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_luma,
+    decode_jpeg_planes,
+    encode_jpeg,
+    encode_mjpeg,
+    split_mjpeg,
+)
+
+Q50_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+).reshape(8, 8)
+
+
+def _block_constant(vals: np.ndarray) -> np.ndarray:
+    return np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+
+
+def test_zigzag_tables_are_inverse_permutations():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert np.array_equal(ZIGZAG[UNZIGZAG], np.arange(64))
+
+
+def test_block_constant_gray_roundtrip_exact():
+    """DC-only content with all-ones quant tables is bit-exact — this is
+    the invariant the contract oracle (media_jpeg_features) rides on."""
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        vals = rng.randint(0, 256, (rng.randint(1, 5), rng.randint(1, 5)))
+        img = _block_constant(vals)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+def test_gradient_gray_roundtrip_q1():
+    img = ((np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_non_multiple_of_8_dimensions():
+    img = ((np.arange(13)[:, None] * 7 + np.arange(21)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (13, 21)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_color_444_roundtrip():
+    img = np.stack(
+        [
+            (np.arange(16)[:, None] * 5 + np.arange(24)[None, :] * 3 + c * 11) % 256
+            for c in range(3)
+        ],
+        -1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    # YCbCr forward+inverse rounding only (q=1 keeps DCT near-lossless)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_color_420_chroma_flat_roundtrip():
+    """Grayscale content through the 4:2:0 path: chroma planes are
+    constant 128, so subsampling is lossless and errors stay at YCbCr
+    rounding level.  Exercises 2x2 sampling factors + upsampling."""
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[..., 0] = (np.arange(24)[:, None] * 5 + np.arange(32)[None, :] * 3) % 256
+    img[..., 1] = img[..., 0]
+    img[..., 2] = img[..., 0]
+    out = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert out.shape == (24, 32, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_restart_markers_identical_decode():
+    img = ((np.arange(32)[:, None] * 5 + np.arange(48)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    plain = decode_jpeg(encode_jpeg(img))
+    for interval in (1, 2, 3, 7):
+        with_rst = decode_jpeg(encode_jpeg(img, restart_interval=interval))
+        assert np.array_equal(plain, with_rst), f"interval {interval}"
+
+
+def test_byte_stuffing_noise_roundtrip():
+    """Random content makes 0xFF bytes (and thus stuffing) statistically
+    certain in the entropy stream; q=1 keeps the trip near-exact."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (40, 40)).astype(np.uint8)
+    data = encode_jpeg(img)
+    assert b"\xff\x00" in data[2:]  # stuffing actually exercised
+    out = decode_jpeg(data)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_standard_q50_tables_lossy_but_close_on_smooth():
+    x = np.linspace(0, np.pi * 2, 64)
+    img = ((np.sin(x)[:, None] + np.cos(x)[None, :]) * 50 + 128).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant_luma=Q50_LUMA))
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 3.0
+
+
+def test_idct_matches_independent_direct_cosine_sum():
+    """The decoder's tensordot IDCT vs a from-the-spec O(N^4) double loop
+    (T.81 A.3.3) — independent implementation, not a refactor of it."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    planes, h, w = decode_jpeg_planes(encode_jpeg(img))
+    fast = planes[0]
+
+    # rebuild the quantized coefficients exactly as the encoder makes them
+    shifted = img.astype(np.float64) - 128.0
+    slow = np.zeros((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.round(DCT_BASIS @ blk @ DCT_BASIS.T)  # q=1 quantize
+            for x in range(8):
+                for y in range(8):
+                    acc = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                            acc += (
+                                cu * cv * coef[u, v]
+                                * np.cos((2 * x + 1) * u * np.pi / 16)
+                                * np.cos((2 * y + 1) * v * np.pi / 16)
+                            )
+                    slow[by * 8 + x, bx * 8 + y] = acc / 4.0 + 128.0
+    assert float(np.abs(fast - slow).max()) < 1e-9
+
+
+def test_decode_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    img = _block_constant(np.array([[100, 200]]))
+    data = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_decode_rejects_progressive_sof():
+    img = _block_constant(np.array([[100]]))
+    data = bytearray(encode_jpeg(img))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_fill_bytes_between_markers_tolerated():
+    img = _block_constant(np.array([[50, 150]]))
+    data = encode_jpeg(img)
+    # inject a 0xFF fill byte before the SOF marker (legal per T.81 B.1.1.2)
+    idx = data.find(b"\xff\xc0")
+    patched = data[:idx] + b"\xff" + data[idx:]
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(data))
+
+
+def test_mjpeg_split_and_decode():
+    rng = np.random.RandomState(5)
+    frames = [
+        _block_constant(rng.randint(0, 256, (2, 3))) for _ in range(5)
+    ]
+    data = encode_mjpeg(frames)
+    parts = split_mjpeg(data)
+    assert len(parts) == 5
+    for f, p in zip(frames, parts):
+        assert np.array_equal(decode_jpeg(p), f)
+    with pytest.raises(ValueError):
+        split_mjpeg(data[:-1])  # truncated final EOI
+
+
+def test_mjpeg_split_survives_marker_bytes_in_segment_payloads():
+    """DQT payloads may legally contain the byte pair FF D8 — a naive
+    byte-pattern split would cut mid-segment; the marker walk must not."""
+    img = _block_constant(np.array([[128]]))
+    q = np.ones((8, 8))
+    # DQT is emitted in zigzag order, which ends ..., raster62, raster63 —
+    # so plant FF at (7,6) and D8 at (7,7) to get adjacent FF D8 bytes
+    q[7, 6], q[7, 7] = 0xFF, 0xD8
+    frame = encode_jpeg(img, quant_luma=q)
+    assert b"\xff\xd8" in frame[2:-2]
+    parts = split_mjpeg(frame + frame)
+    assert len(parts) == 2 and parts[0] == parts[1] == frame
+
+
+def test_luma_sum_closed_form():
+    """The exact invariant the DuckDB oracle recomputes."""
+    for id_ in range(12):
+        wb, hb = id_ % 3 + 2, id_ % 2 + 2
+        bi = np.arange(hb)[:, None]
+        bj = np.arange(wb)[None, :]
+        vals = (id_ * 37 + bi * 11 + bj * 5 + 42) % 256
+        img = _block_constant(vals)
+        rst = 2 if id_ % 3 == 0 else 0
+        luma = decode_jpeg_luma(encode_jpeg(img, restart_interval=rst))
+        assert int(luma.sum()) == 64 * int(vals.sum())
+
+
+def test_jpeg_media_pipeline_real_decode(spark):
+    from schemasaurus_spark.operators.media import (
+        extract_jpeg_features,
+        synth_jpeg_media_table,
+    )
+
+    rows = {
+        r["media_ref"]: r
+        for r in extract_jpeg_features(
+            synth_jpeg_media_table(spark, 24, seed=42)
+        ).collect()
+    }
+    assert len(rows) == 24
+    for id_ in range(24):
+        wb, hb = id_ % 3 + 2, id_ % 2 + 2
+        bi = np.arange(hb)[:, None]
+        bj = np.arange(wb)[None, :]
+        vals = (id_ * 37 + bi * 11 + bj * 5 + 42) % 256
+        r = rows[f"media://jpg/{id_}"]
+        assert (r["width"], r["height"], r["channels"]) == (wb * 8, hb * 8, 1)
+        assert r["luma_sum"] == 64 * int(vals.sum())
+
+
+def test_mjpeg_media_pipeline_frame_sampling(spark):
+    from schemasaurus_spark.operators.media import (
+        extract_mjpeg_frame_features,
+        synth_mjpeg_media_table,
+    )
+
+    out = extract_mjpeg_frame_features(
+        synth_mjpeg_media_table(spark, 18, seed=42), every_n=2
+    ).collect()
+    got = {(r["media_ref"], r["frame_idx"]): r for r in out}
+    expected_keys = set()
+    for id_ in range(18):
+        nf = id_ % 3 + 2
+        for f in range(0, nf, 2):
+            expected_keys.add((f"media://mjpeg/{id_}", f))
+    assert set(got) == expected_keys
+    for (ref, f), r in got.items():
+        id_ = int(ref.rsplit("/", 1)[1])
+        wb, hb = id_ % 3 + 2, id_ % 2 + 2
+        bi = np.arange(hb)[:, None]
+        bj = np.arange(wb)[None, :]
+        vals = (id_ * 37 + f * 29 + bi * 11 + bj * 5 + 42) % 256
+        assert (r["width"], r["height"]) == (wb * 8, hb * 8)
+        assert r["luma_sum"] == 64 * int(vals.sum())
