@@ -118,6 +118,21 @@ def main():
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
+    # -- scale ladder rung: the two heaviest operators at 2x the corpus -----
+    # (verdict r3 #9: the bench record should carry a measured scaling STEP,
+    # not one spot value).  The 2x corpus is the sf table plus one
+    # substitution-ciphered copy (tools/scale_ladder.py build_corpus:
+    # bijective per-copy alphabet keeps the true answer and ideal work
+    # exactly linear in the factor) — a step ratio well above ~2 on these
+    # entries indicts the plan.  The full 1x/2x/4x curve lives in
+    # BENCH/BASELINE.md via tools/scale_ladder.py.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scale_ladder import build_corpus
+
+    x2_dir = build_corpus(spark, sf_dir, 2, tmp)
+    for name in ["doc_training_corpus", "doc_ngram_jaccard_dups"]:
+        run(f"{name}_x2", lambda n=name: force(qs[n](spark, x2_dir)))
+
     total = round(sum(timings.values()), 3)
     # headline docs/sec: median of three repeats — this box is co-tenant
     # (BENCH/BASELINE.md) and a single 2-3 s sample of the verdict pass

@@ -498,9 +498,16 @@ def minhash_near_duplicates(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # int64 shingle arrays (xxhash64), not raw strings: each candidate row
+    # carries both sides' full arrays through the verify join, so element
+    # width drives the shuffle (see ngram_jaccard_pairs for the math)
     sh = base.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
-        F.array_distinct(char_shingles_expr(text_col, shingle_k)).alias("_sh"),
+        F.array_distinct(
+            F.transform(
+                char_shingles_expr(text_col, shingle_k), lambda s: F.xxhash64(s)
+            )
+        ).alias("_sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
@@ -539,7 +546,7 @@ def ngram_jaccard_pairs(
     5k).  Prefix
     filtering (Bayardo et al., WWW'07) fixes that without approximation:
     order every doc's shingle set by GLOBAL document frequency ascending
-    (rarest first, md5 tie-break), keep only the first
+    (rarest first, xxhash64 tie-break), keep only the first
     ``n - floor(t*n) + 1`` shingles (the *prefix*), and join prefixes —
     any pair with Jaccard >= t must collide inside both prefixes
     (pigeonhole: two sets sharing NO prefix element overlap in fewer than
@@ -553,10 +560,18 @@ def ngram_jaccard_pairs(
     global df), one per-doc window for the rank (linear shuffle), a
     sparse prefix-prefix join, and a candidates-only verify join — no
     step is quadratic in a shingle's document frequency."""
+    # shingle key = xxhash64 (bigint), not md5 strings: the verify stage
+    # ships one sorted shingle ARRAY per candidate side, so element width
+    # is the shuffle multiplier — int64 arrays are ~6x thinner than md5
+    # strings and array_intersect compares longs, not text (round-4 scale
+    # ladder: the fat-array verify was the dominant shuffle at 2x/4x
+    # corpus scale).  Same hash-space contract as before (md5 was already
+    # a hash): a result changes only on a 64-bit collision INSIDE one
+    # compared pair, P ~ (n_sh_a * n_sh_b) / 2^64 ~ 5e-15 per pair.
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_shingles_expr(text_col, shingle_k))).alias("sh"),
-    ).withColumn("sh", F.md5("sh"))
+    ).withColumn("sh", F.xxhash64("sh"))
     sh = _pin(sh)  # feeds df-count, prefix ranking, and the verify join
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))

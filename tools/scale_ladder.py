@@ -5,13 +5,23 @@ Jaccard) measured at 1x / 2x / 4x the sf0.1 documents corpus, so the
 judge sees a measured scaling CURVE, not one spot value.
 
 Corpus construction: the k-fold input is the sf0.1 table unioned with
-k-1 deterministically word-mutated copies (every word suffixed with the
-copy index) under shifted doc_ids.  The mutation shifts every shingle,
-so copies are textually UNRELATED to their originals — each copy
-preserves the original's internal near-dup structure and adds no
-cross-copy pairs, which keeps the true answer (and therefore the ideal
-work) linear in k.  A super-linear wall-clock step therefore indicts the
+k-1 deterministically mutated copies under shifted doc_ids.  The
+mutation is a per-copy character SUBSTITUTION CIPHER (``F.translate``
+rotating a-z/A-Z/0-9 by a copy-specific shift; whitespace/punctuation
+fixed): a bijection on characters preserves text length, whitespace
+structure, per-doc shingle counts, and every WITHIN-copy similarity
+exactly (shingles map bijectively), while making each copy's shingle
+namespace disjoint from every other copy's (up to accidental word
+collisions under rotation).  The true answer and the ideal work are
+therefore linear in k, so a super-linear wall-clock step indicts the
 plan, not the data.
+
+Round-4 lesson (why not the earlier word-SUFFIX mutation): appending a
+copy tag to every word leaves word-INTERNAL shingles identical across
+copies — global document frequency of those shingles doubles at 2x, the
+PPJoin prefix join grows as df^2 (measured sum(c^2) 21.5M -> 91M at
+x2, 4.2x for 2x data), and the "linear work" premise silently breaks.
+The cipher keeps copies shingle-disjoint by construction.
 
 Each corpus is materialized to parquet first (the queries read a stored
 table, as in bench.py), timings are per-query with cache cleared
@@ -43,16 +53,36 @@ from schemasaurus_spark.session import get_spark  # noqa: E402
 QUERIES = ["doc_training_corpus", "doc_ngram_jaccard_dups"]
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGIT = "0123456789"
+
+
+def _cipher(k: int) -> tuple[str, str]:
+    """Copy-k substitution alphabet: rotate letters by 7k, digits by 3k.
+    Same shift for upper/lower so lower() commutes with the mapping."""
+    s, d = (7 * k) % 26, (3 * k) % 10
+    src = _LOWER + _UPPER + _DIGIT
+    dst = (
+        _LOWER[s:] + _LOWER[:s]
+        + _UPPER[s:] + _UPPER[:s]
+        + _DIGIT[d:] + _DIGIT[:d]
+    )
+    return src, dst
+
+
 def build_corpus(spark, sf_dir: str, factor: int, out_dir: str) -> str:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     parts = [docs]
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
     for k in range(1, factor):
+        src, dst = _cipher(k)
         shifted = docs.select(
             (F.col("doc_id") + k * max_id).alias("doc_id"),
-            # suffix every word with the copy index: every shingle changes,
-            # so copies share no near-dup pairs with their originals
-            F.regexp_replace("text", r"(\S+)", rf"$1c{k}").alias("text"),
+            # per-copy character bijection: preserves length/whitespace and
+            # all within-copy similarities exactly; copies become
+            # shingle-disjoint (see module doc for why suffixing failed)
+            F.translate("text", src, dst).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
         parts.append(shifted.select(docs.columns))
@@ -93,13 +123,20 @@ def main() -> None:
             n_docs[str(factor)] = spark.read.parquet(
                 f"{path}/documents.parquet"
             ).count()
+            print(f"# corpus x{factor}: {n_docs[str(factor)]} docs", flush=True)
             for q in QUERIES:
                 spark.catalog.clearCache()
+                spark.sparkContext.setJobDescription(f"{q}@x{factor}")
                 t0 = time.time()
                 df = qs[q](spark, path)
                 df.write.format("noop").mode("overwrite").save()
                 ladder[q][str(factor)] = round(time.time() - t0, 2)
                 rows[q][str(factor)] = df.count()
+                print(
+                    f"# {q}@x{factor}: {ladder[q][str(factor)]}s, "
+                    f"{rows[q][str(factor)]} rows",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
