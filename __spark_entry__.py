@@ -1144,6 +1144,115 @@ FROM s
 """
 
 
+def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al., ACL 2022): maximal token spans
+    whose 8-token windows repeat anywhere in the corpus.  Engine keys
+    windows by xxhash64 (thin int64 shuffle rows); the oracle replays the
+    pipeline grouping by the RAW window string — no hashing — so it
+    independently confirms the hashed plan's spans."""
+    from schemasaurus_spark.operators.substring_dedup import (
+        substring_duplicate_spans,
+    )
+
+    return substring_duplicate_spans(
+        _docs(spark, sf_dir), window=8, min_count=2
+    )
+
+
+_SUBSTRING_DUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+win AS (
+  SELECT toks.doc_id, u.i - 1 AS pos,
+         array_to_string(t[u.i:u.i+7], ' ') AS wstr
+  FROM toks
+  JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t) - 7
+),
+rep AS (SELECT wstr FROM win GROUP BY wstr HAVING count(*) >= 2),
+cov AS (SELECT w.doc_id, w.pos FROM win w JOIN rep r ON w.wstr = r.wstr),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM cov
+),
+isl2 AS (
+  SELECT doc_id, pos, sum(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: typed placeholder redaction + per-type counts.
+    The raw generated corpus contains no PII, so the query plants
+    deterministic emails/phones/IPs/SSNs for a doc_id subset IN THE QUERY
+    (mirrored verbatim in the oracle) — the oracle row is non-vacuous and
+    pins both the counting and the exact redacted strings."""
+    from schemasaurus_spark.operators.pii import redact_pii
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" server 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return redact_pii(d.select("doc_id", planted.alias("text")))
+
+
+_PII_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or 555-123-4567'
+           WHEN doc_id % 11 = 0 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.1 ssn 123-45-6789'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0) AS INTEGER) AS n_email,
+  CAST(coalesce(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')), 0) AS INTEGER) AS n_ssn,
+  CAST(coalesce(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')), 0) AS INTEGER) AS n_phone,
+  CAST(coalesce(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')), 0) AS INTEGER) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS text_redacted
+FROM planted
+"""
+
+
 def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode path (round-4, closes the image-codec stub):
     executor-side baseline-JPEG ENCODE of block-constant grayscale pixels
@@ -1595,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_dup_rows": lineitem_dup_rows,
         "orders_dangling_custkey": orders_dangling_custkey,
         "doc_exact_dup_groups": doc_exact_dup_groups,
+        "doc_substring_dup_spans": doc_substring_dup_spans,
+        "doc_pii_redaction": doc_pii_redaction,
         "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
@@ -1637,6 +1748,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_dup_rows": _DUPROWS_ORACLE,
         "orders_dangling_custkey": _DANGLING_ORACLE,
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
+        "doc_substring_dup_spans": _SUBSTRING_DUP_ORACLE,
+        "doc_pii_redaction": _PII_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

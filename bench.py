@@ -98,6 +98,8 @@ def main():
         "doc_quality",
         "doc_lang_id",
         "doc_exact_dup_groups",
+        "doc_substring_dup_spans",
+        "doc_pii_redaction",
         "lineitem_dup_rows",
         "doc_training_corpus",
         "minhash_near_dups",

@@ -1,0 +1,160 @@
+"""Round-4 training-pipeline operators: exact substring dedup (Lee et al.
+ACL 2022 style) and PII redaction.  Substring spans are property-checked
+against an independent pure-Python brute force (raw window strings, no
+hashing) on randomized corpora, plus planted-passage fixtures.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.pii import redact_pii
+from schemasaurus_spark.operators.substring_dedup import (
+    substring_dup_stats,
+    substring_duplicate_spans,
+)
+
+
+def _brute_spans(texts: dict[int, str], window: int, min_count: int):
+    """Independent reference: raw-string window counts + interval merge."""
+    toks = {
+        i: re.split(r"\s+", t.strip().lower())
+        for i, t in texts.items()
+        if t is not None and t.strip()
+    }
+    counts: dict[str, int] = {}
+    for t in toks.values():
+        for p in range(len(t) - window + 1):
+            w = " ".join(t[p : p + window])
+            counts[w] = counts.get(w, 0) + 1
+    out = set()
+    for i, t in toks.items():
+        covered = [
+            p
+            for p in range(len(t) - window + 1)
+            if counts[" ".join(t[p : p + window])] >= min_count
+        ]
+        start = end = None
+        for p in covered:
+            if start is None:
+                start, end = p, p + window
+            elif p <= end:
+                end = p + window
+            else:
+                out.add((i, start, end, end - start))
+                start, end = p, p + window
+        if start is not None:
+            out.add((i, start, end, end - start))
+    return out
+
+
+def _mk_docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def test_substring_spans_planted_passage(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = {
+        1: f"one two three {passage} four five",
+        2: f"{passage} totally different tail words here",
+        3: "no duplicated content in this document at all whatsoever",
+        4: f"self repeat {passage} and again {passage} end",
+    }
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in substring_duplicate_spans(
+            _mk_docs(spark, texts), window=8, min_count=2
+        ).collect()
+    }
+    assert got == _brute_spans(texts, 8, 2)
+    # the planted passage is found in all three carrying docs
+    assert {d for d, *_ in got} == {1, 2, 4}
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    # a 10-token shared passage with window 8 covers positions p, p+1, p+2
+    # -> ONE maximal span of 10 tokens, not three windows
+    passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = {1: f"{passage} unique tail one", 2: f"prefix {passage} other tail"}
+    rows = substring_duplicate_spans(
+        _mk_docs(spark, texts), window=8, min_count=2
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 2
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (0, 10)
+    assert (by_doc[2]["span_start"], by_doc[2]["span_end"]) == (1, 11)
+
+
+def test_substring_spans_brute_force_parity_random(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab forces chance repeats
+    for trial in range(3):
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+            for i in range(30)
+        }
+        texts[97] = None
+        texts[98] = "   "
+        texts[99] = "short doc"
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+            for r in substring_duplicate_spans(
+                _mk_docs(spark, texts), window=5, min_count=2
+            ).collect()
+        }
+        assert got == _brute_spans(texts, 5, 2), f"trial {trial}"
+
+
+def test_substring_dup_stats_rollup(spark):
+    passage = "a b c d e f g h"
+    texts = {1: f"{passage} x y", 2: f"z {passage}", 3: "all unique words here"}
+    rows = substring_dup_stats(
+        _mk_docs(spark, texts), window=8, min_count=2
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1]["dup_tokens"] == 8 and by_doc[1]["n_doc_tokens"] == 10
+    assert by_doc[1]["dup_fraction"] == 0.8
+
+
+def test_pii_redaction_all_types(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or ssn 123-45-6789"),
+            (3, "host 192.168.0.1 and 10.0.255.2"),
+            (4, None),
+            (5, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1
+    assert rows[1]["text_redacted"] == "mail [EMAIL] now"
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_ssn"] == 1
+    assert rows[2]["text_redacted"] == "call [PHONE] or ssn [SSN]"
+    assert rows[3]["n_ipv4"] == 2
+    assert rows[3]["text_redacted"] == "host [IPV4] and [IPV4]"
+    assert rows[4]["text_redacted"] is None
+    assert rows[4]["n_email"] == 0
+    assert rows[5]["text_redacted"] == "nothing sensitive here"
+    assert all(
+        rows[5][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")
+    )
+
+
+def test_pii_counts_null_safe_and_column_order(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    out = redact_pii(df)
+    assert out.columns == [
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "text_redacted",
+    ]
+    r = out.first()
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (0, 0, 0, 0)
