@@ -1253,6 +1253,42 @@ FROM planted
 """
 
 
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (concat-and-chunk batch prep): each
+    doc's (shard, seq_id, seq_offset) under an 8-shard, 256-token-budget
+    layout.  Both the shard and the order key are md5 of the doc id, so
+    the assignment is reproducible at any parallelism and the oracle
+    replays it with the same window cumsum in SQL."""
+    from schemasaurus_spark.operators.packing import pack_documents
+
+    return pack_documents(
+        _docs(spark, sf_dir), budget=256, n_shards=8, seed=0
+    )
+
+
+_PACKING_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(doc_id || ':0') AS k,
+         CAST(('0x' || substr(md5(doc_id || '#0'), 1, 4)) AS INTEGER) % 8 AS shard
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+w AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM base
+)
+SELECT doc_id, n_tokens, CAST(shard AS INTEGER) AS shard,
+       CAST(floor(s / 256) AS BIGINT) AS seq_id,
+       CAST(s % 256 AS BIGINT) AS seq_offset
+FROM w
+"""
+
+
 def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode path (round-4, closes the image-codec stub):
     executor-side baseline-JPEG ENCODE of block-constant grayscale pixels
@@ -1706,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dup_groups": doc_exact_dup_groups,
         "doc_substring_dup_spans": doc_substring_dup_spans,
         "doc_pii_redaction": doc_pii_redaction,
+        "doc_packing": doc_packing,
         "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
@@ -1750,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
         "doc_substring_dup_spans": _SUBSTRING_DUP_ORACLE,
         "doc_pii_redaction": _PII_ORACLE,
+        "doc_packing": _PACKING_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

@@ -100,6 +100,7 @@ def main():
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
         "doc_pii_redaction",
+        "doc_packing",
         "lineitem_dup_rows",
         "doc_training_corpus",
         "minhash_near_dups",

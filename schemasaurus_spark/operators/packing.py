@@ -1,0 +1,99 @@
+"""Deterministic sequence packing for pretraining batch prep: lay
+documents end-to-end in a reproducible order and assign each to the
+fixed-token-budget training sequence where its span begins (the
+concatenate-and-chunk discipline GPT-style pretraining uses, expressed
+as an assignment every engine reproduces bit-for-bit).
+
+Scale design: a single global ordering would funnel the corpus through
+one window partition, so packing is TWO-LEVEL — documents hash-shard by
+id into ``n_shards`` independent streams (md5-keyed, like
+``operators/sampling.py``), and the running token offset is a window
+cumsum WITHIN each shard.  Shards are embarrassingly parallel, the
+per-shard sort is the only shuffle, and determinism holds at any
+parallelism because both the shard and the order key derive from the
+document id, never from partition layout.  At 10^12 docs, raise
+``n_shards`` so each shard's sort fits an executor (the id-hash keeps
+them balanced).
+
+Every output column is reproducible in ANSI SQL (md5 + window cumsum),
+so the contract query (``doc_packing``) hash-matches a DuckDB replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.text import token_count
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, n_tokens, shard, seq_id, seq_offset): the training sequence
+    (per-shard ``seq_id``, ``budget`` tokens each) where this document's
+    span starts, and the token offset inside that sequence.
+
+    Documents order by ``md5(seed:id)`` within their shard (deterministic,
+    uncorrelated with content), empty/null docs are excluded (no training
+    content), and a document longer than the budget still gets a seat —
+    it starts in one sequence and spills into the next, exactly like the
+    concat-and-chunk pipeline it mirrors."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    # same md5 idioms as operators/sampling.py (proven engine-portable:
+    # Spark conv(hex) == DuckDB CAST('0x'||hex AS INTEGER); md5 hex strings
+    # order identically under binary collation)
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % n_shards
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            key.alias("_key"),
+            shard.cast("int").alias("shard"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("_key")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor(start / budget).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("seq_offset"),
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int = 256) -> DataFrame:
+    """Per-shard fill report: sequences used, total tokens, mean fill
+    fraction — the number a pipeline watches to size ``budget``."""
+    # sequences consumed = ceil(total/budget): the last doc may spill past
+    # max(seq_id)'s boundary, so max(seq_id)+1 under-counts on overflow
+    n_seq = F.ceil(F.sum("n_tokens") / budget)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.round(F.sum("n_tokens") / (n_seq * budget), 6).alias("fill_fraction"),
+    )

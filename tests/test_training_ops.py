@@ -158,3 +158,56 @@ def test_pii_counts_null_safe_and_column_order(spark):
     ]
     r = out.first()
     assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (0, 0, 0, 0)
+
+
+def test_packing_deterministic_and_budget_semantics(spark):
+    from schemasaurus_spark.operators.packing import pack_documents, packing_stats
+
+    texts = {i: " ".join(f"w{j}" for j in range(5 + i % 13)) for i in range(60)}
+    texts[97] = None
+    texts[98] = "  "
+    df = _mk_docs(spark, texts)
+    a = pack_documents(df, budget=16, n_shards=4, seed=3)
+    rows = a.collect()
+    # null/empty docs excluded; everyone else packed exactly once
+    assert {r["doc_id"] for r in rows} == set(range(60))
+    # determinism across partitioning: repartitioned input, same layout
+    b = pack_documents(df.repartition(13), budget=16, n_shards=4, seed=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+    # within a shard, offsets reconstruct the running concatenation:
+    # sort docs by the md5 order key and replay the cumsum
+    from pyspark.sql import functions as F2
+
+    keyed = df.where(F2.col("text").isNotNull() & (F2.trim("text") != "")).select(
+        "doc_id",
+        F2.md5(F2.concat_ws(":", F2.col("doc_id").cast("string"), F2.lit("3"))).alias("k"),
+    )
+    order = {r["doc_id"]: r["k"] for r in keyed.collect()}
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: order[r["doc_id"]])
+        run = 0
+        for r in members:
+            assert r["seq_id"] == run // 16
+            assert r["seq_offset"] == run % 16
+            run += r["n_tokens"]
+    # stats rollup: fill fraction in (0, 1], sequences cover the tokens
+    st = {r["shard"]: r for r in packing_stats(a, budget=16).collect()}
+    for shard, r in st.items():
+        assert 0 < r["fill_fraction"] <= 1.0
+        assert r["n_sequences"] >= r["total_tokens"] // 16
+
+
+def test_packing_oversize_doc_spills(spark):
+    from schemasaurus_spark.operators.packing import pack_documents
+
+    df = _mk_docs(spark, {1: " ".join(f"t{i}" for i in range(40))})
+    r = pack_documents(df, budget=16, n_shards=1, seed=0).first()
+    assert r["n_tokens"] == 40 and r["seq_id"] == 0 and r["seq_offset"] == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pack_documents(df, budget=0)
