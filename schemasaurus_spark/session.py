@@ -28,8 +28,13 @@ def get_spark(
         f"-XX:+UseG1GC -XX:ParallelGCThreads={max(8, cpus // 2)} "
         f"-XX:ConcGCThreads={max(2, cpus // 4)}"
     )
+    # SPARK_GRAFT_MASTER overrides the default in-process master — used by
+    # tools/scaling_cluster.py to run the same jobs under
+    # local-cluster[N,cores,mem] (real separate executor JVMs, serialized
+    # shuffle) via spark-submit without this builder stomping the master
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -50,7 +50,13 @@ import __spark_entry__ as entry  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 from schemasaurus_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["doc_training_corpus", "doc_ngram_jaccard_dups"]
+QUERIES = [
+    "doc_training_corpus",
+    "doc_ngram_jaccard_dups",
+    # round 4: exact substring dedup — window strings are copy-disjoint
+    # under the cipher mutation, so ideal work is linear here too
+    "doc_substring_dup_spans",
+]
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
