@@ -1289,6 +1289,48 @@ FROM w
 """
 
 
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap guard): a deterministic
+    20% md5-bucket split of the documents table stands in for the held-out
+    eval set; the remaining 80% is the training corpus.  Returns per-doc
+    contamination evidence (window hits, distinct shared 8-grams, first
+    hit offset).  Engine keys windows by xxhash64 and BROADCASTS the
+    benchmark hash set (operators/decontam.py — the corpus side never
+    shuffles its windows); the oracle replays the split and the join
+    grouping by the RAW window string, no hashing."""
+    from schemasaurus_spark.operators.decontam import contamination_report
+    from schemasaurus_spark.operators.sampling import sample_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = sample_bucket("doc_id", seed=7)
+    benchmark = docs.where(bucket < F.lit(13107))
+    corpus = docs.where(bucket >= F.lit(13107))
+    return contamination_report(corpus, benchmark, window=8)
+
+
+_DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS t,
+         CAST(('0x' || substr(md5(doc_id || ':7'), 1, 4)) AS INTEGER) AS bucket
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+win AS (
+  SELECT doc_id, bucket, u.i - 1 AS pos,
+         array_to_string(t[u.i:u.i+7], ' ') AS wstr
+  FROM toks JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t) - 7
+),
+bench AS (SELECT DISTINCT wstr FROM win WHERE bucket < 13107),
+corp AS (SELECT doc_id, pos, wstr FROM win WHERE bucket >= 13107)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_window_hits,
+       CAST(count(DISTINCT c.wstr) AS BIGINT) AS n_distinct_ngrams,
+       CAST(min(c.pos) AS BIGINT) AS first_hit_pos
+FROM corp c JOIN bench b ON c.wstr = b.wstr
+GROUP BY c.doc_id
+"""
+
+
 def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode path (round-4, closes the image-codec stub):
     executor-side baseline-JPEG ENCODE of block-constant grayscale pixels
@@ -1743,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup_spans": doc_substring_dup_spans,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_packing": doc_packing,
+        "doc_decontamination": doc_decontamination,
         "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
@@ -1788,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_substring_dup_spans": _SUBSTRING_DUP_ORACLE,
         "doc_pii_redaction": _PII_ORACLE,
         "doc_packing": _PACKING_ORACLE,
+        "doc_decontamination": _DECONTAM_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

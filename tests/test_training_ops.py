@@ -211,3 +211,114 @@ def test_packing_oversize_doc_spills(spark):
 
     with _pt.raises(ValueError):
         pack_documents(df, budget=0)
+
+
+# ---------------------------------------------------------------- decontam
+
+
+def _brute_contamination(corpus: dict[int, str], bench: dict[int, str], window: int):
+    """Independent reference: raw-string window join, no hashing."""
+    def wins(t):
+        toks = re.split(r"\s+", t.strip().lower())
+        return [
+            (p, " ".join(toks[p : p + window]))
+            for p in range(len(toks) - window + 1)
+        ]
+
+    bench_set = {w for t in bench.values() if t and t.strip() for _, w in wins(t)}
+    out = {}
+    for i, t in corpus.items():
+        if not t or not t.strip():
+            continue
+        hits = [(p, w) for p, w in wins(t) if w in bench_set]
+        if hits:
+            out[i] = (
+                len(hits),
+                len({w for _, w in hits}),
+                min(p for p, _ in hits),
+            )
+    return out
+
+
+def test_contamination_planted_overlap(spark):
+    from schemasaurus_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = {100: f"question: {passage} answer: forty two"}
+    corpus = {
+        1: f"clean document with no overlap at all in any window",
+        2: f"leaked {passage} verbatim inside a training doc",
+        3: f"double {passage} and later {passage} again trailing",
+    }
+    got = {
+        r["doc_id"]: (r["n_window_hits"], r["n_distinct_ngrams"], r["first_hit_pos"])
+        for r in contamination_report(
+            _mk_docs(spark, corpus), _mk_docs(spark, bench), window=8
+        ).collect()
+    }
+    assert got == _brute_contamination(corpus, bench, 8)
+    assert set(got) == {2, 3}
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            _mk_docs(spark, corpus), _mk_docs(spark, bench), window=8
+        ).collect()
+    }
+    assert kept == {1}
+
+
+def test_contamination_brute_force_parity_random(spark):
+    import random
+
+    from schemasaurus_spark.operators.decontam import contamination_report
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        bench = {
+            1000 + i: " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30)))
+            for i in range(6)
+        }
+        corpus = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+            for i in range(25)
+        }
+        window = rng.choice([4, 6])
+        got = {
+            r["doc_id"]: (
+                r["n_window_hits"],
+                r["n_distinct_ngrams"],
+                r["first_hit_pos"],
+            )
+            for r in contamination_report(
+                _mk_docs(spark, corpus),
+                _mk_docs(spark, bench),
+                window=window,
+            ).collect()
+        }
+        assert got == _brute_contamination(corpus, bench, window), (
+            f"trial {trial} window {window}"
+        )
+
+
+def test_contamination_partitioning_invariant(spark):
+    from schemasaurus_spark.operators.decontam import contamination_report
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    corpus = {i: f"doc {i} says {passage} here" for i in range(12)}
+    bench = {99: f"eval asks about {passage} exactly"}
+    a = contamination_report(
+        _mk_docs(spark, corpus).repartition(1),
+        _mk_docs(spark, bench),
+        window=8,
+    )
+    b = contamination_report(
+        _mk_docs(spark, corpus).repartition(7),
+        _mk_docs(spark, bench),
+        window=8,
+        broadcast_benchmark=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
