@@ -1331,6 +1331,61 @@ GROUP BY c.doc_id
 """
 
 
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1):
+    per-doc modal-bigram share + repeated-5-gram occurrence share —
+    the filters that drop templated / keyword-stuffed documents.  Only
+    shuffle is a map-side-combined (doc, n-gram) count; the modal bigram
+    tie-breaks deterministically (max struct = lexicographically largest
+    among max-count), which the oracle mirrors with ORDER BY cnt DESC,
+    g DESC."""
+    from schemasaurus_spark.operators.repetition import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir), long_n=5)
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, array_to_string(t[u.i:u.i+1], ' ') AS g
+  FROM toks JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t) - 1
+),
+bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
+bgr AS (
+  SELECT doc_id, g, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, g DESC) AS rn
+  FROM bgc
+),
+bi AS (
+  SELECT doc_id, CAST(total AS BIGINT) AS n_bigrams, g AS top_bigram,
+         CAST(cnt AS BIGINT) AS top_bigram_count,
+         CAST(cnt AS DOUBLE) / total AS top_bigram_frac
+  FROM bgr WHERE rn = 1
+),
+lgrams AS (
+  SELECT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS g
+  FROM toks JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t) - 4
+),
+lgc AS (SELECT doc_id, g, count(*) AS cnt FROM lgrams GROUP BY doc_id, g),
+lg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_longgrams,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt) AS dup_longgram_frac
+  FROM lgc GROUP BY doc_id
+)
+SELECT bi.doc_id, bi.n_bigrams, bi.top_bigram, bi.top_bigram_count,
+       bi.top_bigram_frac,
+       coalesce(lg.n_longgrams, 0) AS n_longgrams,
+       coalesce(lg.dup_longgram_frac, 0.0) AS dup_longgram_frac
+FROM bi LEFT JOIN lg ON bi.doc_id = lg.doc_id
+"""
+
+
 def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode path (round-4, closes the image-codec stub):
     executor-side baseline-JPEG ENCODE of block-constant grayscale pixels
@@ -1786,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": doc_pii_redaction,
         "doc_packing": doc_packing,
         "doc_decontamination": doc_decontamination,
+        "doc_repetition_profile": doc_repetition_profile,
         "doc_normalize": doc_normalize,
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
@@ -1832,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redaction": _PII_ORACLE,
         "doc_packing": _PACKING_ORACLE,
         "doc_decontamination": _DECONTAM_ORACLE,
+        "doc_repetition_profile": _REPETITION_ORACLE,
         "doc_normalize": _NORMALIZE_ORACLE,
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,

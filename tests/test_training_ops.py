@@ -322,3 +322,105 @@ def test_contamination_partitioning_invariant(spark):
         broadcast_benchmark=False,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def _brute_repetition(texts: dict[int, str], long_n: int):
+    """Independent reference for the Gopher repetition signals."""
+    out = {}
+    for i, t in texts.items():
+        if t is None or not t.strip():
+            continue
+        toks = re.split(r"\s+", t.strip().lower())
+        if len(toks) < 2:
+            continue
+        bgs = [" ".join(toks[p : p + 2]) for p in range(len(toks) - 1)]
+        counts: dict[str, int] = {}
+        for g in bgs:
+            counts[g] = counts.get(g, 0) + 1
+        top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if len(toks) >= long_n:
+            lgs = [
+                " ".join(toks[p : p + long_n])
+                for p in range(len(toks) - long_n + 1)
+            ]
+            lc: dict[str, int] = {}
+            for g in lgs:
+                lc[g] = lc.get(g, 0) + 1
+            n_lg = len(lgs)
+            dup = sum(c for c in lc.values() if c > 1) / n_lg
+        else:
+            n_lg, dup = 0, 0.0
+        out[i] = (
+            len(bgs),
+            top[0],
+            top[1],
+            round(top[1] / len(bgs), 9),
+            n_lg,
+            round(dup, 9),
+        )
+    return out
+
+
+def test_repetition_profile_planted(spark):
+    from schemasaurus_spark.operators.repetition import (
+        filter_repetitive,
+        repetition_profile,
+    )
+
+    texts = {
+        1: "spam spam spam spam spam spam",                      # one bigram owns all
+        2: "all words here are completely distinct tokens now",  # no repetition
+        3: "a b c d e a b c d e a b c d e",                      # repeated 5-gram loop
+        4: "x",                                                  # too short: excluded
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["top_bigram"],
+            r["top_bigram_count"],
+            round(r["top_bigram_frac"], 9),
+            r["n_longgrams"],
+            round(r["dup_longgram_frac"], 9),
+        )
+        for r in repetition_profile(_mk_docs(spark, texts), long_n=5).collect()
+    }
+    assert got == _brute_repetition(texts, 5)
+    assert got[1][3] == 1.0          # modal bigram owns every position
+    assert got[2][5] == 0.0          # no repeated 5-grams
+    assert got[3][5] > 0.5           # looping doc flagged
+    kept = {
+        r["doc_id"]
+        for r in filter_repetitive(
+            _mk_docs(spark, texts), 0.2, 0.15, long_n=5
+        ).collect()
+    }
+    # docs 1 and 3 breach; doc 4 never enters the profile so it survives
+    assert kept == {2, 4}
+
+
+def test_repetition_brute_force_parity_random(spark):
+    import random
+
+    from schemasaurus_spark.operators.repetition import repetition_profile
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab => heavy repetition
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(40)
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["top_bigram"],
+            r["top_bigram_count"],
+            round(r["top_bigram_frac"], 9),
+            r["n_longgrams"],
+            round(r["dup_longgram_frac"], 9),
+        )
+        for r in repetition_profile(_mk_docs(spark, texts), long_n=5).collect()
+    }
+    assert got == _brute_repetition(texts, 5)
