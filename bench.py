@@ -99,6 +99,8 @@ def main():
         "doc_lang_id",
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
+        "doc_decontamination",
+        "doc_repetition_profile",
         "doc_pii_redaction",
         "doc_packing",
         "lineitem_dup_rows",
