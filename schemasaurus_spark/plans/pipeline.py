@@ -39,6 +39,8 @@ from schemasaurus_spark.operators.dedup import (
     minhash_near_duplicates,
     pin_scope,
 )
+from schemasaurus_spark.operators.decontam import decontaminate
+from schemasaurus_spark.operators.repetition import filter_repetitive
 from schemasaurus_spark.operators.sampling import stratified_sample
 from schemasaurus_spark.operators.text import quality_score
 from schemasaurus_spark.schema.columns import validate_dataframe
@@ -46,7 +48,19 @@ from schemasaurus_spark.schema.columns import validate_dataframe
 
 @dataclass
 class CorpusPipeline:
-    """Config for the curation run; every knob mirrors an operator arg."""
+    """Config for the curation run; every knob mirrors an operator arg.
+
+    Two optional stages (both OFF by default, preserving the oracled
+    five-stage ``doc_training_corpus`` contract) slot in between exact
+    dedup and the LSH stage — the cheapest point: the corpus is already
+    shrunk by the single-scan filters, and every doc they remove is one
+    the expensive banded self-join never sees:
+
+    * ``repetition_thresholds=(max_top_bigram_frac, max_dup_longgram_frac)``
+      drops Gopher-rule repetitious docs (operators/repetition.py);
+    * ``benchmark=<DataFrame>`` drops docs sharing a ``decontam_window``-
+      token n-gram with the held-out eval set (operators/decontam.py).
+    """
 
     schema: dict
     quality_min: float = 0.0
@@ -57,6 +71,10 @@ class CorpusPipeline:
     strata_col: str = "lang"
     text_col: str = "text"
     id_col: str = "doc_id"
+    repetition_thresholds: tuple | None = None
+    repetition_long_n: int = 5
+    benchmark: DataFrame | None = None
+    decontam_window: int = 13
 
     def valid_docs(self, docs: DataFrame) -> DataFrame:
         v = validate_dataframe(docs, self.schema)
@@ -68,6 +86,21 @@ class CorpusPipeline:
 
     def exact_deduped(self, docs: DataFrame) -> DataFrame:
         return dedup_exact(docs, self.text_col, self.id_col)
+
+    def optional_filtered(self, docs: DataFrame) -> DataFrame:
+        """The two opt-in stages (no-op with default config)."""
+        if self.repetition_thresholds is not None:
+            max_bg, max_lg = self.repetition_thresholds
+            docs = filter_repetitive(
+                docs, max_bg, max_lg, self.text_col, self.id_col,
+                long_n=self.repetition_long_n,
+            )
+        if self.benchmark is not None:
+            docs = decontaminate(
+                docs, self.benchmark, self.text_col, self.id_col,
+                window=self.decontam_window,
+            )
+        return docs
 
     def near_deduped(self, docs: DataFrame) -> DataFrame:
         # pin_scope bounds the lifetime of the 4-5 intermediates the LSH
@@ -104,7 +137,11 @@ class CorpusPipeline:
         re-derives stages 1-3 lazily on the caller's action and anti-joins
         the (already materialized) cluster-loser list."""
         return self.sampled(
-            self.near_deduped(self.exact_deduped(self.quality_docs(self.valid_docs(docs))))
+            self.near_deduped(
+                self.optional_filtered(
+                    self.exact_deduped(self.quality_docs(self.valid_docs(docs)))
+                )
+            )
         )
 
     def run_with_counts(self, docs: DataFrame) -> tuple[DataFrame, dict]:
@@ -133,7 +170,10 @@ class CorpusPipeline:
                 StorageLevel.MEMORY_AND_DISK
             )
             counts["after_exact_dedup"] = exact.count()
-            deduped = self.near_deduped(exact)
+            filtered = self.optional_filtered(exact)
+            if self.repetition_thresholds is not None or self.benchmark is not None:
+                counts["after_optional_filters"] = filtered.count()
+            deduped = self.near_deduped(filtered)
             counts["after_near_dedup"] = deduped.count()
             out = self.sampled(deduped)
             counts["after_sampling"] = out.count()

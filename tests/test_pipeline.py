@@ -140,3 +140,43 @@ def test_quality_column_present_in_output(spark, raw_docs):
     out = pipe.run(raw_docs)
     assert "quality" in out.columns
     assert out.where(F.col("quality") < 0).count() == 0
+
+
+def test_optional_decontam_and_repetition_stages(spark, raw_docs):
+    # plant one repetitious doc and one benchmark-contaminated doc that
+    # survive every default stage, then flip the optional stages on
+    extra = spark.createDataFrame(
+        [
+            (200, "loop loop loop loop loop loop loop loop loop loop", "en"),
+            (201, "the hidden eval passage appears verbatim right here okay", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs = raw_docs.union(extra)
+    bench = spark.createDataFrame(
+        [(900, "question: the hidden eval passage appears verbatim right here")],
+        "doc_id long, text string",
+    )
+
+    base = CorpusPipeline(schema=SCHEMA, quality_min=0.0, minhash_threshold=0.5)
+    base_ids = {r["doc_id"] for r in base.run(docs).collect()}
+    assert {200, 201} <= base_ids  # both pass the default five stages
+
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.0,
+        minhash_threshold=0.5,
+        repetition_thresholds=(0.5, 0.5),
+        benchmark=bench,
+        decontam_window=8,
+    )
+    out, counts = pipe.run_with_counts(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 200 not in ids and 201 not in ids
+    assert ids == base_ids - {200, 201}
+    assert (
+        counts["after_optional_filters"]
+        == counts["after_exact_dedup"] - 2
+    )
+    # run() composes the same stages as the instrumented path
+    assert {r["doc_id"] for r in pipe.run(docs).collect()} == ids
