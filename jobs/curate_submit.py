@@ -6,7 +6,9 @@
         --schema schema.json             (draft-4 doc schema) \
         [--quality-min 0.35] [--minhash-threshold 0.5] \
         [--sample '{"en": 0.6, "de": 0.4}'] [--sample-default 1.0] \
-        [--sample-seed 0] [--strata-col lang] [--with-counts]
+        [--sample-seed 0] [--strata-col lang] [--with-counts] \
+        [--benchmark /data/eval_docs --decontam-window 13] \
+        [--max-top-bigram-frac 0.2 --max-dup-longgram-frac 0.15]
 
 Runs plans/pipeline.py's CorpusPipeline — validate, quality-filter,
 exact-dedup, near-dedup by MinHash connected components, stratified
@@ -73,13 +75,31 @@ def main() -> None:
     ap.add_argument("--sample-seed", type=int, default=0)
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--with-counts", action="store_true")
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet dir of held-out eval docs; enables n-gram decontamination",
+    )
+    ap.add_argument("--decontam-window", type=int, default=13)
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None)
+    ap.add_argument("--max-dup-longgram-frac", type=float, default=None)
     args = ap.parse_args()
+
+    rep_thresholds = None
+    if args.max_top_bigram_frac is not None or args.max_dup_longgram_frac is not None:
+        rep_thresholds = (
+            args.max_top_bigram_frac if args.max_top_bigram_frac is not None else 1.0,
+            args.max_dup_longgram_frac
+            if args.max_dup_longgram_frac is not None
+            else 1.0,
+        )
 
     from schemasaurus_spark.plans.pipeline import CorpusPipeline
 
     with open(args.schema) as f:
         schema = json.load(f)
 
+    spark = build_session()
     pipe = CorpusPipeline(
         schema=schema,
         quality_min=args.quality_min,
@@ -88,9 +108,10 @@ def main() -> None:
         sample_default=args.sample_default,
         sample_seed=args.sample_seed,
         strata_col=args.strata_col,
+        repetition_thresholds=rep_thresholds,
+        benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+        decontam_window=args.decontam_window,
     )
-
-    spark = build_session()
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}
     if args.with_counts:
