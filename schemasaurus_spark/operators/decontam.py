@@ -48,13 +48,18 @@ from .substring_dedup import window_hash_positions
 def benchmark_window_hashes(
     benchmark: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     window: int = 13,
 ) -> DataFrame:
     """Distinct xxhash64 keys of every ``window``-token n-gram in the
-    benchmark set — the (small) probe side of the contamination join."""
+    benchmark set — the (small) probe side of the contamination join.
+    Only ``text_col`` is required of the benchmark frame: an eval set
+    keyed by `example_id` (or not keyed at all) works as-is — a synthetic
+    id stands in for the one window_hash_positions projects then drops."""
+    keyed = benchmark.select(
+        F.lit(0).cast("long").alias("_bench_id"), F.col(text_col)
+    )
     return (
-        window_hash_positions(benchmark, text_col, id_col, window)
+        window_hash_positions(keyed, text_col, "_bench_id", window)
         .select("h")
         .distinct()
     )
@@ -67,13 +72,16 @@ def contamination_report(
     id_col: str = "doc_id",
     window: int = 13,
     broadcast_benchmark: bool = True,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Per-document contamination evidence: one row per corpus document
     sharing >=1 ``window``-token n-gram with the benchmark, with
     ``n_window_hits`` (corpus window positions matching any benchmark
     n-gram), ``n_distinct_ngrams`` (distinct shared n-grams), and
-    ``first_hit_pos`` (earliest matching token offset, for auditing)."""
-    bench = benchmark_window_hashes(benchmark, text_col, id_col, window)
+    ``first_hit_pos`` (earliest matching token offset, for auditing).
+    The benchmark frame needs only its text column (``bench_text_col``,
+    default = ``text_col``)."""
+    bench = benchmark_window_hashes(benchmark, bench_text_col or text_col, window)
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     wins = window_hash_positions(corpus, text_col, id_col, window)
@@ -95,11 +103,13 @@ def decontaminate(
     id_col: str = "doc_id",
     window: int = 13,
     broadcast_benchmark: bool = True,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """The corpus minus every contaminated document (left-anti join on
     the report's doc ids; the report is contamination-sized — tiny next
     to the corpus — so AQE converts the anti-join to a broadcast)."""
     flagged = contamination_report(
-        corpus, benchmark, text_col, id_col, window, broadcast_benchmark
+        corpus, benchmark, text_col, id_col, window, broadcast_benchmark,
+        bench_text_col,
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")

@@ -29,12 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col), toks.alias("_toks"))
+from .tokenize import tokenized as _tokens_df
 
 
 def _ngrams_expr(n: int) -> str:
@@ -56,7 +51,7 @@ def repetition_profile(
     whose n-gram occurs more than once in the doc).  Docs with fewer than
     2 tokens emit nothing; docs shorter than ``long_n`` tokens report
     ``n_longgrams = 0`` and ``dup_longgram_frac = 0.0``."""
-    base = _tokens(df, text_col, id_col)
+    base = _tokens_df(df, text_col, id_col)
 
     bi = (
         base.where(F.size("_toks") >= 2)

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .tokenize import tokenized
+
 
 def window_hash_positions(
     df: DataFrame,
@@ -38,13 +40,9 @@ def window_hash_positions(
     window: int = 8,
 ) -> DataFrame:
     """(id, pos, h): xxhash64 of each ``window``-token window, one row per
-    position.  Tokenization = split of lowercased/trimmed text on \\s+
-    (mirrors the text-analysis operators); docs with fewer than ``window``
-    tokens emit nothing."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col), toks.alias("_toks"))
+    position.  Tokenization = operators/tokenize.py (the one shared
+    definition); docs with fewer than ``window`` tokens emit nothing."""
+    base = tokenized(df, text_col, id_col)
     n = F.size("_toks")
     hashes = F.expr(
         f"transform(sequence(0, size(_toks) - {window}), "

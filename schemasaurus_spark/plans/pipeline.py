@@ -160,6 +160,7 @@ class CorpusPipeline:
         observed = docs.observe(obs, F.count(F.lit(1)).alias("n_input"))
         valid = self.valid_docs(observed).persist(StorageLevel.MEMORY_AND_DISK)
         exact = None
+        pinned_filtered = None
         try:
             counts = {"input": 0}
             counts["after_validation"] = valid.count()  # the one raw scan
@@ -171,7 +172,13 @@ class CorpusPipeline:
             )
             counts["after_exact_dedup"] = exact.count()
             filtered = self.optional_filtered(exact)
-            if self.repetition_thresholds is not None or self.benchmark is not None:
+            if filtered is not exact:  # an optional stage is on
+                # persist this boundary like the others: the repetition
+                # (doc, n-gram) shuffle / decontam hash-join would
+                # otherwise be re-executed by every downstream action
+                # (the count here, the eager LSH jobs, and two more counts)
+                pinned_filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+                filtered = pinned_filtered
                 counts["after_optional_filters"] = filtered.count()
             deduped = self.near_deduped(filtered)
             counts["after_near_dedup"] = deduped.count()
@@ -181,4 +188,6 @@ class CorpusPipeline:
             valid.unpersist()
             if exact is not None:
                 exact.unpersist()
+            if pinned_filtered is not None:
+                pinned_filtered.unpersist()
         return out, counts
