@@ -544,6 +544,46 @@ GROUP BY 1, 2, 3
 """
 
 
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the events table (8-hour
+    inactivity gap): per-user activity bursts with start/end/count/value
+    rollups.  The engine path (operators/sessionize.py) is one window
+    pass + one rollup over a single user-keyed shuffle; a second,
+    independent implementation via ``F.session_window`` is asserted
+    row-identical in test_streaming.py, and THIS oracle pins the
+    gaps-and-islands arithmetic (strict > gap opens a session — the
+    empirically-verified session_window merge rule) in SQL."""
+    from schemasaurus_spark.operators.sessionize import session_stats
+
+    return session_stats(_table(spark, sf_dir, "events"), gap_seconds=28800)
+
+
+_SESSIONIZATION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 28800 * 1000000::BIGINT
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k — the sublinear scale path (n_list ≈ sqrt(n)
     coarse cells, probes scan their 4 nearest lists ⇒ expected
@@ -1857,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
         "event_windowed_counts": event_windowed_counts,
+        "event_sessionization": event_sessionization,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "media_wav_features": media_wav_features,
@@ -1905,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
+        "event_sessionization": _SESSIONIZATION_ORACLE,
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "media_wav_features": _MEDIA_WAV_ORACLE,

@@ -115,6 +115,7 @@ def main():
         "event_value_quartiles",
         "event_value_ks_drift",
         "event_windowed_counts",
+        "event_sessionization",
         "media_image_features",
         "media_png_features",
         "media_wav_features",

@@ -56,6 +56,73 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows (``F.session_window``): sessions close
+    after ``gap`` of per-user silence.  Output: (user, session_start,
+    session_end, n_events, sum_value) with ``session_end`` = LAST event's
+    timestamp (session_window's native end is ``max(ts) + gap``; we
+    subtract the gap back so batch gaps-and-islands sessionization
+    — operators/sessionize.py — and this streaming path emit identical
+    rows; test_streaming asserts that equality on the events table).
+
+    On a stream, state for a user's open session is evicted once the
+    watermark passes ``session_end + gap``; append mode emits each
+    session exactly once when it can no longer extend."""
+    w = F.session_window(F.col(ts_col), gap).alias("w")
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(w, F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    source_schema=None,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Start the session-window stream (availableNow drain; parquet sink's
+    transaction log gives exactly-once, same contract as
+    stream_windowed_counts)."""
+    if source_schema is None:
+        source_schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    agg = session_counts(stream, gap, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/sessions")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     input_dir: str,
