@@ -15,8 +15,8 @@ import numpy as np
 import pytest
 
 from schemasaurus_spark.operators.jpeg import (
-    DCT_BASIS,
     UNZIGZAG,
+    _fdct_quant,
     ZIGZAG,
     decode_jpeg,
     decode_jpeg_luma,
@@ -134,13 +134,16 @@ def test_idct_matches_independent_direct_cosine_sum():
     planes, h, w = decode_jpeg_planes(encode_jpeg(img))
     fast = planes[0]
 
-    # rebuild the quantized coefficients exactly as the encoder makes them
-    shifted = img.astype(np.float64) - 128.0
+    # Take the quantized coefficients from the encoder itself (what the
+    # stream actually carries): re-deriving them here with a different
+    # float summation order flips np.round at exact-half DC values
+    # (seed-11 block (1,1) lands on 47.5 +- 1 ulp).  The independence this
+    # test buys is in the RECONSTRUCTION below, not the coefficient source.
+    qcoefs = _fdct_quant(img.astype(np.float64), np.ones((8, 8)))
     slow = np.zeros((16, 16))
     for by in range(2):
         for bx in range(2):
-            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = np.round(DCT_BASIS @ blk @ DCT_BASIS.T)  # q=1 quantize
+            coef = qcoefs[by, bx][UNZIGZAG].reshape(8, 8).astype(np.float64)
             for x in range(8):
                 for y in range(8):
                     acc = 0.0
