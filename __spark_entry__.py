@@ -750,6 +750,57 @@ WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.45, "src1": 0.25, "src2": 0.2, "src3": 0.1}
+_MIX_FACTOR = 0.8
+_MIX_SEED = 0
+
+
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-weighted source mixing with deterministic upsampling.
+
+    Rates are derived IN-PLAN from the observed per-source counts
+    (``rate = budget * weight / n_source``; budget = 0.8x the corpus), so
+    over-weighted sources are REPEATED ``floor(rate)`` times plus a
+    deterministic fractional epoch — the mixture-assembly step of a
+    training pipeline (operators/mixing.py).  The md5-bucket scheme and
+    pure IEEE-double rate arithmetic make the exact epoch-tagged row set
+    SQL-expressible."""
+    from schemasaurus_spark.operators.mixing import mix_sources
+
+    return mix_sources(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIX_WEIGHTS,
+        budget_factor=_MIX_FACTOR,
+        seed=_MIX_SEED,
+    ).select("doc_id", "source", "epoch")
+
+
+def _source_mix_oracle_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN CAST({w!r} AS DOUBLE)" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS total FROM counts),
+base AS (
+  SELECT d.doc_id, d.source,
+         (CAST({_MIX_FACTOR!r} AS DOUBLE) * CAST(t.total AS DOUBLE))
+           * (CASE d.source {whens} ELSE CAST(0.0 AS DOUBLE) END)
+           / CAST(c.n AS DOUBLE) AS rate,
+         CAST(('0x' || substr(md5(d.doc_id || ':{_MIX_SEED}'), 1, 4)) AS INTEGER) AS bucket
+  FROM documents d JOIN counts c USING (source) CROSS JOIN tot t
+),
+cop AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS BIGINT)
+           + (CASE WHEN bucket < floor((rate - floor(rate)) * 65536.0) THEN 1 ELSE 0 END) AS n_copies
+  FROM base
+)
+SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+FROM cop WHERE n_copies > 0
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -1887,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_source_mix": doc_source_mix,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
@@ -1935,6 +1987,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
         "doc_stratified_sample": _stratified_oracle_sql(),
+        "doc_source_mix": _source_mix_oracle_sql(),
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
