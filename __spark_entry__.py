@@ -801,6 +801,69 @@ FROM cop WHERE n_copies > 0
 """
 
 
+_VOCAB_K = 50
+
+
+def doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with term + document frequencies.
+
+    Two-level skew-safe aggregation (hot tokens collapse to one row per
+    document before the token-level shuffle) + TakeOrdered top-k with a
+    deterministic (tf desc, token asc) tie-break — the tokenizer-fitting
+    / stopword-derivation pass of a training pipeline
+    (operators/vocab.py)."""
+    from schemasaurus_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir).select("doc_id", "text"), _VOCAB_K)
+
+
+_VOCAB_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY token, doc_id
+),
+stats AS (SELECT token, sum(c) AS tf, count(*) AS df_docs FROM per_doc GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank,
+       token, CAST(tf AS BIGINT) AS tf, CAST(df_docs AS BIGINT) AS df_docs
+FROM stats ORDER BY tf DESC, token LIMIT {_VOCAB_K}
+"""
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-aware quality score: mean log-probability of each
+    document under a char-trigram LM fitted on the corpus itself
+    (operators/lm.py — CCNet-style perplexity filtering without an
+    external model).  Model table is bounded by charset^3 regardless of
+    corpus size, so scoring is one scan + broadcast join."""
+    from schemasaurus_spark.operators.lm import lm_quality_score
+
+    return lm_quality_score(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_LM_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+  WHERE text IS NOT NULL AND length(lower(trim(text))) >= 3
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS gram
+  FROM norm
+),
+model AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram),
+tot AS (SELECT sum(cnt) AS total FROM model)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(ln(CAST(m.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))), 6) AS avg_logp
+FROM grams g JOIN model m USING (gram) CROSS JOIN tot t
+GROUP BY g.doc_id
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -1839,6 +1902,49 @@ FROM counts, tot
 """
 
 
+_PSI_LO, _PSI_WIDTH, _PSI_BINS = 0.0, 25.0, 20
+
+
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution between the
+    same two deterministic halves the chi-square/KS queries use (even vs
+    odd event_id), over a frozen 20-bin grid with Laplace-smoothed
+    proportions (drift.py psi_statistic).  The production drift metric
+    alongside KS/chi² — same mergeable-histogram shape as snapshot.py's
+    frozen grid (groupBy collapses to n_bins rows; empty bins contribute
+    via a range join)."""
+    from schemasaurus_spark.operators.drift import psi_statistic
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "value")
+    return psi_statistic(
+        ev, "value", F.col("event_id") % 2 == 0, _PSI_LO, _PSI_WIDTH, _PSI_BINS
+    )
+
+
+_PSI_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - {_PSI_LO!r}) / {_PSI_WIDTH!r}), 0), {_PSI_BINS - 1}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+filled AS (
+  SELECT coalesce(c.c1, 0) AS c1, coalesce(c.c2, 0) AS c2
+  FROM range({_PSI_BINS}) g(bin) LEFT JOIN counts c ON c.bin = g.bin
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM filled)
+SELECT round(sum(
+         ((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * {float(_PSI_BINS)!r})
+          - (CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * {float(_PSI_BINS)!r}))
+         * ln(((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * {float(_PSI_BINS)!r}))
+              / ((CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * {float(_PSI_BINS)!r})))
+       ), 6) AS psi,
+       CAST(max(n1) AS BIGINT) AS n_base,
+       CAST(max(n2) AS BIGINT) AS n_cur
+FROM filled, tot
+"""
+
+
 def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov statistic of the value
     distribution between the same two deterministic halves the chi-square
@@ -1939,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_source_mix": doc_source_mix,
+        "doc_token_topk": doc_token_topk,
+        "doc_lm_score": doc_lm_score,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
@@ -1962,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quartiles": event_value_quartiles,
         "event_type_chi2_drift": event_type_chi2_drift,
         "event_value_ks_drift": event_value_ks_drift,
+        "event_value_psi_drift": event_value_psi_drift,
     }
 
 
@@ -1988,6 +2097,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_ORACLE,
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_source_mix": _source_mix_oracle_sql(),
+        "doc_token_topk": _VOCAB_ORACLE,
+        "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
@@ -2010,5 +2121,6 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
         "event_type_chi2_drift": _CHI2_ORACLE,
+        "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,
     }

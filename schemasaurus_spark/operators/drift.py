@@ -131,6 +131,92 @@ def chi_square_from_counts(base: dict[str, int], cur: dict[str, int]) -> tuple[f
     return stat, max(k_eff - 1, 1)
 
 
+PSI_SMOOTH = 0.5
+
+
+def psi_from_counts(base: dict, cur: dict, cells: list | None = None) -> float:
+    """Population Stability Index between two count maps over the SAME
+    cell space (histogram bins or category values).
+
+    ``psi = sum_i (p_i - q_i) * ln(p_i / q_i)`` with Laplace smoothing
+    ``p_i = (c_i + 0.5) / (n + 0.5 * K)`` so empty cells are well-defined
+    (the industry eps-substitution made deterministic).  ``cells``
+    defaults to the union of observed keys — pass the full bin range
+    explicitly when absent bins must contribute (they do whenever the two
+    sides' totals differ).  Rule of thumb: <0.1 stable, 0.1-0.25 moderate
+    shift, >0.25 major shift."""
+    cs = list(cells) if cells is not None else sorted(set(base) | set(cur))
+    k = len(cs)
+    if k == 0:
+        return 0.0
+    n1 = sum(base.values())
+    n2 = sum(cur.values())
+    d1 = n1 + PSI_SMOOTH * k
+    d2 = n2 + PSI_SMOOTH * k
+    psi = 0.0
+    for c in cs:
+        p = (base.get(c, 0) + PSI_SMOOTH) / d1
+        q = (cur.get(c, 0) + PSI_SMOOTH) / d2
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def psi_statistic(
+    df: DataFrame,
+    value_col: str,
+    is_base,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """In-engine PSI of a numeric column between two row subsets over a
+    FROZEN literal grid: one row ``(psi, n_base, n_cur)``.
+
+    Shape: one map-side-combined groupBy over bin ids (output rows =
+    ``n_bins``, independent of input size), a ``spark.range(n_bins)``
+    left join so empty bins contribute their smoothed term, then a single
+    scalar aggregate — the same mergeable-histogram design as
+    ``snapshot.py``'s frozen grid, with all arithmetic (floor/clamp,
+    Laplace ``+0.5`` smoothing, ``ln``) in IEEE doubles so a SQL engine
+    reproduces the statistic bit-for-bit at 6-decimal rounding."""
+    spark = df.sparkSession
+    val = F.col(value_col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor((val - F.lit(float(lo))) / F.lit(float(width))), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.sum(is_base.cast("long")).alias("c1"),
+            F.sum((~is_base).cast("long")).alias("c2"),
+        )
+    )
+    full = (
+        spark.range(n_bins)
+        .select(F.col("id").alias("bin"))
+        .join(counts, "bin", "left")
+        .select(
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    tot = full.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    s = F.lit(PSI_SMOOTH)
+    kd = F.lit(float(n_bins))
+    p = (F.col("c1").cast("double") + s) / (F.col("n1").cast("double") + s * kd)
+    q = (F.col("c2").cast("double") + s) / (F.col("n2").cast("double") + s * kd)
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.max("n1").alias("n_base"),
+            F.max("n2").alias("n_cur"),
+        )
+    )
+
+
 DEFAULT_PROBS = [i / 100.0 for i in range(1, 100)]
 
 

@@ -43,6 +43,7 @@ from schemasaurus_spark.operators.drift import (
     chi_square_from_counts,
     chi_square_pvalue,
     ks_significance,
+    psi_from_counts,
 )
 
 
@@ -314,11 +315,15 @@ def drift_vs_snapshot(
         n1 = b.n - b.n_null
         n2 = u.n - u.n_null
         p = ks_significance(stat, max(n1, 1), max(n2, 1))
+        psi = psi_from_counts(
+            base_bins.get(c, {}), cur_bins.get(c, {}), cells=list(range(n_bins + 2))
+        )
         report.append(
             {
                 "column": c,
                 "test": "ks",
                 "statistic": stat,
+                "psi": psi,
                 "p_value": p,
                 "drifted": p < alpha,
                 "null_rate_base": b.n_null / b.n if b.n else 0.0,
@@ -331,11 +336,13 @@ def drift_vs_snapshot(
         b, u = base_cols[c], cur_cols[c]
         stat, dof = chi_square_from_counts(base_cats.get(c, {}), cur_cats.get(c, {}))
         p = chi_square_pvalue(stat, dof) if dof > 0 else 1.0
+        psi = psi_from_counts(base_cats.get(c, {}), cur_cats.get(c, {}))
         report.append(
             {
                 "column": c,
                 "test": "chi_square",
                 "statistic": stat,
+                "psi": psi,
                 "p_value": p,
                 "drifted": p < alpha,
                 "null_rate_base": b.n_null / b.n if b.n else 0.0,

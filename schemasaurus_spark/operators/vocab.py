@@ -1,0 +1,63 @@
+"""Corpus vocabulary statistics: term/document frequencies and top-k.
+
+The vocabulary pass of a training pipeline (tokenizer fitting, stopword
+derivation, frequency-based filtering) over the shared corpus
+tokenization (``operators/tokenize.py`` — oracle-identical split).
+
+Shape at 10^12 docs:
+
+* **two-level aggregation, skew-safe by construction**: the first
+  ``groupBy(token, doc)`` map-side-combines within each document's rows,
+  so a stop-word like "the" reaches the shuffle as one row per
+  *document*, not one per *occurrence*; the second ``groupBy(token)``
+  then sees partial sums per partition before the exchange (standard
+  two-phase hash aggregation) — no single reducer ever materializes a
+  hot token's occurrence list;
+* **df (document frequency) falls out for free** from the same pass —
+  ``count(*)`` over the per-doc rows — instead of a separate
+  ``count_distinct`` expansion;
+* **top-k is TakeOrdered** (per-partition heap + driver merge of k-row
+  heads), never a global sort of the vocabulary; the ``rank`` column is
+  a window over the already-LIMITed k rows (single partition of k rows
+  — intentional and tiny, not the corpus).
+
+No reference counterpart (training-pipeline surface, like sampling.py /
+mixing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.tokenize import tokenized
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-token ``(token, tf, df_docs)``: total occurrences and the
+    number of distinct documents containing the token."""
+    per_doc = (
+        tokenized(df, text_col, id_col)
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("_c").alias("tf"), F.count(F.lit(1)).alias("df_docs")
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` corpus tokens as ``(rank, token, tf, df_docs)``.
+
+    Deterministic total order: ``tf`` descending, token ascending — ties
+    never depend on partitioning.  ``rank`` is 1-based."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    top = token_stats(df, text_col, id_col).orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "token", "tf", "df_docs"
+    )

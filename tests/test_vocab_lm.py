@@ -1,0 +1,115 @@
+"""Vocabulary stats / top-k (operators/vocab.py) and self-trained
+char-n-gram LM quality scoring (operators/lm.py), parity-checked
+against independent pure-Python brute forces.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from schemasaurus_spark.operators.lm import char_ngram_counts, lm_quality_score
+from schemasaurus_spark.operators.vocab import token_stats, vocab_topk
+
+
+def _mk(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def _brute_token_stats(texts):
+    tf: Counter = Counter()
+    dfreq: Counter = Counter()
+    for t in texts.values():
+        if t is None or not t.strip():
+            continue
+        toks = re.split(r"\s+", t.strip().lower())
+        tf.update(toks)
+        dfreq.update(set(toks))
+    return {w: (tf[w], dfreq[w]) for w in tf}
+
+
+def test_token_stats_brute_force(spark):
+    texts = {
+        1: "the cat sat on the mat",
+        2: "THE dog  and the cat",
+        3: None,
+        4: "   ",
+        5: "mat",
+    }
+    got = {r.token: (r.tf, r.df_docs) for r in token_stats(_mk(spark, texts)).collect()}
+    assert got == _brute_token_stats(texts)
+
+
+def test_vocab_topk_order_and_ties(spark):
+    texts = {1: "b b a a c", 2: "a b"}
+    # tf: a=3, b=3, c=1 -> tie broken by token asc
+    got = [(r.rank, r.token, r.tf, r.df_docs) for r in vocab_topk(_mk(spark, texts), 2).collect()]
+    assert got == [(1, "a", 3, 2), (2, "b", 3, 2)]
+
+
+def test_vocab_topk_k_exceeds_vocab(spark):
+    got = vocab_topk(_mk(spark, {1: "x y"}), 10).collect()
+    assert {r.token for r in got} == {"x", "y"} and len(got) == 2
+    with pytest.raises(ValueError):
+        vocab_topk(_mk(spark, {1: "x"}), 0)
+
+
+def _brute_lm(texts, n=3, model_texts=None, laplace=False):
+    def grams(t):
+        t = t.strip().lower()
+        return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+    model: Counter = Counter()
+    for t in (model_texts or texts).values():
+        if t is not None and len(t.strip().lower()) >= n:
+            model.update(grams(t))
+    total, v = sum(model.values()), len(model)
+    out = {}
+    for i, t in texts.items():
+        if t is None or len(t.strip().lower()) < n:
+            continue
+        gs = grams(t)
+        if laplace:
+            lps = [math.log((model.get(g, 0) + 1) / (total + v)) for g in gs]
+        else:
+            lps = [math.log(model[g] / total) for g in gs if g in model]
+        out[i] = (len(gs), round(sum(lps) / len(lps), 6))
+    return out
+
+
+def test_lm_self_trained_brute_force(spark):
+    texts = {1: "abcabcabc", 2: "abcxyz", 3: "zz", 4: None, 5: "   abca  "}
+    df = _mk(spark, texts)
+    got = {r.doc_id: (r.n_grams, r.avg_logp) for r in lm_quality_score(df).collect()}
+    want = _brute_lm(texts)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 2e-6
+
+
+def test_lm_repetitive_text_scores_higher(spark):
+    texts = {1: "aaaaaaaaaaaaaaaaaaaa", 2: "the quick brown fox jumps"}
+    got = {r.doc_id: r.avg_logp for r in lm_quality_score(_mk(spark, texts)).collect()}
+    # doc 1's grams are all 'aaa' (high corpus probability) -> higher logp
+    assert got[1] > got[2]
+
+
+def test_lm_laplace_external_model_unseen_grams(spark):
+    model_df = _mk(spark, {10: "abcabc"})
+    score_df = _mk(spark, {1: "abcq"})  # grams abc, bcq(unseen), cq? len 4 -> abc, bcq
+    model = char_ngram_counts(model_df)
+    got = lm_quality_score(score_df, model=model, laplace=True).collect()
+    want = _brute_lm({1: "abcq"}, model_texts={10: "abcabc"}, laplace=True)
+    assert len(got) == 1 and got[0].n_grams == want[1][0]
+    assert abs(got[0].avg_logp - want[1][1]) < 2e-6
+
+
+def test_lm_short_docs_omitted(spark):
+    got = lm_quality_score(_mk(spark, {1: "ab", 2: "abcd"})).collect()
+    assert [r.doc_id for r in got] == [2]
