@@ -103,6 +103,9 @@ def main():
         "doc_repetition_profile",
         "doc_pii_redaction",
         "doc_packing",
+        "doc_source_mix",
+        "doc_token_topk",
+        "doc_lm_score",
         "lineitem_dup_rows",
         "doc_training_corpus",
         "minhash_near_dups",
@@ -114,6 +117,7 @@ def main():
         "embedding_ivf_topk",
         "event_value_quartiles",
         "event_value_ks_drift",
+        "event_value_psi_drift",
         "event_windowed_counts",
         "event_sessionization",
         "media_image_features",
