@@ -33,18 +33,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _grams(text_col: str, n: int):
-    """Sliding char n-grams of lower(trim(text)) as an array column
-    (rows shorter than ``n`` must be filtered out by the caller)."""
-    t = f"lower(trim({text_col}))"
-    return F.expr(f"transform(sequence(1, length({t}) - {n - 1}), i -> substring({t}, i, {n}))")
-
-
 def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return (
+    """Exploded ``(id, gram)`` rows.  The normalized text is materialized
+    ONCE in its own projection before the explode — referencing
+    ``lower(trim(text))`` inside the transform lambda would re-normalize
+    the whole document for EVERY gram element (O(len²) character work
+    per doc; measured 8-9 s -> ~1 s on the sf0.1 corpus)."""
+    norm = (
         df.where(F.col(text_col).isNotNull())
-        .where(F.length(F.lower(F.trim(F.col(text_col)))) >= n)
-        .select(F.col(id_col), F.explode(_grams(text_col, n)).alias("gram"))
+        .select(F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t"))
+        .where(F.length("_t") >= n)
+    )
+    return norm.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"transform(sequence(1, length(_t) - {n - 1}), i -> substring(_t, i, {n}))")
+        ).alias("gram"),
+    )
+
+
+def _doc_gram_counts(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Per-document gram occurrence counts ``(id, gram, occ)`` — the one
+    shuffle both the model and the scoring pass derive from."""
+    return (
+        _gram_rows(df, text_col, id_col, n)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
     )
 
 
@@ -71,15 +85,22 @@ def lm_quality_score(
     in-vocabulary, so the unsmoothed ``ln(cnt/total)`` is total);
     pass ``laplace=True`` when scoring text the model was not fitted on
     (``p = (cnt+1) / (total+V)``, unseen grams get ``cnt = 0``).
-    Documents with no gram (shorter than ``n``) are omitted."""
+    Documents with no gram (shorter than ``n``) are omitted.
+
+    Single-expansion plan: the corpus is gram-exploded ONCE into
+    per-document counts ``(id, gram, occ)``; the self-trained model is a
+    second small aggregate of that frame and the scoring join carries
+    ``occ`` as a weight (``avg over occurrences = sum(occ·ln p) /
+    sum(occ)``) — the join input shrinks from corpus-grams rows to
+    distinct (doc, gram) rows."""
+    per_doc = _doc_gram_counts(df, text_col, id_col, n)
     if model is None:
-        model = char_ngram_counts(df, text_col, id_col, n)
+        model = per_doc.groupBy("gram").agg(F.sum("occ").alias("cnt"))
     totals = model.agg(
         F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
-    grams = _gram_rows(df, text_col, id_col, n)
     if laplace:
-        joined = grams.join(F.broadcast(model), "gram", "left").withColumn(
+        joined = per_doc.join(F.broadcast(model), "gram", "left").withColumn(
             "cnt", F.coalesce(F.col("cnt"), F.lit(0))
         )
         logp = F.log(
@@ -87,13 +108,14 @@ def lm_quality_score(
             / (F.col("_total").cast("double") + F.col("_v").cast("double"))
         )
     else:
-        joined = grams.join(F.broadcast(model), "gram")
+        joined = per_doc.join(F.broadcast(model), "gram")
         logp = F.log(F.col("cnt").cast("double") / F.col("_total").cast("double"))
+    occ_d = F.col("occ").cast("double")
     return (
         joined.crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.sum("occ").alias("n_grams"),
+            F.round(F.sum(occ_d * logp) / F.sum(occ_d), 6).alias("avg_logp"),
         )
     )
