@@ -8,7 +8,8 @@
         [--sample '{"en": 0.6, "de": 0.4}'] [--sample-default 1.0] \
         [--sample-seed 0] [--strata-col lang] [--with-counts] \
         [--benchmark /data/eval_docs --decontam-window 13] \
-        [--max-top-bigram-frac 0.2 --max-dup-longgram-frac 0.15]
+        [--max-top-bigram-frac 0.2 --max-dup-longgram-frac 0.15] \
+        [--mix '{"web": 0.6, "code": 0.4}' --mix-budget-factor 1.0]
 
 Runs plans/pipeline.py's CorpusPipeline — validate, quality-filter,
 exact-dedup, near-dedup by MinHash connected components, stratified
@@ -83,6 +84,15 @@ def main() -> None:
     ap.add_argument("--decontam-window", type=int, default=13)
     ap.add_argument("--max-top-bigram-frac", type=float, default=None)
     ap.add_argument("--max-dup-longgram-frac", type=float, default=None)
+    ap.add_argument(
+        "--mix", default=None,
+        help='target source-mixture weights, e.g. {"web": 0.6, "code": 0.4} '
+        "(adds an epoch column; upsamples sources whose target exceeds their size)",
+    )
+    ap.add_argument("--mix-budget-docs", type=int, default=None)
+    ap.add_argument("--mix-budget-factor", type=float, default=None)
+    ap.add_argument("--mix-source-col", default="source")
+    ap.add_argument("--mix-seed", type=int, default=0)
     args = ap.parse_args()
 
     rep_thresholds = None
@@ -111,6 +121,11 @@ def main() -> None:
         repetition_thresholds=rep_thresholds,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         decontam_window=args.decontam_window,
+        mix_weights=json.loads(args.mix) if args.mix else None,
+        mix_budget_docs=args.mix_budget_docs,
+        mix_budget_factor=args.mix_budget_factor,
+        mix_source_col=args.mix_source_col,
+        mix_seed=args.mix_seed,
     )
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}

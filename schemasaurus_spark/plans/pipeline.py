@@ -40,6 +40,7 @@ from schemasaurus_spark.operators.dedup import (
     pin_scope,
 )
 from schemasaurus_spark.operators.decontam import decontaminate
+from schemasaurus_spark.operators.mixing import mix_sources
 from schemasaurus_spark.operators.repetition import filter_repetitive
 from schemasaurus_spark.operators.sampling import stratified_sample
 from schemasaurus_spark.operators.text import quality_score
@@ -60,6 +61,13 @@ class CorpusPipeline:
       drops Gopher-rule repetitious docs (operators/repetition.py);
     * ``benchmark=<DataFrame>`` drops docs sharing a ``decontam_window``-
       token n-gram with the held-out eval set (operators/decontam.py).
+
+    A third optional stage, ``mix_weights`` (+ ``mix_budget_docs`` or
+    ``mix_budget_factor``), runs LAST — mixture assembly over the final
+    curated corpus (operators/mixing.py): per-source rates derived from
+    the target weights, upsampled copies tagged with an ``epoch`` column.
+    It must run after dedup/sampling (mixing first would hand the LSH
+    stage duplicate epochs of the same text).
     """
 
     schema: dict
@@ -75,6 +83,11 @@ class CorpusPipeline:
     repetition_long_n: int = 5
     benchmark: DataFrame | None = None
     decontam_window: int = 13
+    mix_weights: dict | None = None
+    mix_budget_docs: int | None = None
+    mix_budget_factor: float | None = None
+    mix_source_col: str = "source"
+    mix_seed: int = 0
 
     def valid_docs(self, docs: DataFrame) -> DataFrame:
         v = validate_dataframe(docs, self.schema)
@@ -127,6 +140,19 @@ class CorpusPipeline:
             seed=self.sample_seed,
         )
 
+    def mixed(self, docs: DataFrame) -> DataFrame:
+        if self.mix_weights is None:
+            return docs
+        return mix_sources(
+            docs,
+            self.mix_weights,
+            source_col=self.mix_source_col,
+            key_col=self.id_col,
+            budget_docs=self.mix_budget_docs,
+            budget_factor=self.mix_budget_factor,
+            seed=self.mix_seed,
+        )
+
     def run(self, docs: DataFrame) -> DataFrame:
         """The curated corpus as a composed plan.
 
@@ -136,10 +162,12 @@ class CorpusPipeline:
         so calling ``run`` already executes those jobs.  The returned frame
         re-derives stages 1-3 lazily on the caller's action and anti-joins
         the (already materialized) cluster-loser list."""
-        return self.sampled(
-            self.near_deduped(
-                self.optional_filtered(
-                    self.exact_deduped(self.quality_docs(self.valid_docs(docs)))
+        return self.mixed(
+            self.sampled(
+                self.near_deduped(
+                    self.optional_filtered(
+                        self.exact_deduped(self.quality_docs(self.valid_docs(docs)))
+                    )
                 )
             )
         )
@@ -184,6 +212,9 @@ class CorpusPipeline:
             counts["after_near_dedup"] = deduped.count()
             out = self.sampled(deduped)
             counts["after_sampling"] = out.count()
+            if self.mix_weights is not None:
+                out = self.mixed(out)
+                counts["after_mixing"] = out.count()
         finally:
             valid.unpersist()
             if exact is not None:

@@ -180,3 +180,38 @@ def test_optional_decontam_and_repetition_stages(spark, raw_docs):
     )
     # run() composes the same stages as the instrumented path
     assert {r["doc_id"] for r in pipe.run(docs).collect()} == ids
+
+
+def test_optional_mixing_stage(spark, raw_docs):
+    docs = raw_docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
+    )
+    base = CorpusPipeline(schema=SCHEMA, quality_min=0.0, minhash_threshold=0.5)
+    survivors = base.run(docs).collect()
+    n_web = sum(1 for r in survivors if r["source"] == "web")
+    n_code = len(survivors) - n_web
+
+    # budget = 2x the curated corpus split evenly: rates 2*total*0.5/n_s
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.0,
+        minhash_threshold=0.5,
+        mix_weights={"web": 0.5, "code": 0.5},
+        mix_budget_factor=2.0,
+        mix_source_col="source",
+    )
+    out, counts = pipe.run_with_counts(docs)
+    rows = out.collect()
+    assert "epoch" in out.columns
+    assert counts["after_mixing"] == len(rows)
+    # every pre-mix survivor appears floor(rate) times at least
+    total = n_web + n_code
+    for src, n_s in (("web", n_web), ("code", n_code)):
+        rate = 2.0 * total * 0.5 / n_s
+        per_doc = {}
+        for r in rows:
+            if r["source"] == src:
+                per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert set(per_doc.values()) <= {int(rate // 1), int(rate // 1) + 1}
+    # plain run() composes the same stage
+    assert len(pipe.run(docs).collect()) == len(rows)
