@@ -775,29 +775,39 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "epoch")
 
 
-def _source_mix_oracle_sql() -> str:
+def _mix_ctes(weights: dict, factor: float, seed: int, source_table: str) -> str:
+    """Mixing as a reusable CTE block ending in ``mix_cop(doc_id, source,
+    n_copies)`` — used standalone over ``documents`` and composed over the
+    curated-pipeline CTE in the mixed-corpus oracle."""
     whens = " ".join(
-        f"WHEN '{v}' THEN CAST({w!r} AS DOUBLE)" for v, w in sorted(_MIX_WEIGHTS.items())
+        f"WHEN '{v}' THEN CAST({w!r} AS DOUBLE)" for v, w in sorted(weights.items())
     )
-    return f"""
-WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-tot AS (SELECT sum(n) AS total FROM counts),
-base AS (
+    return f"""mix_counts AS (SELECT source, count(*) AS n FROM {source_table} GROUP BY source),
+mix_tot AS (SELECT sum(n) AS total FROM mix_counts),
+mix_base AS (
   SELECT d.doc_id, d.source,
-         (CAST({_MIX_FACTOR!r} AS DOUBLE) * CAST(t.total AS DOUBLE))
+         (CAST({factor!r} AS DOUBLE) * CAST(t.total AS DOUBLE))
            * (CASE d.source {whens} ELSE CAST(0.0 AS DOUBLE) END)
            / CAST(c.n AS DOUBLE) AS rate,
-         CAST(('0x' || substr(md5(d.doc_id || ':{_MIX_SEED}'), 1, 4)) AS INTEGER) AS bucket
-  FROM documents d JOIN counts c USING (source) CROSS JOIN tot t
+         CAST(('0x' || substr(md5(d.doc_id || ':{seed}'), 1, 4)) AS INTEGER) AS bucket
+  FROM {source_table} d JOIN mix_counts c USING (source) CROSS JOIN mix_tot t
 ),
-cop AS (
+mix_cop AS (
   SELECT doc_id, source,
          CAST(floor(rate) AS BIGINT)
            + (CASE WHEN bucket < floor((rate - floor(rate)) * 65536.0) THEN 1 ELSE 0 END) AS n_copies
-  FROM base
-)
-SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
-FROM cop WHERE n_copies > 0
+  FROM mix_base
+)"""
+
+
+_MIX_SELECT = """SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+FROM mix_cop WHERE n_copies > 0"""
+
+
+def _source_mix_oracle_sql() -> str:
+    return f"""
+WITH {_mix_ctes(_MIX_WEIGHTS, _MIX_FACTOR, _MIX_SEED, "documents")}
+{_MIX_SELECT}
 """
 
 
@@ -1066,15 +1076,28 @@ def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _training_corpus_oracle_sql() -> str:
+    ctes, where = _training_corpus_ctes()
+    return f"""
+WITH RECURSIVE
+{ctes}
+SELECT doc_id, lang, quality FROM survivors
+WHERE {where}
+"""
+
+
+def _training_corpus_ctes() -> tuple[str, str]:
+    """The five-stage pipeline as a reusable (CTE block, sampling WHERE
+    clause) pair — shared by the five-stage oracle and the mixed-corpus
+    oracle that composes mixture assembly on top of it."""
     from schemasaurus_spark.operators.sampling import _keep_threshold
 
     whens = " ".join(
         f"WHEN '{v}' THEN {_keep_threshold(f)}"
         for v, f in sorted(_TC_FRACTIONS.items())
     )
-    return f"""
-WITH RECURSIVE
-viol AS ({_VALIDATION_ORACLE}),
+    where = f"""CAST(('0x' || substr(md5(doc_id || ':{_TC_SEED}'), 1, 4)) AS INTEGER)
+      < CASE lang {whens} ELSE {_keep_threshold(_TC_DEFAULT)} END"""
+    ctes = f"""viol AS ({_VALIDATION_ORACLE}),
 qual AS ({_QUALITY_ORACLE}),
 valid_docs AS (
   SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM viol)
@@ -1108,10 +1131,45 @@ comp AS (SELECT id AS doc_id, min(r) AS comp_id FROM reach GROUP BY id),
 losers AS (SELECT doc_id FROM comp WHERE doc_id <> comp_id),
 survivors AS (
   SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-)
-SELECT doc_id, lang, quality FROM survivors
-WHERE CAST(('0x' || substr(md5(doc_id || ':{_TC_SEED}'), 1, 4)) AS INTEGER)
-      < CASE lang {whens} ELSE {_keep_threshold(_TC_DEFAULT)} END
+)"""
+    return ctes, where
+
+
+_MIXC_WEIGHTS = {"src0": 0.4, "src2": 0.35, "src5": 0.25}
+_MIXC_FACTOR = 1.5
+
+
+def doc_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIX-stage composed pipeline: the full five-stage curation of
+    ``doc_training_corpus`` plus target-weighted mixture assembly over
+    the curated survivors (rates derived from the CURATED counts, with
+    upsampling — budget 1.5x the curated corpus across three target
+    sources).  The oracle wraps the five-stage CTE chain as a ``curated``
+    set and replays the mixing arithmetic on top, so a drift in ANY stage
+    or in the composition order breaks the hash."""
+    from schemasaurus_spark.plans.pipeline import CorpusPipeline
+
+    pipe = CorpusPipeline(
+        schema=FLAT_DOC_SCHEMA,
+        quality_min=_TC_QUALITY_MIN,
+        minhash_threshold=0.5,
+        sample_fractions=_TC_FRACTIONS,
+        sample_default=_TC_DEFAULT,
+        sample_seed=_TC_SEED,
+        mix_weights=_MIXC_WEIGHTS,
+        mix_budget_factor=_MIXC_FACTOR,
+    )
+    return pipe.run(_docs(spark, sf_dir)).select("doc_id", "source", "epoch")
+
+
+def _mixed_corpus_oracle_sql() -> str:
+    ctes, where = _training_corpus_ctes()
+    return f"""
+WITH RECURSIVE
+{ctes},
+curated AS (SELECT doc_id, source FROM survivors WHERE {where}),
+{_mix_ctes(_MIXC_WEIGHTS, _MIXC_FACTOR, 0, "curated")}
+{_MIX_SELECT}
 """
 
 
@@ -2054,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
         "doc_training_corpus": doc_training_corpus,
+        "doc_mixed_corpus": doc_mixed_corpus,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
         "event_windowed_counts": event_windowed_counts,
@@ -2107,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),
+        "doc_mixed_corpus": _mixed_corpus_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,

@@ -108,6 +108,7 @@ def main():
         "doc_lm_score",
         "lineitem_dup_rows",
         "doc_training_corpus",
+        "doc_mixed_corpus",
         "minhash_near_dups",
         "doc_ngram_jaccard_dups",
         "simhash_near_dups",
