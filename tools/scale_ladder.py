@@ -56,6 +56,11 @@ QUERIES = [
     # round 4: exact substring dedup — window strings are copy-disjoint
     # under the cipher mutation, so ideal work is linear here too
     "doc_substring_dup_spans",
+    # round 4 session 2: LM scoring (gram rows scale k-fold, per-copy gram
+    # spaces are cipher-disjoint so the model table grows ~k-fold but stays
+    # charset-bounded) and vocabulary top-k (token rows k-fold)
+    "doc_lm_score",
+    "doc_token_topk",
 ]
 
 
