@@ -48,6 +48,25 @@ def _weight_case(source_col: str, weights: dict[str, float]) -> Column:
     return w
 
 
+def temperature_weights(counts: dict[str, int], alpha: float = 0.3) -> dict[str, float]:
+    """mT5/XLM-R-style temperature sampling: target weights
+    ``w_s ∝ n_s^alpha`` normalized to 1.  ``alpha=1`` reproduces the
+    natural distribution; ``alpha -> 0`` approaches uniform (boosting
+    low-resource sources).  Driver-side math over the per-source count
+    map (|sources| entries — metadata-sized); feed the result to
+    ``mix_sources``.  Kept out of the Spark plan on purpose: ``pow`` is
+    the one operation whose last-ulp rounding differs across engines, so
+    baking the derived weights as literals keeps the mixture row set
+    engine-reproducible."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not counts:
+        return {}
+    powed = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
+    total = sum(powed.values())
+    return {s: v / total for s, v in sorted(powed.items())}
+
+
 def mixture_rates(
     df: DataFrame,
     weights: dict[str, float],

@@ -108,3 +108,35 @@ def test_api_errors(spark):
         mixture_rates(df, {"a": 1.0}, budget_docs=1, budget_factor=1.0)  # both
     with pytest.raises(ValueError):
         mix_sources(df, {"a": -0.5}, budget_docs=1)  # negative weight
+
+
+def test_temperature_weights_properties():
+    from schemasaurus_spark.operators.mixing import temperature_weights
+
+    counts = {"big": 900, "mid": 90, "small": 10}
+    natural = temperature_weights(counts, alpha=1.0)
+    assert abs(natural["big"] - 0.9) < 1e-12
+    flat = temperature_weights(counts, alpha=0.0)
+    assert all(abs(w - 1 / 3) < 1e-12 for w in flat.values())
+    t = temperature_weights(counts, alpha=0.3)
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    # temperature compresses the range: small gains, big loses
+    assert t["small"] > natural["small"] and t["big"] < natural["big"]
+    assert temperature_weights({}) == {}
+    assert "z" not in temperature_weights({"z": 0, "a": 5})
+    with pytest.raises(ValueError):
+        temperature_weights(counts, alpha=-1)
+
+
+def test_temperature_weights_feed_mix_sources(spark):
+    from schemasaurus_spark.operators.mixing import temperature_weights
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = _mk(spark, rows)
+    w = temperature_weights({"big": 90, "small": 10}, alpha=0.5)
+    got = mix_sources(df, w, budget_factor=1.0).collect()
+    n_small = sum(1 for r in got if r.source == "small")
+    n_big = len(got) - n_small
+    # alpha=0.5: w_small = sqrt(10)/(sqrt(90)+sqrt(10)) = 0.25 -> ~25 rows
+    # from 10 docs (upsampled), ~75 from 90 (downsampled)
+    assert 20 <= n_small <= 30 and 65 <= n_big <= 85
