@@ -711,6 +711,48 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERING: the multi-table hyperplane
+    LSH pair generation of ``embedding_near_dups`` fed through the same
+    alternating large-star/small-star connected-components operator the
+    MinHash path uses — semantic dedup (transitively-connected
+    embedding neighborhoods collapse to one canonical vector), the
+    embedding twin of ``doc_dup_components``.  The oracle nests the
+    bit-exact pair statement as a CTE under the recursive reachability."""
+    from schemasaurus_spark.operators.dedup import duplicate_components
+    from schemasaurus_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_duplicates(emb, dim=64, threshold=0.3)
+    return duplicate_components(pairs).select(
+        F.col("id").alias("vec_id"), "comp_id", "comp_size", "is_canonical"
+    )
+
+
+def _embedding_components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+epairs AS ({_embedding_neardup_oracle_sql()}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM epairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM epairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+),
+comp AS (SELECT id AS vec_id, min(r) AS comp_id FROM reach GROUP BY id)
+SELECT vec_id, comp_id,
+       count(*) OVER (PARTITION BY comp_id) AS comp_size,
+       (vec_id = comp_id) AS is_canonical
+FROM comp
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.2, "fr": 0.5}
 _SAMPLE_DEFAULT = 0.75
 _SAMPLE_SEED = 7
@@ -2108,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
+        "embedding_dup_components": embedding_dup_components,
         "minhash_near_dups": minhash_near_dups,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
@@ -2162,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quartiles": _QUARTILES_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
+        "embedding_dup_components": _embedding_components_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),

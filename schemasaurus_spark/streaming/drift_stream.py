@@ -36,7 +36,7 @@ from schemasaurus_spark.operators.snapshot import (
 )
 
 REPORT_DDL = (
-    "column string, test string, statistic double, p_value double, "
+    "column string, test string, statistic double, psi double, p_value double, "
     "drifted boolean, null_rate_base double, null_rate_cur double, "
     "distinct_base double, distinct_cur double"
 )
@@ -60,7 +60,7 @@ def make_drift_sink(base: Snapshot, spec: SnapshotSpec, out_dir: str, alpha: flo
         (
             spark.createDataFrame(
                 [tuple(r[k] for k in (
-                    "column", "test", "statistic", "p_value", "drifted",
+                    "column", "test", "statistic", "psi", "p_value", "drifted",
                     "null_rate_base", "null_rate_cur",
                     "distinct_base", "distinct_cur",
                 )) for r in report],

@@ -226,6 +226,10 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
     assert not by_batch[(quiet, "event_type")].drifted
     assert by_batch[(shifted, "value")].drifted
     assert by_batch[(shifted, "event_type")].drifted
+    # PSI rides every report row: near zero on the quiet batch, firing
+    # past the 0.25 major-shift rule of thumb on the shifted one
+    assert by_batch[(quiet, "value")].psi < 0.1 < by_batch[(shifted, "value")].psi
+    assert by_batch[(shifted, "event_type")].psi > by_batch[(quiet, "event_type")].psi
 
     # replay idempotence: re-invoking the sink with an existing batch_id
     # rewrites that partition, leaving the total row count unchanged
