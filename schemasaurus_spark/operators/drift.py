@@ -178,7 +178,15 @@ def psi_statistic(
     scalar aggregate — the same mergeable-histogram design as
     ``snapshot.py``'s frozen grid, with all arithmetic (floor/clamp,
     Laplace ``+0.5`` smoothing, ``ln``) in IEEE doubles so a SQL engine
-    reproduces the statistic bit-for-bit at 6-decimal rounding."""
+    reproduces the statistic bit-for-bit at 6-decimal rounding.
+
+    Values below ``lo`` clamp into bin 0 and values past the grid into
+    bin ``n_bins - 1`` — underflow/overflow mass is counted, not
+    dropped (same policy as snapshot.py's frozen grid)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not width > 0:
+        raise ValueError(f"width must be positive, got {width}")
     spark = df.sparkSession
     val = F.col(value_col).cast("double")
     bin_id = F.least(

@@ -85,7 +85,10 @@ def lm_quality_score(
     in-vocabulary, so the unsmoothed ``ln(cnt/total)`` is total);
     pass ``laplace=True`` when scoring text the model was not fitted on
     (``p = (cnt+1) / (total+V)``, unseen grams get ``cnt = 0``).
-    Documents with no gram (shorter than ``n``) are omitted.
+    Unsmoothed scoring with an EXTERNAL model averages over in-vocabulary
+    grams only (the inner join drops unseen grams — use ``laplace=True``
+    if they should pull the score down instead).  Documents with no gram
+    (shorter than ``n``) are omitted.
 
     Single-expansion plan: the corpus is gram-exploded ONCE into
     per-document counts ``(id, gram, occ)``; the self-trained model is a
