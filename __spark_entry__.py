@@ -886,6 +886,49 @@ FROM stats ORDER BY tf DESC, token LIMIT {_VOCAB_K}
 """
 
 
+_CHUNK_WINDOW, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_WINDOW - _CHUNK_OVERLAP
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (the splitter step of training /
+    retrieval pipelines): sliding 32-token windows advancing by 24, so
+    consecutive chunks share 8 tokens of context.  One scan, JVM-side
+    sequence/slice projections, no shuffle (operators/chunking.py)."""
+    from schemasaurus_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=_CHUNK_WINDOW,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT))) AS chunk_id
+  FROM toks
+),
+pieces AS (
+  SELECT doc_id, chunk_id,
+         list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                    chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}) AS piece
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(piece) AS BIGINT) AS n_tok,
+       array_to_string(piece, ' ') AS chunk_text
+FROM pieces
+"""
+
+
 def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-aware quality score: mean log-probability of each
     document under a char-trigram LM fitted on the corpus itself
@@ -2146,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
+        "doc_chunking": doc_chunking,
         "doc_lm_score": doc_lm_score,
         "embedding_topk": embedding_topk,
         "embedding_ann_lsh": embedding_ann_lsh,
@@ -2200,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
+        "doc_chunking": _CHUNK_ORACLE,
         "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
