@@ -1491,6 +1491,57 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def doc_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step of exact substring dedup: every token inside a
+    duplicated span is dropped and the cleaned corpus returned (Lee et
+    al. 2022 'drop all copies' setting).  Oracle replays spans grouping
+    by RAW window strings, expands them to covered positions, and
+    re-joins the surviving tokens — fully hash-free."""
+    from schemasaurus_spark.operators.substring_dedup import (
+        remove_duplicate_passages,
+    )
+
+    return remove_duplicate_passages(_docs(spark, sf_dir), window=8, min_count=2)
+
+
+_PASSAGE_REMOVAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+win AS (
+  SELECT toks.doc_id, u.i - 1 AS pos,
+         array_to_string(t[u.i:u.i+7], ' ') AS wstr
+  FROM toks
+  JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t) - 7
+),
+rep AS (SELECT wstr FROM win GROUP BY wstr HAVING count(*) >= 2),
+cov AS (SELECT w.doc_id, w.pos FROM win w JOIN rep r ON w.wstr = r.wstr),
+covpos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM cov
+),
+tokpos AS (
+  SELECT toks.doc_id, u.i - 1 AS p, t[u.i] AS tok
+  FROM toks JOIN generate_series(1, 512) AS u(i) ON u.i <= len(t)
+),
+clean AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN covpos c ON tp.doc_id = c.doc_id AND tp.p = c.p
+  WHERE c.p IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM clean GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub stage: typed placeholder redaction + per-type counts.
     The raw generated corpus contains no PII, so the query plants
@@ -2178,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_dangling_custkey": orders_dangling_custkey,
         "doc_exact_dup_groups": doc_exact_dup_groups,
         "doc_substring_dup_spans": doc_substring_dup_spans,
+        "doc_passage_removal": doc_passage_removal,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_packing": doc_packing,
         "doc_decontamination": doc_decontamination,
@@ -2233,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_dangling_custkey": _DANGLING_ORACLE,
         "doc_exact_dup_groups": _DUPGROUPS_ORACLE,
         "doc_substring_dup_spans": _SUBSTRING_DUP_ORACLE,
+        "doc_passage_removal": _PASSAGE_REMOVAL_ORACLE,
         "doc_pii_redaction": _PII_ORACLE,
         "doc_packing": _PACKING_ORACLE,
         "doc_decontamination": _DECONTAM_ORACLE,

@@ -93,6 +93,14 @@ def main() -> None:
     ap.add_argument("--mix-budget-factor", type=float, default=None)
     ap.add_argument("--mix-source-col", default="source")
     ap.add_argument("--mix-seed", type=int, default=0)
+    ap.add_argument(
+        "--passage-window",
+        type=int,
+        default=None,
+        help="enable duplicated-passage removal with this token window",
+    )
+    ap.add_argument("--passage-min-count", type=int, default=2)
+    ap.add_argument("--passage-min-tokens", type=int, default=1)
     args = ap.parse_args()
 
     rep_thresholds = None
@@ -126,6 +134,9 @@ def main() -> None:
         mix_budget_factor=args.mix_budget_factor,
         mix_source_col=args.mix_source_col,
         mix_seed=args.mix_seed,
+        passage_removal_window=args.passage_window,
+        passage_min_count=args.passage_min_count,
+        passage_min_tokens=args.passage_min_tokens,
     )
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}

@@ -104,6 +104,57 @@ def substring_duplicate_spans(
     )
 
 
+def remove_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply the spans: drop every token inside a duplicated span and
+    return the cleaned corpus — the *removal* step of Lee et al. 2022
+    (their strongest setting deletes all copies of a repeated passage;
+    keeping one canonical copy is a policy layered on top via
+    ``min_count``/near-dup collapse, not done here).
+
+    Output: ``(id, n_tokens, n_removed, clean_text)`` for every document
+    with text.  ``clean_text`` is the space-join of surviving tokens in
+    original order (tokenization collapses whitespace runs — documented
+    corpus-normalization contract, same as chunking/packing); a fully
+    duplicated document survives as an empty string so the caller decides
+    whether to drop it.
+
+    Scale shape: spans are rare and short (bounded per doc), so the
+    spans->doc join ships a small per-doc span list; token filtering is a
+    JVM-side higher-order ``filter`` over the token array — no Python, no
+    extra shuffle beyond the span aggregation."""
+    spans = substring_duplicate_spans(df, text_col, id_col, window, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    toks = tokenized(df, text_col, id_col)
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    indexed = F.transform(
+        "_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            "_spans", lambda sp: (st["i"] >= sp["s"]) & (st["i"] < sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda st: st["t"]), " ").alias("clean_text"),
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     text_col: str = "text",

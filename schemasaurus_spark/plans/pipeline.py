@@ -43,6 +43,7 @@ from schemasaurus_spark.operators.decontam import decontaminate
 from schemasaurus_spark.operators.mixing import mix_sources
 from schemasaurus_spark.operators.repetition import filter_repetitive
 from schemasaurus_spark.operators.sampling import stratified_sample
+from schemasaurus_spark.operators.substring_dedup import remove_duplicate_passages
 from schemasaurus_spark.operators.text import quality_score
 from schemasaurus_spark.schema.columns import validate_dataframe
 
@@ -88,6 +89,9 @@ class CorpusPipeline:
     mix_budget_factor: float | None = None
     mix_source_col: str = "source"
     mix_seed: int = 0
+    passage_removal_window: int | None = None
+    passage_min_count: int = 2
+    passage_min_tokens: int = 1
 
     def valid_docs(self, docs: DataFrame) -> DataFrame:
         v = validate_dataframe(docs, self.schema)
@@ -128,6 +132,32 @@ class CorpusPipeline:
             )
             return dedup_by_components(docs, pairs, self.id_col)
 
+    def passage_cleaned(self, docs: DataFrame) -> DataFrame:
+        """Optional stage 4b (``passage_removal_window`` opts in): rewrite
+        surviving docs with duplicated passages deleted (exact substring
+        dedup, operators/substring_dedup.py), dropping docs left with
+        fewer than ``passage_min_tokens`` tokens.  Runs AFTER near-dedup
+        on purpose: removal rewrites the text, and rewriting before LSH
+        would change the MinHash signatures the dedup contract is pinned
+        on; after dedup it sees the smallest corpus."""
+        if self.passage_removal_window is None:
+            return docs
+        cleaned = remove_duplicate_passages(
+            docs,
+            self.text_col,
+            self.id_col,
+            window=self.passage_removal_window,
+            min_count=self.passage_min_count,
+        )
+        kept = cleaned.where(
+            (F.col("n_tokens") - F.col("n_removed")) >= F.lit(self.passage_min_tokens)
+        ).select(self.id_col, "clean_text")
+        return (
+            docs.join(kept, self.id_col)
+            .withColumn(self.text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
+
     def sampled(self, docs: DataFrame) -> DataFrame:
         if not self.sample_fractions and self.sample_default >= 1.0:
             return docs
@@ -164,9 +194,13 @@ class CorpusPipeline:
         the (already materialized) cluster-loser list."""
         return self.mixed(
             self.sampled(
-                self.near_deduped(
-                    self.optional_filtered(
-                        self.exact_deduped(self.quality_docs(self.valid_docs(docs)))
+                self.passage_cleaned(
+                    self.near_deduped(
+                        self.optional_filtered(
+                            self.exact_deduped(
+                                self.quality_docs(self.valid_docs(docs))
+                            )
+                        )
                     )
                 )
             )
@@ -189,6 +223,7 @@ class CorpusPipeline:
         valid = self.valid_docs(observed).persist(StorageLevel.MEMORY_AND_DISK)
         exact = None
         pinned_filtered = None
+        pinned_deduped = None
         try:
             counts = {"input": 0}
             counts["after_validation"] = valid.count()  # the one raw scan
@@ -210,6 +245,12 @@ class CorpusPipeline:
                 counts["after_optional_filters"] = filtered.count()
             deduped = self.near_deduped(filtered)
             counts["after_near_dedup"] = deduped.count()
+            if self.passage_removal_window is not None:
+                # the removal scans its input twice (span derivation +
+                # cleaned join), so pin this boundary like the others
+                pinned_deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+                deduped = self.passage_cleaned(pinned_deduped)
+                counts["after_passage_removal"] = deduped.count()
             out = self.sampled(deduped)
             counts["after_sampling"] = out.count()
             if self.mix_weights is not None:
@@ -221,4 +262,6 @@ class CorpusPipeline:
                 exact.unpersist()
             if pinned_filtered is not None:
                 pinned_filtered.unpersist()
+            if pinned_deduped is not None:
+                pinned_deduped.unpersist()
         return out, counts

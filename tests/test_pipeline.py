@@ -215,3 +215,58 @@ def test_optional_mixing_stage(spark, raw_docs):
         assert set(per_doc.values()) <= {int(rate // 1), int(rate // 1) + 1}
     # plain run() composes the same stage
     assert len(pipe.run(docs).collect()) == len(rows)
+
+
+def test_optional_passage_removal_stage(spark, raw_docs):
+    """Stage 4b rewrites survivors with duplicated passages deleted, and
+    run == run_with_counts with the stage on."""
+    # plant the same 8-token passage inside two otherwise-distinct docs
+    passage = "shared boilerplate footer phrase repeated across crawl pages"
+    planted = raw_docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(2, 3),
+            F.concat(F.col("text"), F.lit(" " + passage)),
+        ).otherwise(F.col("text")),
+    )
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.3,
+        minhash_threshold=0.5,
+        passage_removal_window=8,
+    )
+    out, counts = pipe.run_with_counts(planted)
+    rows = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    # the passage is gone from both carriers, docs themselves survive
+    assert "boilerplate" not in rows[2] and "boilerplate" not in rows[3]
+    assert rows[2].startswith("doc 2:") and rows[3].startswith("doc 3:")
+    # untouched docs keep their (token-normalized) text
+    assert rows[5] == next(
+        r.text for r in planted.where("doc_id = 5").collect()
+    )
+    assert counts["after_passage_removal"] == counts["after_near_dedup"]
+    a = sorted((r.doc_id, r.text) for r in pipe.run(planted).collect())
+    assert a == sorted(rows.items())
+
+
+def test_passage_removal_drops_hollowed_docs(spark):
+    """A doc that is nothing but a duplicated passage falls below
+    passage_min_tokens and is dropped, attributed to the stage."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, dup, "en"),
+        (2, dup + " plus unique trailing words here", "en"),
+        (3, "totally unrelated document body with plenty words", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.0,
+        minhash_threshold=0.95,
+        passage_removal_window=8,
+        passage_min_tokens=1,
+    )
+    out, counts = pipe.run_with_counts(docs)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {2, 3}
+    assert counts["after_passage_removal"] == 2 < counts["after_near_dedup"]

@@ -424,3 +424,87 @@ def test_repetition_brute_force_parity_random(spark):
         for r in repetition_profile(_mk_docs(spark, texts), long_n=5).collect()
     }
     assert got == _brute_repetition(texts, 5)
+
+
+# ---------------------------------------------------------------- passage removal
+
+
+def _brute_removed(texts: dict[int, str], window: int, min_count: int):
+    """Independent reference for remove_duplicate_passages: brute spans
+    applied to the token stream."""
+    spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+    for i, s, e, _n in _brute_spans(texts, window, min_count):
+        spans_by_doc.setdefault(i, []).append((s, e))
+    out = {}
+    for i, t in texts.items():
+        if t is None or not t.strip():
+            continue
+        toks = re.split(r"\s+", t.strip().lower())
+        covered = set()
+        for s, e in spans_by_doc.get(i, []):
+            covered.update(range(s, e))
+        kept = [tok for p, tok in enumerate(toks) if p not in covered]
+        out[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+def test_passage_removal_planted(spark):
+    from schemasaurus_spark.operators.substring_dedup import (
+        remove_duplicate_passages,
+    )
+
+    passage = "the boilerplate footer repeated in every page of the crawl"
+    texts = {
+        1: f"unique alpha text one {passage} tail one",
+        2: f"unique beta text two {passage} tail two",
+        3: "completely unique document with no repeats at all here",
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_passages(
+            _mk_docs(spark, texts), window=8, min_count=2
+        ).collect()
+    }
+    assert got == _brute_removed(texts, 8, 2)
+    # the planted passage is gone from both carriers, uniques survive
+    assert "boilerplate" not in got[1][2] and "boilerplate" not in got[2][2]
+    assert got[3] == (9, 0, texts[3])
+
+
+def test_passage_removal_fully_duplicated_doc_survives_empty(spark):
+    from schemasaurus_spark.operators.substring_dedup import (
+        remove_duplicate_passages,
+    )
+
+    dup = "a b c d e f g h"
+    texts = {1: dup, 2: dup, 3: None, 4: "  "}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_passages(
+            _mk_docs(spark, texts), window=8, min_count=2
+        ).collect()
+    }
+    assert got == {1: (8, 8, ""), 2: (8, 8, "")}
+
+
+def test_passage_removal_brute_force_parity_random(spark):
+    import random
+
+    from schemasaurus_spark.operators.substring_dedup import (
+        remove_duplicate_passages,
+    )
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> organic repeats
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(50)
+    }
+    for window, min_count in [(4, 2), (5, 3)]:
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in remove_duplicate_passages(
+                _mk_docs(spark, texts), window=window, min_count=min_count
+            ).collect()
+        }
+        assert got == _brute_removed(texts, window, min_count)
