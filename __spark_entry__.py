@@ -584,6 +584,125 @@ GROUP BY user_id, session_seq
 """
 
 
+def event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every non-error event joined to the
+    most recent at-or-before 'error' event of the same user (the
+    classic "state as of this row" join Spark lacks).  Runs the
+    SKEW-BOUNDED plan (operators/asof.py ``asof_join_bucketed``: final
+    window partitions by (user, day-bucket), carry-ins derived from a
+    bucket-granularity running window over the per-bucket-latest
+    aggregate) so the 100 TB path itself is what the oracle checks;
+    the simple union-window form is parity-tested in test_asof.py.
+    Oracle: DuckDB's native ASOF LEFT JOIN with the same max-event_id
+    tie rule.  Nullable numerics cast to double on both sides so the
+    pandas null representation agrees."""
+    from schemasaurus_spark.operators.asof import asof_join_bucketed
+
+    ev = _table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join_bucketed(
+        left,
+        right,
+        on="user_id",
+        bucket_seconds=86400,
+        right_cols=["error_id", "ts"],
+        tiebreak="error_id",
+        suffix="_e",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("error_id_e").cast("double").alias("error_id"),
+        F.col("ts_e").alias("error_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_e").cast("timestamp"))
+        )
+        .cast("double")
+        .alias("us_since_error"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH lefts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'
+), rights AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CAST(r.error_id AS DOUBLE) AS error_id,
+       r.ts AS error_ts,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS DOUBLE) AS us_since_error
+FROM lefts l ASOF LEFT JOIN rights r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment at scale: events rolled up per deterministic
+    maintenance window (20 windows, 33 h apart, 2-21 h long, formula-
+    derived from the fixed 2024-01-01 corpus epoch).  The theta-join
+    ``ts BETWEEN w_start AND w_end`` is planned as a bucketed EQUI-join
+    (operators/rangejoin.py: intervals explode to 6 h buckets, points
+    map to one bucket, exact refinement after — each pair exactly once,
+    the big side never expands); the oracle is the plain inequality
+    join.  Value sums are exact cent integers, immune to float
+    summation order."""
+    from schemasaurus_spark.operators.rangejoin import range_join
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    hour_us = 3_600_000_000
+    ev = _table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    start = F.lit(base_us) + F.col("id") * F.lit(33 * hour_us)
+    wins = spark.range(20).select(
+        F.col("id").alias("window_id"),
+        # cast to NTZ (lossless under the UTC session tz) so the BETWEEN
+        # compares like types with the parquet TIMESTAMP_NTZ ts column
+        F.timestamp_micros(start).cast("timestamp_ntz").alias("w_start"),
+        F.timestamp_micros(start + ((F.col("id") * 7) % 20 + 2) * F.lit(hour_us))
+        .cast("timestamp_ntz")
+        .alias("w_end"),
+    )
+    joined = range_join(
+        ev,
+        wins,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width=6 * 3600,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH wins AS (
+  SELECT i AS window_id,
+         make_timestamp(1704067200000000 + i * 118800000000) AS w_start,
+         make_timestamp(1704067200000000 + i * 118800000000
+                        + ((i * 7) % 20 + 2) * 3600000000) AS w_end
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+)
+SELECT w.window_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       min(e.event_id) AS first_event
+FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY w.window_id
+"""
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k — the sublinear scale path (n_list ≈ sqrt(n)
     coarse cells, probes scan their 4 nearest lists ⇒ expected
@@ -2256,6 +2375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": embedding_ivf_topk,
         "event_windowed_counts": event_windowed_counts,
         "event_sessionization": event_sessionization,
+        "event_asof_join": event_asof_join,
+        "event_range_join": event_range_join,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "media_wav_features": media_wav_features,
@@ -2313,6 +2434,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "event_sessionization": _SESSIONIZATION_ORACLE,
+        "event_asof_join": _ASOF_ORACLE,
+        "event_range_join": _RANGE_JOIN_ORACLE,
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "media_wav_features": _MEDIA_WAV_ORACLE,

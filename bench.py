@@ -99,6 +99,7 @@ def main():
         "doc_lang_id",
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
+        "doc_passage_removal",
         "doc_decontamination",
         "doc_repetition_profile",
         "doc_pii_redaction",
@@ -121,6 +122,8 @@ def main():
         "event_value_psi_drift",
         "event_windowed_counts",
         "event_sessionization",
+        "event_asof_join",
+        "event_range_join",
         "media_image_features",
         "media_png_features",
         "media_wav_features",

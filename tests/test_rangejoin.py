@@ -1,0 +1,102 @@
+"""Range join: brute-force parity (numeric + timestamp domains, keyed +
+keyless), exactly-once pair emission across bucket widths, boundary
+inclusivity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from schemasaurus_spark.operators.rangejoin import range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _brute(points, intervals, keyed):
+    out = set()
+    for p in points:
+        for iv in intervals:
+            if keyed and p[0] != iv[0]:
+                continue
+            if iv[-2] <= p[-1] <= iv[-1]:
+                out.add((p[1] if keyed else p[0], iv[1] if keyed else iv[0]))
+    return out
+
+
+@pytest.mark.parametrize("bucket_width", [1, 7, 50, 1000])
+def test_numeric_parity_and_exactly_once(spark, bucket_width):
+    rng = random.Random(5)
+    points = [(rng.randrange(3), i, rng.randrange(0, 300)) for i in range(200)]
+    intervals = []
+    for j in range(40):
+        s = rng.randrange(0, 300)
+        intervals.append((rng.randrange(3), j, s, s + rng.randrange(0, 40)))
+    p = spark.createDataFrame(points, "k long, pid long, x long")
+    iv = spark.createDataFrame(intervals, "k long, wid long, lo long, hi long")
+    out = range_join(
+        p, iv, point_col="x", start_col="lo", end_col="hi",
+        bucket_width=bucket_width, keys=["k"],
+    )
+    rows = [(r.pid, r.wid) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    assert set(rows) == _brute(
+        [(k, pid, x) for k, pid, x in points],
+        [(k, wid, lo, hi) for k, wid, lo, hi in intervals],
+        keyed=True,
+    )
+
+
+def test_timestamp_keyless_inclusive_bounds(spark):
+    p = spark.createDataFrame(
+        [(1, T0), (2, T0 + dt.timedelta(seconds=59)), (3, T0 + dt.timedelta(seconds=60)),
+         (4, T0 - dt.timedelta(microseconds=1))],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, T0, T0 + dt.timedelta(seconds=60))],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    out = range_join(
+        p, iv, point_col="ts", start_col="w_start", end_col="w_end",
+        bucket_width=7,  # seconds; deliberately not dividing 60
+    )
+    assert sorted(r.pid for r in out.collect()) == [1, 2, 3]
+
+
+def test_timestamp_parity_random(spark):
+    rng = random.Random(19)
+    points = [
+        (i, T0 + dt.timedelta(seconds=rng.randrange(0, 5000)))
+        for i in range(150)
+    ]
+    intervals = []
+    for j in range(25):
+        s = rng.randrange(0, 5000)
+        intervals.append(
+            (j, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=s + rng.randrange(0, 600)))
+        )
+    p = spark.createDataFrame(points, "pid long, ts timestamp")
+    iv = spark.createDataFrame(intervals, "wid long, w_start timestamp, w_end timestamp")
+    brute = {
+        (pid, wid)
+        for pid, ts in points
+        for wid, s, e in intervals
+        if s <= ts <= e
+    }
+    for bw, bc in [(60, False), (977, True)]:
+        out = range_join(
+            p, iv, point_col="ts", start_col="w_start", end_col="w_end",
+            bucket_width=bw, broadcast_intervals=bc,
+        )
+        rows = [(r.pid, r.wid) for r in out.collect()]
+        assert len(rows) == len(set(rows))
+        assert set(rows) == brute
+
+
+def test_column_collision_rejected(spark):
+    p = spark.createDataFrame([(1, 2)], "a long, x long")
+    iv = spark.createDataFrame([(1, 0, 5)], "a long, lo long, hi long")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(p, iv, point_col="x", start_col="lo", end_col="hi", bucket_width=1)
