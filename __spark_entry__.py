@@ -1093,11 +1093,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _minhash_pair_ctes(source: str = "documents") -> str:
-    """CTE chain ending in ``scored(id_a, id_b, jaccard)`` — shared by the
-    pair oracle, the connected-components oracle, and the training-corpus
-    pipeline oracle (which feeds it a filtered CTE instead of the raw
-    table)."""
+def _minhash_sig_ctes(source: str = "documents") -> str:
+    """CTE chain ending in ``sig(doc_id, sig, dsh)`` + ``bandrows(doc_id,
+    band, bhash)`` — the signature/banding prefix shared by the pair
+    oracle (below) and the incremental batch-vs-corpus oracle (which pairs
+    bandrows ACROSS a split instead of within it)."""
     from schemasaurus_spark.operators.dedup import MINHASH_P, minhash_params
 
     sig_terms = ",\n         ".join(
@@ -1131,7 +1131,15 @@ sig AS (
 bandrows AS (
   SELECT doc_id, t.b AS band, concat_ws(',', {bhash}) AS bhash
   FROM sig, generate_series(0, 7) AS t(b)
-),
+)"""
+
+
+def _minhash_pair_ctes(source: str = "documents") -> str:
+    """CTE chain ending in ``scored(id_a, id_b, jaccard)`` — shared by the
+    pair oracle, the connected-components oracle, and the training-corpus
+    pipeline oracle (which feeds it a filtered CTE instead of the raw
+    table)."""
+    return f"""{_minhash_sig_ctes(source)},
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
   FROM bandrows a JOIN bandrows c ON a.band = c.band AND a.bhash = c.bhash
@@ -1152,6 +1160,40 @@ def _minhash_oracle_sql() -> str:
         f"WITH {_minhash_pair_ctes()}\n"
         "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"
     )
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) near-dedup: a 20% md5-split "new batch"
+    against the LSH band index of the other 80% "historical corpus" —
+    cross pairs only, never a corpus self-join.  The split is
+    deterministic (doc_id mod 5) so the oracle reproduces it exactly; the
+    operator path exercises minhash_band_index + the batch-vs-index
+    equi-join + the semi-join-pruned exact-Jaccard verify
+    (dedup.incremental_near_duplicates)."""
+    from schemasaurus_spark.operators.dedup import incremental_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_near_duplicates(batch, corpus, threshold=0.5)
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    return f"""WITH {_minhash_sig_ctes()},
+cross_cands AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bandrows b JOIN bandrows c ON b.band = c.band AND b.bhash = c.bhash
+  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+cross_scored AS (
+  SELECT batch_id, corpus_id,
+         round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+               / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))), 6) AS jaccard
+  FROM cross_cands
+  JOIN sig x ON x.doc_id = cross_cands.batch_id
+  JOIN sig y ON y.doc_id = cross_cands.corpus_id
+)
+SELECT batch_id, corpus_id, jaccard FROM cross_scored WHERE jaccard >= 0.5"""
 
 
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2367,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "embedding_dup_components": embedding_dup_components,
         "minhash_near_dups": minhash_near_dups,
+        "doc_incremental_dedup": doc_incremental_dedup,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
         "doc_training_corpus": doc_training_corpus,
@@ -2426,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "embedding_dup_components": _embedding_components_oracle_sql(),
         "minhash_near_dups": _minhash_oracle_sql(),
+        "doc_incremental_dedup": _incremental_dedup_oracle_sql(),
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),

@@ -111,6 +111,7 @@ def main():
         "doc_training_corpus",
         "doc_mixed_corpus",
         "minhash_near_dups",
+        "doc_incremental_dedup",
         "doc_ngram_jaccard_dups",
         "simhash_near_dups",
         "embedding_topk",

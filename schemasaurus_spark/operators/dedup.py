@@ -527,6 +527,140 @@ def minhash_near_duplicates(
     return _expand_pairs(rep_pairs, members, "jaccard", 1.0)
 
 
+# ------------------------------------------------- incremental (batch vs corpus index)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Persistable LSH band index over a curated corpus: one thin
+    ``(id, band, bhash)`` row per (doc, band).
+
+    This is the artifact a daily-ingest pipeline keeps BETWEEN runs so an
+    incoming batch never re-shingles the historical corpus: at 100 TB the
+    corpus text is petabyte-shaped, but its band index is
+    ``bands × ~20 bytes`` per doc — parquet-write it once, append the
+    surviving batch's rows after every ingest.  Deliberately thin (no
+    shingle arrays, no signatures): candidate generation needs only bucket
+    keys, and the exact-Jaccard verify re-derives shingles for the RARE
+    candidate docs via a semi-join against the corpus (see
+    ``incremental_near_duplicates``).  Storing shingle sets in the index
+    would make it corpus-sized again."""
+    df = df.where(F.col(text_col).isNotNull())
+    shingled = df.select(
+        F.col(id_col), char_shingles_expr(text_col, shingle_k).alias("_shingles")
+    )
+    hashed = shingled.select(
+        F.col(id_col), minhash_base_hashes(F.col("_shingles")).alias("_hh")
+    )
+    with_sig = hashed.select(
+        F.col(id_col),
+        minhash_signature_from_hashes(F.col("_hh"), n_hashes).alias("_sig"),
+    )
+    return minhash_band_rows(with_sig, id_col, n_hashes, bands)
+
+
+def incremental_near_duplicates(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    index_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    bucket_cap: int | None = 5000,
+    report_out: dict | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW batch against an EXISTING corpus:
+    ``(batch_id, corpus_id, jaccard)`` with jaccard >= threshold.
+
+    The incremental shape is what distinguishes this from
+    ``minhash_near_duplicates``: the corpus side is represented by its
+    persisted band index (``index_df``; built from ``corpus_df`` when not
+    supplied), so per ingest the work is
+    (a) shingle+sign the BATCH only,
+    (b) one equi-join of batch band rows against the index on
+        ``(band, bhash)`` — never a corpus self-join, never a corpus
+        re-shingle,
+    (c) exact-Jaccard verify of the candidate pairs, re-deriving shingles
+        only for the candidate doc ids on each side (semi-join pruned;
+        candidates are rare by LSH construction).
+    At 10^12 corpus docs + 10^8-doc daily batches the index join shuffles
+    ~bands·|batch| thin rows against a bucketed index; the corpus text is
+    touched only for verify candidates.  Hot buckets on the index side
+    (boilerplate text) are capped-with-report exactly like the self-join
+    path.  Intra-batch duplicates are NOT handled here — run
+    ``minhash_near_duplicates``/``dedup_by_components`` on the batch first,
+    then this against the corpus."""
+    batch_df = batch_df.where(F.col(text_col).isNotNull())
+    corpus_df = corpus_df.where(F.col(text_col).isNotNull())
+    if index_df is None:
+        index_df = minhash_band_index(
+            corpus_df, text_col, id_col, n_hashes, bands, shingle_k
+        )
+    index_df = _cap_buckets_reported(
+        index_df, ["band", "bhash"], bucket_cap, report_out, "minhash_incremental"
+    )
+    batch_rows = minhash_band_index(
+        batch_df, text_col, id_col, n_hashes, bands, shingle_k
+    )
+    cands = _pin(
+        batch_rows.selectExpr(f"{id_col} AS batch_id", "band", "bhash")
+        .join(
+            index_df.selectExpr(f"{id_col} AS corpus_id", "band", "bhash"),
+            on=["band", "bhash"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    def _cand_shingles(df: DataFrame, side: str) -> DataFrame:
+        ids = cands.select(F.col(side).alias(id_col)).distinct()
+        return df.join(ids, id_col, "left_semi").select(
+            F.col(id_col).alias(side),
+            F.array_distinct(
+                F.transform(
+                    char_shingles_expr(text_col, shingle_k), lambda s: F.xxhash64(s)
+                )
+            ).alias(f"_sh_{side}"),
+        )
+
+    joined = cands.join(_cand_shingles(batch_df, "batch_id"), "batch_id").join(
+        _cand_shingles(corpus_df, "corpus_id"), "corpus_id"
+    )
+    inter = F.size(F.array_intersect("_sh_batch_id", "_sh_corpus_id"))
+    union = F.size("_sh_batch_id") + F.size("_sh_corpus_id") - inter
+    return joined.select(
+        "batch_id", "corpus_id", F.round(inter / union, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def incremental_dedup(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    index_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Batch rows that survive incremental dedup against the corpus — the
+    frame a pipeline appends to the curated table (and whose
+    ``minhash_band_index`` rows it appends to the persisted index)."""
+    pairs = incremental_near_duplicates(
+        batch_df, corpus_df, index_df, text_col, id_col, threshold, **kwargs
+    )
+    flagged = pairs.select(F.col("batch_id").alias(id_col)).distinct()
+    return batch_df.join(flagged, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- n-gram jaccard (exact, join on shared shingle)
 
 

@@ -162,6 +162,77 @@ def test_minhash_finds_near_dupes(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_incremental_dedup_matches_cross_restriction_of_full_pairs(spark):
+    """Batch-vs-corpus incremental pairs must equal the full self-join
+    pairs restricted to cross-split pairs (same signatures, same verify
+    arithmetic — only the pairing scope differs), and survivors must be
+    exactly the unflagged batch docs."""
+    from schemasaurus_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different content about spark pipelines " * 8),
+        (10, base.replace("quick", "rapid")),
+        (11, "another unrelated document on drift statistics " * 8),
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = df.where(F.col("doc_id") >= 10)
+    corpus = df.where(F.col("doc_id") < 10)
+
+    got = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in incremental_near_duplicates(batch, corpus, threshold=0.5).collect()
+    }
+    full = minhash_near_duplicates(df, threshold=0.5, collapse_exact=False)
+    want = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.jaccard)
+        for r in full.collect()
+        if (r.id_a >= 10) != (r.id_b >= 10)
+    }
+    assert got == want and got  # non-vacuous: 10 is a near-dup of 1/2
+
+    survivors = {r.doc_id for r in incremental_dedup(batch, corpus, threshold=0.5).collect()}
+    flagged = {b for b, _, _ in got}
+    assert survivors == {10, 11, 12} - flagged
+
+
+def test_incremental_dedup_persisted_index_roundtrip(spark, tmp_path):
+    """The daily-ingest shape: band index parquet-written once, read back,
+    and handed to incremental_near_duplicates — identical result to
+    building the index inline, and the corpus is still only touched for
+    verify candidates."""
+    from schemasaurus_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_index,
+    )
+
+    base = "pack my box with five dozen liquor jugs now " * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "some other historical document entirely " * 8)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, base.replace("five", "nine")), (101, "fresh unrelated text " * 8)],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_index(corpus).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    inline = incremental_near_duplicates(batch, corpus, threshold=0.5)
+    via_idx = incremental_near_duplicates(batch, corpus, index_df=idx, threshold=0.5)
+    rows_a = sorted(map(tuple, inline.collect()))
+    rows_b = sorted(map(tuple, via_idx.collect()))
+    assert rows_a == rows_b
+    assert rows_a and rows_a[0][:2] == (100, 1)
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnoX"), (3, "zzzzyyyyxxxxwwww")],
