@@ -911,6 +911,33 @@ WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
 """
 
 
+def doc_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (bound any one domain's share of the
+    corpus): deterministically the 10 smallest-hash docs of each source.
+
+    The operator (sampling.quota_cap) never sorts a whole group — oversize
+    groups are hash-prefiltered to ~slack*cap candidate rows before the
+    row_number window, with an exact full-window fallback for the rare
+    under-covered group — but the RESULT is exactly the window semantics,
+    which is what the oracle states directly."""
+    from schemasaurus_spark.operators.sampling import quota_cap
+
+    return quota_cap(
+        _docs(spark, sf_dir), "source", 10, key_col="doc_id", seed=0
+    ).select("source", "doc_id")
+
+
+_QUOTA_CAP_ORACLE = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.45, "src1": 0.25, "src2": 0.2, "src3": 0.1}
 _MIX_FACTOR = 0.8
 _MIX_SEED = 0
@@ -2400,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_quota_cap": doc_quota_cap,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
         "doc_chunking": doc_chunking,
@@ -2459,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
         "doc_stratified_sample": _stratified_oracle_sql(),
+        "doc_quota_cap": _QUOTA_CAP_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,

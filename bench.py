@@ -104,6 +104,7 @@ def main():
         "doc_repetition_profile",
         "doc_pii_redaction",
         "doc_packing",
+        "doc_quota_cap",
         "doc_source_mix",
         "doc_token_topk",
         "doc_lm_score",

@@ -18,7 +18,7 @@ Bucket scheme: ``md5(key || ':' || seed)`` first 4 hex chars -> int in
 therefore quantized to 1/65536 — documented contract, not a bug.
 """
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1 << 16
@@ -44,6 +44,89 @@ def deterministic_sample(
 ) -> DataFrame:
     """Reproducible Bernoulli-style sample keyed on ``key_col``."""
     return df.where(sample_bucket(key_col, seed) < F.lit(_keep_threshold(fraction)))
+
+
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    slack: float = 2.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — deterministically the ``cap``
+    rows with the smallest ``(md5(key:seed), key)`` — without ever sorting
+    a whole group.
+
+    Per-domain/source caps are a standard curation step (bound the share
+    of any one crawl domain), and the naive implementation —
+    ``row_number() OVER (PARTITION BY group ORDER BY hash)`` — serializes
+    each group through one task: a 10^9-doc domain becomes a single-task
+    sort.  This operator keeps the exact window semantics but bounds the
+    window's input:
+
+    1. per-group exact counts (map-side-combined aggregate, |groups| rows);
+    2. groups with ``count <= cap`` pass through untouched — no window, no
+       sort, just the count join;
+    3. oversize groups are PREFILTERED to rows whose uniform md5 hash
+       falls below ``slack * cap / count`` — expected ``slack * cap``
+       candidates per group regardless of group size — and only those
+       candidates enter the window.  Because the prefilter is a prefix of
+       the window's own ordering, the smallest ``cap`` rows are provably
+       inside it whenever it holds at least ``cap`` rows;
+    4. the rare group whose prefilter under-covers (Chernoff-improbable
+       at ``slack``>=2, but possible) falls back to the full window — the
+       result is EXACT for every group, never "approximately cap".
+
+    Determinism: the kept set depends only on (key, seed), never on
+    partitioning or executor count.  Ties in the 60-bit hash order break
+    on the key itself.  A NULL group is one group (null-safe joins
+    throughout), matching SQL ``PARTITION BY``."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if slack <= 1.0:
+        raise ValueError(f"slack must be > 1, got {slack}")
+    hx = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+    hnum = F.conv(F.substring(hx, 1, 15), 16, 10).cast("double") / float(1 << 60)
+    work = df.withColumn("_qhex", hx).withColumn("_qnum", hnum)
+
+    def _gjoin(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        cond = left[group_col].eqNullSafe(right["_qg"])
+        out = left.join(right, cond, how)
+        return out.drop("_qg") if how == "inner" else out
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    work = _gjoin(work, counts.withColumnRenamed(group_col, "_qg"), "inner")
+
+    small = work.where(F.col("_gn") <= cap)
+
+    big = work.where(F.col("_gn") > cap)
+    cand = big.where(F.col("_qnum") * F.col("_gn") < F.lit(float(slack) * cap))
+    # exactness guard: a group is window-safe only if its candidate set
+    # holds >= cap rows (then the cap smallest of the group are all in it,
+    # because the prefilter is a prefix of the window's own hash order)
+    safe_groups = (
+        cand.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .where(F.col("_cn") >= cap)
+        .select(F.col(group_col).alias("_qg"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_qhex", key_col)
+    ranked_safe = (
+        _gjoin(cand, safe_groups, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+    )
+    # under-covered (or hash-degenerate) oversize groups: exact full window
+    ranked_rest = (
+        _gjoin(big, safe_groups, "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+    )
+    kept = small.unionByName(ranked_safe.drop("_rn")).unionByName(
+        ranked_rest.drop("_rn")
+    )
+    return kept.drop("_qhex", "_qnum", "_gn")
 
 
 def stratified_sample(

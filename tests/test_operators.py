@@ -979,6 +979,80 @@ def test_stratified_sample_rates_per_stratum(spark):
     assert rates["fr"] == 1.0
 
 
+def _quota_brute_force(rows, group_idx, key_idx, cap, seed=0):
+    """Reference semantics: per group, the cap rows with smallest
+    (md5(f"{key}:{seed}"), key)."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for r in rows:
+        h = hashlib.md5(f"{r[key_idx]}:{seed}".encode()).hexdigest()
+        by_g[r[group_idx]].append((h, r[key_idx]))
+    kept = set()
+    for g, lst in by_g.items():
+        for h, k in sorted(lst)[:cap]:
+            kept.add((g, k))
+    return kept
+
+
+def test_quota_cap_exact_vs_brute_force_with_skew_and_null_group(spark):
+    """One giant group, one under-cap group, one NULL group: the kept set
+    must equal the brute-force smallest-cap-hashes-per-group set, and be
+    invariant under repartitioning."""
+    from schemasaurus_spark.operators.sampling import quota_cap
+
+    rows = (
+        [(i, "big") for i in range(2000)]
+        + [(10_000 + i, "small") for i in range(7)]
+        + [(20_000 + i, None) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    want = _quota_brute_force([(r[1], r[0]) for r in rows], 0, 1, 25)
+    got = {
+        (r.source, r.doc_id)
+        for r in quota_cap(df, "source", 25, key_col="doc_id").collect()
+    }
+    assert got == want
+    assert sum(1 for g, _ in got if g == "big") == 25
+    assert sum(1 for g, _ in got if g == "small") == 7
+    assert sum(1 for g, _ in got if g is None) == 25
+    got_rep = {
+        (r.source, r.doc_id)
+        for r in quota_cap(df.repartition(13), "source", 25, key_col="doc_id").collect()
+    }
+    assert got_rep == got
+
+
+def test_quota_cap_fallback_path_is_exact(spark):
+    """Find a (group size, cap) where the hash prefilter provably
+    under-covers (candidates < cap at slack), so the full-window fallback
+    branch executes — the result must STILL equal brute force."""
+    import hashlib
+
+    from schemasaurus_spark.operators.sampling import quota_cap
+
+    n, slack = 60, 1.2
+    qnum = {
+        i: int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        for i in range(n)
+    }
+    chosen_cap = None
+    for cap in range(1, n):
+        thr = slack * cap / n
+        if sum(1 for v in qnum.values() if v < thr) < cap:
+            chosen_cap = cap
+            break
+    assert chosen_cap is not None, "no under-covering cap found; widen search"
+    df = spark.createDataFrame([(i, "g") for i in range(n)], ["doc_id", "source"])
+    want = _quota_brute_force([("g", i) for i in range(n)], 0, 1, chosen_cap)
+    got = {
+        (r.source, r.doc_id)
+        for r in quota_cap(df, "source", chosen_cap, slack=slack).collect()
+    }
+    assert got == want
+
+
 def test_sample_fraction_bounds():
     import pytest as _pytest
 
