@@ -911,6 +911,48 @@ WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
 """
 
 
+def doc_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog resolution: each doc expands to 1-3 synthetic
+    revisions (rev = 0..doc_id%3, op = delete when (doc_id+rev)%7 = 0),
+    then cdc.latest_revisions picks the max-rev survivor per key via a
+    map-side-combinable max_by aggregate — no per-key window sort, so a
+    hot key's revision history collapses before the shuffle.  The oracle
+    states the same semantics as the naive row_number window."""
+    from schemasaurus_spark.operators.cdc import latest_revisions
+
+    docs = _docs(spark, sf_dir)
+    changelog = docs.selectExpr(
+        "doc_id",
+        "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS rev",
+        "text",
+    ).selectExpr(
+        "doc_id",
+        "rev",
+        "CASE WHEN (doc_id + rev) % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op",
+        "concat(text, ' [rev ', CAST(rev AS STRING), ']') AS text",
+    )
+    return latest_revisions(changelog, op_col="op").select("doc_id", "rev", "text")
+
+
+_LATEST_REVISION_ORACLE = """
+WITH revs AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS rev, text
+  FROM documents
+),
+changelog AS (
+  SELECT doc_id, rev,
+         CASE WHEN (doc_id + rev) % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         text || ' [rev ' || CAST(rev AS VARCHAR) || ']' AS text
+  FROM revs
+)
+SELECT doc_id, rev, text FROM (
+  SELECT doc_id, rev, op, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn
+  FROM changelog) q
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def doc_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota capping (bound any one domain's share of the
     corpus): deterministically the 10 smallest-hash docs of each source.
@@ -2428,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_quota_cap": doc_quota_cap,
+        "doc_latest_revision": doc_latest_revision,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
         "doc_chunking": doc_chunking,
@@ -2488,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_ORACLE,
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,
+        "doc_latest_revision": _LATEST_REVISION_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,

@@ -105,6 +105,7 @@ def main():
         "doc_pii_redaction",
         "doc_packing",
         "doc_quota_cap",
+        "doc_latest_revision",
         "doc_source_mix",
         "doc_token_topk",
         "doc_lm_score",

@@ -1,0 +1,77 @@
+"""Changelog (CDC) resolution: latest-revision semantics vs brute force,
+delete handling, snapshot merge, and partitioning invariance."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.cdc import apply_changelog, latest_revisions
+
+
+def _brute_latest(rows, with_op=True):
+    """rows: (doc_id, rev, op, text). Latest rev per key; drop keys whose
+    winning op is delete."""
+    best = {}
+    for k, rev, op, text in rows:
+        if k not in best or rev > best[k][0]:
+            best[k] = (rev, op, text)
+    return {
+        k: (rev, op, text)
+        for k, (rev, op, text) in best.items()
+        if not (with_op and op == "delete")
+    }
+
+
+def test_latest_revisions_matches_brute_force_and_is_partition_invariant(spark):
+    rng = random.Random(7)
+    rows = []
+    for k in range(40):
+        for rev in range(rng.randint(1, 6)):
+            op = "delete" if rng.random() < 0.2 else "upsert"
+            rows.append((k, rev, op, f"text-{k}-{rev}"))
+    df = spark.createDataFrame(rows, ["doc_id", "rev", "op", "text"])
+    want = _brute_latest(rows)
+    for frame in (df, df.repartition(13)):
+        got = {
+            r.doc_id: (r.rev, r.op, r.text)
+            for r in latest_revisions(frame, op_col="op").collect()
+        }
+        assert got == want
+    # non-vacuous: some key must actually have been deleted
+    assert len(want) < 40
+
+
+def test_latest_revisions_delete_then_reupsert_resurrects(spark):
+    rows = [(1, 0, "upsert", "a"), (1, 1, "delete", None), (1, 2, "upsert", "c"),
+            (2, 0, "upsert", "x"), (2, 1, "delete", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "rev", "op", "text"])
+    got = {r.doc_id: r.text for r in latest_revisions(df, op_col="op").collect()}
+    assert got == {1: "c"}
+
+
+def test_latest_revisions_multi_column_version_and_null_op(spark):
+    # version = (ts, seq): lexicographic struct order, ties broken by seq;
+    # a NULL op row is an upsert, never dropped
+    rows = [(1, 10, 0, "upsert", "old"), (1, 10, 1, None, "new"),
+            (2, 5, 0, "upsert", "only")]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "seq", "op", "text"])
+    got = {
+        r.doc_id: r.text
+        for r in latest_revisions(df, version_cols=("ts", "seq"), op_col="op").collect()
+    }
+    assert got == {1: "new", 2: "only"}
+
+
+def test_apply_changelog_merges_base_snapshot(spark):
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["doc_id", "text"]
+    )
+    chg = spark.createDataFrame(
+        [(2, 0, "upsert", "two-v2"), (3, 0, "delete", None),
+         (4, 0, "upsert", "four"), (4, 1, "upsert", "four-v2")],
+        ["doc_id", "rev", "op", "text"],
+    )
+    merged = apply_changelog(base, chg, op_col="op")
+    assert merged.columns == base.columns
+    got = {r.doc_id: r.text for r in merged.collect()}
+    assert got == {1: "one", 2: "two-v2", 4: "four-v2"}
