@@ -911,6 +911,30 @@ WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
 """
 
 
+def doc_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(source, lang) quality profile in one pass (stats.corpus_rollup):
+    per-source, per-lang, per-(source,lang) and corpus-total doc counts +
+    char-length sums/averages, disambiguated by grouping_id.  One scan,
+    map-side partial aggregation of every grouping set — the curation
+    dashboard query that would otherwise be four separate groupBys."""
+    from schemasaurus_spark.operators.stats import corpus_rollup
+
+    return corpus_rollup(
+        _docs(spark, sf_dir), ["source", "lang"], cube=True
+    ).select("gid", "source", "lang", "n_docs", "n_texts", "total_measure", "avg_measure")
+
+
+_QUALITY_CUBE_ORACLE = """
+SELECT GROUPING_ID(source, lang) AS gid, source, lang,
+       count(*) AS n_docs,
+       count(text) AS n_texts,
+       CAST(sum(n_chars) AS BIGINT) AS total_measure,
+       round(avg(n_chars), 6) AS avg_measure
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
 def doc_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog resolution: each doc expands to 1-3 synthetic
     revisions (rev = 0..doc_id%3, op = delete when (doc_id+rev)%7 = 0),
@@ -2471,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_quota_cap": doc_quota_cap,
         "doc_latest_revision": doc_latest_revision,
+        "doc_quality_cube": doc_quality_cube,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
         "doc_chunking": doc_chunking,
@@ -2532,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,
         "doc_latest_revision": _LATEST_REVISION_ORACLE,
+        "doc_quality_cube": _QUALITY_CUBE_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,

@@ -106,6 +106,7 @@ def main():
         "doc_packing",
         "doc_quota_cap",
         "doc_latest_revision",
+        "doc_quality_cube",
         "doc_source_mix",
         "doc_token_topk",
         "doc_lm_score",

@@ -73,6 +73,39 @@ def category_counts(df: DataFrame, col: str) -> DataFrame:
     return df.groupBy(F.col(col).alias("category")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def corpus_rollup(
+    df: DataFrame,
+    dims: list[str],
+    measure_col: str = "n_chars",
+    text_col: str = "text",
+    cube: bool = False,
+) -> DataFrame:
+    """Multi-dimensional quality profile via ROLLUP (or CUBE) over the
+    grouping dims: per (dim..., aggregation level) one row of
+    ``gid, n_docs, n_texts, total_measure, avg_measure``.
+
+    The curation dashboard shape — per-source, per-(source, lang), and
+    corpus-total quality in ONE pass.  Grouping sets are strictly better
+    at scale than the K separate groupBys they replace: Spark expands the
+    sets map-side and partially aggregates each, so the input is scanned
+    once and the shuffle carries |groups summed over levels| rows, all
+    map-side combined.  ``gid`` is ``grouping_id()`` (bit per dim,
+    leftmost dim = most significant), which disambiguates a genuinely
+    NULL dim value from a rolled-up level — never rely on the NULL
+    placeholder alone.  avg is rounded to 6 places so the cross-engine
+    hash compares IEEE-stable text."""
+    if not dims:
+        raise ValueError("dims must name at least one grouping column")
+    grouped = df.cube(*dims) if cube else df.rollup(*dims)
+    return grouped.agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.col(text_col)).alias("n_texts"),
+        F.sum(F.col(measure_col)).alias("total_measure"),
+        F.round(F.avg(F.col(measure_col)), 6).alias("avg_measure"),
+    )
+
+
 def quantile_vector(df: DataFrame, col: str, probs: list[float], rsd: float = 0.01):
     """Approximate quantile vector (the KS drift input); driver-side list."""
     return df.stat.approxQuantile(col, probs, rsd)

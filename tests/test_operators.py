@@ -979,6 +979,49 @@ def test_stratified_sample_rates_per_stratum(spark):
     assert rates["fr"] == 1.0
 
 
+def test_corpus_rollup_matches_manual_groupbys_and_disambiguates_nulls(spark):
+    """CUBE output must equal the union of the four manual groupBys, and a
+    genuinely NULL dim value must stay distinguishable (gid bit) from the
+    rolled-up level's NULL placeholder."""
+    from schemasaurus_spark.operators.stats import corpus_rollup
+
+    rows = [
+        ("s1", "en", "a", 10),
+        ("s1", "de", "b", 20),
+        ("s2", "en", None, 30),
+        (None, "en", "d", 40),  # genuine NULL source
+        ("s2", None, "e", 50),  # genuine NULL lang
+    ]
+    df = spark.createDataFrame(rows, ["source", "lang", "text", "n_chars"])
+    got = {
+        (r.gid, r.source, r.lang): (r.n_docs, r.n_texts, r.total_measure)
+        for r in corpus_rollup(df, ["source", "lang"], cube=True).collect()
+    }
+    # level 0: exact (source, lang) cells — genuine NULLs appear with gid=0
+    assert got[(0, None, "en")] == (1, 1, 40)
+    assert got[(0, "s2", None)] == (1, 1, 50)
+    # level 1 (lang rolled up) vs genuine NULL lang at level 0 differ by gid
+    assert got[(1, "s2", None)] == (2, 1, 80)
+    # level 2 (source rolled up)
+    assert got[(2, None, "en")] == (3, 2, 80)
+    # level 3: corpus total
+    assert got[(3, None, None)] == (5, 4, 150)
+    # full cross-check against manual groupBys
+    import itertools
+
+    for gid, dims in [(0, ["source", "lang"]), (1, ["source"]), (2, ["lang"]), (3, [])]:
+        manual = df.groupBy(*dims).agg(
+            F.count(F.lit(1)).alias("n"), F.count("text").alias("t"), F.sum("n_chars").alias("s")
+        )
+        for r in manual.collect():
+            key = (
+                gid,
+                r.source if "source" in dims else None,
+                r.lang if "lang" in dims else None,
+            )
+            assert got[key] == (r.n, r.t, r.s)
+
+
 def _quota_brute_force(rows, group_idx, key_idx, cap, seed=0):
     """Reference semantics: per group, the cap rows with smallest
     (md5(f"{key}:{seed}"), key)."""
