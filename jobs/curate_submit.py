@@ -101,6 +101,13 @@ def main() -> None:
     )
     ap.add_argument("--passage-min-count", type=int, default=2)
     ap.add_argument("--passage-min-tokens", type=int, default=1)
+    ap.add_argument(
+        "--quota-cap",
+        default=None,
+        metavar="COL:N",
+        help="cap each group of COL at N docs post-dedup, e.g. source:100000",
+    )
+    ap.add_argument("--quota-seed", type=int, default=0)
     args = ap.parse_args()
 
     rep_thresholds = None
@@ -111,6 +118,13 @@ def main() -> None:
             if args.max_dup_longgram_frac is not None
             else 1.0,
         )
+
+    quota_col, quota_n = None, None
+    if args.quota_cap:
+        quota_col, _, n_str = args.quota_cap.partition(":")
+        if not quota_col or not n_str.isdigit():
+            ap.error(f"--quota-cap expects COL:N, got {args.quota_cap!r}")
+        quota_n = int(n_str)
 
     from schemasaurus_spark.plans.pipeline import CorpusPipeline
 
@@ -137,6 +151,9 @@ def main() -> None:
         passage_removal_window=args.passage_window,
         passage_min_count=args.passage_min_count,
         passage_min_tokens=args.passage_min_tokens,
+        quota_group_col=quota_col,
+        quota_cap_docs=quota_n,
+        quota_seed=args.quota_seed,
     )
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}

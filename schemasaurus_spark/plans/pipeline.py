@@ -42,7 +42,7 @@ from schemasaurus_spark.operators.dedup import (
 from schemasaurus_spark.operators.decontam import decontaminate
 from schemasaurus_spark.operators.mixing import mix_sources
 from schemasaurus_spark.operators.repetition import filter_repetitive
-from schemasaurus_spark.operators.sampling import stratified_sample
+from schemasaurus_spark.operators.sampling import quota_cap, stratified_sample
 from schemasaurus_spark.operators.substring_dedup import remove_duplicate_passages
 from schemasaurus_spark.operators.text import quality_score
 from schemasaurus_spark.schema.columns import validate_dataframe
@@ -92,6 +92,9 @@ class CorpusPipeline:
     passage_removal_window: int | None = None
     passage_min_count: int = 2
     passage_min_tokens: int = 1
+    quota_group_col: str | None = None
+    quota_cap_docs: int | None = None
+    quota_seed: int = 0
 
     def valid_docs(self, docs: DataFrame) -> DataFrame:
         v = validate_dataframe(docs, self.schema)
@@ -158,6 +161,23 @@ class CorpusPipeline:
             .drop("clean_text")
         )
 
+    def quota_capped(self, docs: DataFrame) -> DataFrame:
+        """Optional stage 4c (``quota_group_col``+``quota_cap_docs`` opt
+        in): bound any one group's (domain/source) share of the curated
+        corpus via the skew-safe deterministic cap
+        (operators/sampling.quota_cap).  Runs after dedup — capping first
+        would let near-duplicates consume a group's quota — and before
+        sampling/mixing, which rebalance the already-capped corpus."""
+        if self.quota_group_col is None or self.quota_cap_docs is None:
+            return docs
+        return quota_cap(
+            docs,
+            self.quota_group_col,
+            self.quota_cap_docs,
+            key_col=self.id_col,
+            seed=self.quota_seed,
+        )
+
     def sampled(self, docs: DataFrame) -> DataFrame:
         if not self.sample_fractions and self.sample_default >= 1.0:
             return docs
@@ -194,11 +214,13 @@ class CorpusPipeline:
         the (already materialized) cluster-loser list."""
         return self.mixed(
             self.sampled(
-                self.passage_cleaned(
-                    self.near_deduped(
-                        self.optional_filtered(
-                            self.exact_deduped(
-                                self.quality_docs(self.valid_docs(docs))
+                self.quota_capped(
+                    self.passage_cleaned(
+                        self.near_deduped(
+                            self.optional_filtered(
+                                self.exact_deduped(
+                                    self.quality_docs(self.valid_docs(docs))
+                                )
                             )
                         )
                     )
@@ -251,6 +273,9 @@ class CorpusPipeline:
                 pinned_deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
                 deduped = self.passage_cleaned(pinned_deduped)
                 counts["after_passage_removal"] = deduped.count()
+            if self.quota_group_col is not None and self.quota_cap_docs is not None:
+                deduped = self.quota_capped(deduped)
+                counts["after_quota_cap"] = deduped.count()
             out = self.sampled(deduped)
             counts["after_sampling"] = out.count()
             if self.mix_weights is not None:

@@ -182,6 +182,33 @@ def test_optional_decontam_and_repetition_stages(spark, raw_docs):
     assert {r["doc_id"] for r in pipe.run(docs).collect()} == ids
 
 
+def test_optional_quota_cap_stage(spark, raw_docs):
+    """Stage 4c bounds each group's share post-dedup; run() and the
+    instrumented run agree, counts attribute the capped rows, and the
+    default config keeps the stage off."""
+    base = CorpusPipeline(schema=SCHEMA, quality_min=0.3, minhash_threshold=0.5)
+    capped = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.3,
+        minhash_threshold=0.5,
+        quota_group_col="lang",
+        quota_cap_docs=5,
+    )
+    uncapped_out = base.run(raw_docs)
+    out, counts = capped.run_with_counts(raw_docs)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes and all(n <= 5 for n in sizes.values())
+    assert counts["after_quota_cap"] == sum(sizes.values())
+    assert counts["after_quota_cap"] < counts["after_near_dedup"]
+    # run() plan equals the instrumented run
+    ids_run = {r.doc_id for r in capped.run(raw_docs).select("doc_id").collect()}
+    ids_counts = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids_run == ids_counts
+    # capped output is a subset of the uncapped corpus
+    ids_uncapped = {r.doc_id for r in uncapped_out.select("doc_id").collect()}
+    assert ids_run < ids_uncapped
+
+
 def test_optional_mixing_stage(spark, raw_docs):
     docs = raw_docs.withColumn(
         "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")

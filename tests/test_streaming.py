@@ -71,6 +71,64 @@ def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
     assert "5" in ids and "4" not in ids
 
 
+def test_incremental_dedup_stream_filters_against_corpus_index(spark, tmp_path):
+    """Each micro-batch is near-dedup-checked against the static corpus
+    index: near-dups of corpus docs are flagged+rejected, fresh docs are
+    accepted, across two separate stream runs (resumed checkpoint)."""
+    from schemasaurus_spark.operators.dedup import incremental_dedup
+    from schemasaurus_spark.streaming.incremental_stream import (
+        incremental_dedup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different historical corpus content " * 8
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(corpus_dir)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    b1 = [(100, base.replace("lazy", "sleepy")), (101, "fresh novel text " * 8)]
+    spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    q, release = incremental_dedup_stream(
+        spark, in_dir, corpus_dir, out_dir, threshold=0.5
+    )
+    q.awaitTermination(120)
+    release()
+    accepted = {r.doc_id for r in spark.read.parquet(f"{out_dir}/accepted").collect()}
+    flagged = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out_dir}/flagged").collect()
+    }
+    assert accepted == {101}
+    assert flagged == {(100, 1)}
+
+    # second run drains only the NEW batch (checkpoint remembers batch 1)
+    b2 = [(200, other.replace("historical", "archival")), (201, "more new text " * 8)]
+    spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2, release2 = incremental_dedup_stream(
+        spark, in_dir, corpus_dir, out_dir, threshold=0.5
+    )
+    q2.awaitTermination(120)
+    release2()
+    accepted2 = {r.doc_id for r in spark.read.parquet(f"{out_dir}/accepted").collect()}
+    assert accepted2 == {101, 201}
+
+    # stream result equals the batch-mode operator on the union of batches
+    both = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    corpus = spark.read.parquet(corpus_dir)
+    batch_survivors = {
+        r.doc_id for r in incremental_dedup(both, corpus, threshold=0.5).collect()
+    }
+    assert accepted2 == batch_survivors
+
+
 def test_sink_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a micro-batch (same
     batch_id) must rewrite its partition, not duplicate rows."""
