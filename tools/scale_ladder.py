@@ -61,6 +61,10 @@ QUERIES = [
     # charset-bounded) and vocabulary top-k (token rows k-fold)
     "doc_lm_score",
     "doc_token_topk",
+    # round 4 session 3: incremental batch-vs-corpus-index dedup — copies
+    # are shingle-disjoint under the cipher, so band buckets stay
+    # constant-sized and candidate pairs scale linearly with the factor
+    "doc_incremental_dedup",
 ]
 
 
