@@ -830,6 +830,37 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors within cosine 0.3 of any
+    held-out benchmark vector (vec_id % 10 == 0 split).  Broadcast-exact
+    method — the benchmark broadcasts, the corpus never shuffles, cosines
+    run JVM-side (similarity.embedding_contamination_pairs); the LSH
+    bucketed method is the larger-benchmark path (pytest-covered).
+    Zero-norm vectors excluded on both sides, mirrored in the oracle."""
+    from schemasaurus_spark.operators.similarity import (
+        embedding_contamination_pairs,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return embedding_contamination_pairs(corpus, bench, threshold=0.3)
+
+
+_EMB_DECONTAM_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+)
+SELECT c.vec_id AS corpus_id, b.vec_id AS benchmark_id,
+       round(list_cosine_similarity(c.v, b.v), 6) AS cosine
+FROM emb c JOIN emb b ON b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+WHERE round(list_cosine_similarity(c.v, b.v), 6) >= 0.3
+"""
+
+
 def embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup CLUSTERING: the multi-table hyperplane
     LSH pair generation of ``embedding_near_dups`` fed through the same
@@ -2504,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": embedding_ann_lsh,
         "embedding_near_dups": embedding_near_dups,
         "embedding_dup_components": embedding_dup_components,
+        "embedding_decontamination": embedding_decontamination,
         "minhash_near_dups": minhash_near_dups,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
@@ -2567,6 +2599,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "embedding_dup_components": _embedding_components_oracle_sql(),
+        "embedding_decontamination": _EMB_DECONTAM_ORACLE,
         "minhash_near_dups": _minhash_oracle_sql(),
         "doc_incremental_dedup": _incremental_dedup_oracle_sql(),
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,

@@ -120,6 +120,7 @@ def main():
         "embedding_topk",
         "embedding_ann_lsh",
         "embedding_near_dups",
+        "embedding_decontamination",
         "embedding_ivf_topk",
         "event_value_quartiles",
         "event_value_ks_drift",

@@ -583,3 +583,115 @@ def embedding_near_duplicates(
     if not collapse_exact:
         return rep_pairs
     return _expand_pairs(rep_pairs, members, "similarity", 1.0)
+
+
+# ---------------------------------------------------------------- embedding decontamination
+
+
+def embedding_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    method: str = "broadcast",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark contamination: corpus vectors
+    whose cosine vs ANY benchmark vector reaches ``threshold`` —
+    ``(corpus_id, benchmark_id, cosine)`` pairs.  The embedding twin of
+    decontam.contamination_report: n-gram overlap misses paraphrased eval
+    leakage; cosine over embeddings catches it.
+
+    ``method="broadcast"`` (exact, the contract semantics): the benchmark
+    — eval sets are 10^3-10^5 vectors, broadcast-sized by nature — ships
+    to every executor and the corpus is scanned ONCE, map-only, zero
+    shuffles, cosines via JVM ``zip_with``/``aggregate``.  O(n·m) dot
+    products by declaration; exactly the asymmetry the n-gram decontam
+    exploits (big side never shuffles, small side broadcasts).
+
+    ``method="lsh"`` (the larger-benchmark path): both sides bucket under
+    ``n_tables`` independent sign-bit hyperplane tables (same derived
+    plane counts as embedding_near_duplicates, scaled by the CORPUS size)
+    and only same-bucket pairs are cosine-verified — per-table equi-join
+    instead of a cross product.  Precision stays exact (every emitted
+    pair is verified); recall is probabilistic, rising with ``n_tables``.
+    Zero-norm vectors are excluded on both sides (cosine undefined)."""
+    nz = F.lit(0.0)
+    corpus_v = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    ).where(_norm(F.col(vec_col)) > nz)
+    bid = bench_id_col or id_col
+    bench_v = benchmark.select(
+        F.col(bid).alias("benchmark_id"), F.col(vec_col).alias("_bv")
+    ).where(_norm(F.col(vec_col)) > nz)
+    if method == "broadcast":
+        joined = corpus_v.crossJoin(F.broadcast(bench_v))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        if n_planes is None:
+            n_planes = derive_n_planes(None)
+        buckets = []
+        for side, idc, vc in (
+            (corpus_v, "corpus_id", "_cv"),
+            (bench_v, "benchmark_id", "_bv"),
+        ):
+            rows = side.select(
+                idc,
+                vc,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                lsh_bucket(
+                                    F.col(vc), dim, n_planes, table_seed(seed, t)
+                                ).alias("bkt"),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(idc, vc, "tb.tbl", "tb.bkt")
+            buckets.append(rows)
+        joined = (
+            buckets[0]
+            .join(buckets[1], on=["tbl", "bkt"])
+            .select("corpus_id", "_cv", "benchmark_id", "_bv")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        joined.select(
+            "corpus_id",
+            "benchmark_id",
+            F.round(
+                _dot(F.col("_cv"), F.col("_bv"))
+                / (_norm(F.col("_cv")) * _norm(F.col("_bv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Corpus rows surviving embedding decontamination (anti-join on the
+    flagged corpus ids)."""
+    flagged = embedding_contamination_pairs(
+        corpus, benchmark, threshold, id_col, vec_col, **kwargs
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

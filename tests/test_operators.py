@@ -979,6 +979,62 @@ def test_stratified_sample_rates_per_stratum(spark):
     assert rates["fr"] == 1.0
 
 
+def test_embedding_decontamination_exact_lsh_and_survivors(spark):
+    """Broadcast method == brute-force cosine; LSH method emits only
+    verified (true) pairs and always catches identical-vector leakage
+    (same bucket in every table); survivors = corpus minus flagged."""
+    import math as m
+    import random
+
+    from schemasaurus_spark.operators.similarity import (
+        decontaminate_embeddings,
+        embedding_contamination_pairs,
+    )
+
+    rng = random.Random(5)
+    dim = 8
+    bench_rows = [(1000 + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(5)]
+    corpus_rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    corpus_rows.append((900, list(bench_rows[0][1])))  # exact leak
+    corpus_rows.append((901, [0.0] * dim))  # zero norm: excluded
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    bench = spark.createDataFrame(bench_rows, ["vec_id", "embedding"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = m.sqrt(sum(x * x for x in a)), m.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na and nb else None
+
+    t = 0.5
+    want = {
+        (cid, bid)
+        for cid, cv in corpus_rows
+        for bid, bv in bench_rows
+        if cos(cv, bv) is not None and cos(cv, bv) >= t
+    }
+    exact = {
+        (r.corpus_id, r.benchmark_id)
+        for r in embedding_contamination_pairs(corpus, bench, t).collect()
+    }
+    assert exact == want and (900, 1000) in exact
+
+    lsh = {
+        (r.corpus_id, r.benchmark_id)
+        for r in embedding_contamination_pairs(
+            corpus, bench, t, method="lsh", dim=dim, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert lsh <= exact  # verified pairs only: no false positives
+    assert (900, 1000) in lsh  # identical vectors share every bucket
+
+    survivors = {
+        r.vec_id for r in decontaminate_embeddings(corpus, bench, t).collect()
+    }
+    flagged_ids = {cid for cid, _ in exact}
+    assert survivors == {cid for cid, _ in corpus_rows} - flagged_ids
+    assert 901 in survivors  # zero-norm row passes through unflagged
+
+
 def test_corpus_rollup_matches_manual_groupbys_and_disambiguates_nulls(spark):
     """CUBE output must equal the union of the four manual groupBys, and a
     genuinely NULL dim value must stay distinguishable (gid bit) from the
