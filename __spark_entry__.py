@@ -2470,6 +2470,65 @@ FROM cum, tot
 # ---------------------------------------------------------------------------
 
 
+def event_props_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact walker over a REAL semi-structured column: the
+    events table's ``props`` JSON strings validate against an integer
+    range schema through the Arrow-batch backend
+    (schema/batch.validate_json_column — compile once per worker, batches
+    stream through, no per-row Python round trips outside the fused
+    kernel).  One row in 50 is truncated in-plan so the jsonParse
+    violation path (malformed lines are first-class, never dropped) is
+    exercised and oracled too."""
+    from schemasaurus_spark.schema.batch import validate_json_column
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "integer", "required": True, "minimum": 10, "maximum": 80}
+        },
+    }
+    ev = _table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 50 = 0 THEN substr(props, 1, length(props) - 1) "
+        "ELSE props END AS props",
+    )
+    validated = validate_json_column(ev, schema, "props", keep=["event_id"])
+    return (
+        validated.select("event_id", F.explode("errors").alias("e"))
+        .select(
+            "event_id",
+            F.col("e.code").alias("code"),
+            F.col("e.path").alias("json_pointer"),
+            F.col("e.value").alias("value"),
+            F.col("e.arg").alias("arg"),
+        )
+    )
+
+
+_EVENT_PROPS_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 50 = 0 THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS props
+  FROM events
+),
+parsed AS (
+  SELECT event_id, props,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM ev WHERE event_id % 50 <> 0
+)
+SELECT event_id, 'jsonParse' AS code, '' AS json_pointer,
+       props AS value, CAST(NULL AS VARCHAR) AS arg
+FROM ev WHERE event_id % 50 = 0
+UNION ALL
+SELECT event_id, 'minimum', '/k', CAST(k AS VARCHAR), '10'
+FROM parsed WHERE k < 10
+UNION ALL
+SELECT event_id, 'maximum', '/k', CAST(k AS VARCHAR), '80'
+FROM parsed WHERE k > 80
+"""
+
+
 def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events")
     return (
@@ -2558,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_sequence": northrule_span_sequence,
         "northrule_dangling_media": northrule_dangling_media,
         "event_value_quartiles": event_value_quartiles,
+        "event_props_validation": event_props_validation,
         "event_type_chi2_drift": event_type_chi2_drift,
         "event_value_ks_drift": event_value_ks_drift,
         "event_value_psi_drift": event_value_psi_drift,
@@ -2596,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
+        "event_props_validation": _EVENT_PROPS_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "embedding_dup_components": _embedding_components_oracle_sql(),

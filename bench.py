@@ -122,6 +122,7 @@ def main():
         "embedding_near_dups",
         "embedding_decontamination",
         "embedding_ivf_topk",
+        "event_props_validation",
         "event_value_quartiles",
         "event_value_ks_drift",
         "event_value_psi_drift",
