@@ -2529,6 +2529,48 @@ FROM parsed WHERE k > 80
 """
 
 
+def event_props_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact NORMALIZER over the props JSON column
+    (schema/batch.BatchNormalizer): integer k coerces to string
+    ([type=string] toString coercion), a missing "tag" key takes its
+    schema default, and the output re-serializes in reference key order
+    (original keys first, defaulted keys appended) — all reproduced
+    byte-for-byte by SQL string construction in the oracle.  The same
+    1-in-50 in-plan truncation exercises the malformed-line path:
+    normalized is NULL, the row is never dropped."""
+    from schemasaurus_spark.schema.batch import BatchNormalizer
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "string"},
+            "tag": {"type": "string", "default": "backfill"},
+        },
+    }
+    ev = _table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 50 = 0 THEN substr(props, 1, length(props) - 1) "
+        "ELSE props END AS props",
+    )
+    return BatchNormalizer(schema).apply_json(ev, "props", keep=["event_id"])
+
+
+_EVENT_PROPS_NORM_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 50 = 0 THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS props
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN event_id % 50 = 0 THEN CAST(NULL AS VARCHAR)
+            ELSE '{"k":"' || CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR)
+                 || '","tag":"backfill"}'
+       END AS normalized
+FROM ev
+"""
+
+
 def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events")
     return (
@@ -2618,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_dangling_media": northrule_dangling_media,
         "event_value_quartiles": event_value_quartiles,
         "event_props_validation": event_props_validation,
+        "event_props_normalization": event_props_normalization,
         "event_type_chi2_drift": event_type_chi2_drift,
         "event_value_ks_drift": event_value_ks_drift,
         "event_value_psi_drift": event_value_psi_drift,
@@ -2657,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _TOPK_ORACLE,
         "event_value_quartiles": _QUARTILES_ORACLE,
         "event_props_validation": _EVENT_PROPS_ORACLE,
+        "event_props_normalization": _EVENT_PROPS_NORM_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "embedding_dup_components": _embedding_components_oracle_sql(),

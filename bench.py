@@ -123,6 +123,7 @@ def main():
         "embedding_decontamination",
         "embedding_ivf_topk",
         "event_props_validation",
+        "event_props_normalization",
         "event_value_quartiles",
         "event_value_ks_drift",
         "event_value_psi_drift",
