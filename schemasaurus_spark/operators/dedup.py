@@ -576,6 +576,7 @@ def incremental_near_duplicates(
     bands: int = 8,
     shingle_k: int = 5,
     bucket_cap: int | None = 5000,
+    collapse_exact: bool = True,
     report_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs of a NEW batch against an EXISTING corpus:
@@ -594,22 +595,51 @@ def incremental_near_duplicates(
         candidates are rare by LSH construction).
     At 10^12 corpus docs + 10^8-doc daily batches the index join shuffles
     ~bands·|batch| thin rows against a bucketed index; the corpus text is
-    touched only for verify candidates.  Hot buckets on the index side
-    (boilerplate text) are capped-with-report exactly like the self-join
-    path.  Intra-batch duplicates are NOT handled here — run
-    ``minhash_near_duplicates``/``dedup_by_components`` on the batch first,
-    then this against the corpus."""
+    touched only for verify candidates.  Exact duplicates collapse to one
+    representative per side before banding (identical normalized text ⟹
+    identical signature AND identical Jaccard vs everything — the same
+    lemma the self-join path relies on), so an N-copy boilerplate text is
+    ONE bucket entry instead of an N-wide hot bucket, and rep-level pairs
+    expand back to member pairs at the end (sf0.1 split: 1,007 of 5,000
+    corpus docs collapse away; candidate volume there is dominated not by
+    exact dups but by the synthetic corpus's high baseline vocabulary
+    similarity — band collision odds are s^r, so a corpus whose TRUE
+    pairwise Jaccard is broadly near the threshold yields big buckets by
+    construction, which is the bucket cap's territory, not collapse's).
+    With a caller-supplied
+    ``index_df`` the corpus side cannot collapse (the index is opaque) —
+    only the batch side does.  Residual hot buckets on the index side are
+    capped-with-report exactly like the self-join path.  Intra-batch
+    duplicates are NOT handled here — run ``minhash_near_duplicates``/
+    ``dedup_by_components`` on the batch first, then this against the
+    corpus."""
     batch_df = batch_df.where(F.col(text_col).isNotNull())
     corpus_df = corpus_df.where(F.col(text_col).isNotNull())
+    corpus_members = batch_members = None
+    corpus_base, batch_base = corpus_df, batch_df
+    if collapse_exact:
+        batch_base, batch_members = _collapse_reps(batch_df, text_col, id_col)
+        if index_df is None:
+            corpus_base, corpus_members = _collapse_reps(
+                corpus_df, text_col, id_col
+            )
     if index_df is None:
-        index_df = minhash_band_index(
-            corpus_df, text_col, id_col, n_hashes, bands, shingle_k
+        # pinned: an inline-built index is referenced by the cap-report
+        # aggregate AND the candidate join — unpinned, the corpus
+        # shingle+md5+signature subplan would run once per reference
+        # (measured 18.8 s -> ~12 s at sf0.1 before the collapse).  A
+        # caller-supplied index is the caller's storage concern (usually a
+        # parquet artifact built from ``minhash_band_index``).
+        index_df = _pin(
+            minhash_band_index(
+                corpus_base, text_col, id_col, n_hashes, bands, shingle_k
+            )
         )
     index_df = _cap_buckets_reported(
         index_df, ["band", "bhash"], bucket_cap, report_out, "minhash_incremental"
     )
     batch_rows = minhash_band_index(
-        batch_df, text_col, id_col, n_hashes, bands, shingle_k
+        batch_base, text_col, id_col, n_hashes, bands, shingle_k
     )
     cands = _pin(
         batch_rows.selectExpr(f"{id_col} AS batch_id", "band", "bhash")
@@ -632,14 +662,43 @@ def incremental_near_duplicates(
             ).alias(f"_sh_{side}"),
         )
 
-    joined = cands.join(_cand_shingles(batch_df, "batch_id"), "batch_id").join(
-        _cand_shingles(corpus_df, "corpus_id"), "corpus_id"
+    joined = cands.join(_cand_shingles(batch_base, "batch_id"), "batch_id").join(
+        _cand_shingles(corpus_base, "corpus_id"), "corpus_id"
     )
     inter = F.size(F.array_intersect("_sh_batch_id", "_sh_corpus_id"))
     union = F.size("_sh_batch_id") + F.size("_sh_corpus_id") - inter
-    return joined.select(
+    pairs = joined.select(
         "batch_id", "corpus_id", F.round(inter / union, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+    # expand rep-level pairs back to member pairs, each side through its
+    # own member map (cross-split exact dups need no special case: equal
+    # fingerprints give equal signatures, so the rep pair is a candidate
+    # and verifies at Jaccard 1.0 before expansion)
+    if batch_members is not None:
+        pairs = (
+            pairs.withColumnRenamed("batch_id", "_rep_b")
+            .join(
+                batch_members.select(
+                    F.col("_rep").alias("_rep_b"),
+                    F.col("_member").alias("batch_id"),
+                ),
+                "_rep_b",
+            )
+            .drop("_rep_b")
+        )
+    if corpus_members is not None:
+        pairs = (
+            pairs.withColumnRenamed("corpus_id", "_rep_c")
+            .join(
+                corpus_members.select(
+                    F.col("_rep").alias("_rep_c"),
+                    F.col("_member").alias("corpus_id"),
+                ),
+                "_rep_c",
+            )
+            .drop("_rep_c")
+        )
+    return pairs.select("batch_id", "corpus_id", "jaccard")
 
 
 def incremental_dedup(
