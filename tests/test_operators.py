@@ -202,6 +202,33 @@ def test_incremental_dedup_matches_cross_restriction_of_full_pairs(spark):
     assert survivors == {10, 11, 12} - flagged
 
 
+def test_incremental_dedup_expands_exact_dup_groups_across_split(spark):
+    """Exact-dup collapse must be invisible in the result: a batch doc
+    identical to THREE corpus copies yields three member pairs at
+    Jaccard 1.0 (rep pair verified once, expanded through both member
+    maps), identically with collapse on or off."""
+    from schemasaurus_spark.operators.dedup import incremental_near_duplicates
+
+    base = "jinxed wizards pluck ivy from the big quilt often " * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "  " + base.replace(" ", "  ")),
+         (4, "entirely different corpus material here " * 8)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(50, base), (51, "fresh unrelated batch text " * 8)], ["doc_id", "text"]
+    )
+    want = {(50, 1, 1.0), (50, 2, 1.0), (50, 3, 1.0)}
+    for collapse in (True, False):
+        got = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in incremental_near_duplicates(
+                batch, corpus, threshold=0.9, collapse_exact=collapse
+            ).collect()
+        }
+        assert got == want, f"collapse_exact={collapse}"
+
+
 def test_incremental_dedup_persisted_index_roundtrip(spark, tmp_path):
     """The daily-ingest shape: band index parquet-written once, read back,
     and handed to incremental_near_duplicates — identical result to
