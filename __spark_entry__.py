@@ -942,6 +942,61 @@ WHERE CAST(('0x' || substr(md5(doc_id || ':{_SAMPLE_SEED}'), 1, 4)) AS INTEGER)
 """
 
 
+def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit between two corpus versions (operators/diff.py): the
+    'new' version is synthesized in-plan — doc_id%17 rows removed,
+    doc_id%13 texts edited, doc_id%11 docs re-added under shifted ids —
+    and corpus_diff classifies added/removed/changed off (key,
+    fingerprint) projections, so the full-width rows never reach the
+    join.  The oracle does NOT replay the md5 fingerprint: it compares
+    the columns directly (IS DISTINCT FROM), independently checking the
+    fingerprint's faithfulness."""
+    from schemasaurus_spark.operators.diff import corpus_diff
+
+    old = _docs(spark, sf_dir)
+    kept = old.where(F.col("doc_id") % 17 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return corpus_diff(old, edited.unionByName(added))
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH old AS (SELECT * FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN (o.text IS DISTINCT FROM n.text)
+              OR (o.lang IS DISTINCT FROM n.lang)
+              OR (o.source IS DISTINCT FROM n.source)
+              OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+       END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN (o.text IS DISTINCT FROM n.text)
+              OR (o.lang IS DISTINCT FROM n.lang)
+              OR (o.source IS DISTINCT FROM n.source)
+              OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+       END) IS NOT NULL
+"""
+
+
 def doc_quality_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(source, lang) quality profile in one pass (stats.corpus_rollup):
     per-source, per-lang, per-(source,lang) and corpus-total doc counts +
@@ -2628,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quota_cap": doc_quota_cap,
         "doc_latest_revision": doc_latest_revision,
         "doc_quality_cube": doc_quality_cube,
+        "doc_corpus_diff": doc_corpus_diff,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
         "doc_chunking": doc_chunking,
@@ -2693,6 +2749,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quota_cap": _QUOTA_CAP_ORACLE,
         "doc_latest_revision": _LATEST_REVISION_ORACLE,
         "doc_quality_cube": _QUALITY_CUBE_ORACLE,
+        "doc_corpus_diff": _CORPUS_DIFF_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,

@@ -107,6 +107,7 @@ def main():
         "doc_quota_cap",
         "doc_latest_revision",
         "doc_quality_cube",
+        "doc_corpus_diff",
         "doc_source_mix",
         "doc_token_topk",
         "doc_lm_score",

@@ -62,6 +62,34 @@ def test_latest_revisions_multi_column_version_and_null_op(spark):
     assert got == {1: "new", 2: "only"}
 
 
+def test_corpus_diff_classifies_and_handles_nulls(spark):
+    """added/removed/changed classification; NULL vs the literal string
+    'null' (and a value containing the separator) must NOT collide in the
+    fingerprint; unchanged rows are absent."""
+    from schemasaurus_spark.operators.diff import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same", "en"), (2, "will change", "en"), (3, "gone", "de"),
+         (4, None, "en"), (5, "\x00null\x00", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same", "en"), (2, "did change", "en"),
+         (4, "\x00null\x00", "en"),  # NULL -> sentinel-looking string: changed
+         (5, None, "en"),            # sentinel-looking string -> NULL: changed
+         (6, "brand new", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "changed", 6: "added"}
+    # explicit compare_cols: restricting to lang hides the text edits
+    got_lang = {
+        r.doc_id: r.change
+        for r in corpus_diff(old, new, compare_cols=["lang"]).collect()
+    }
+    assert got_lang == {3: "removed", 6: "added"}
+
+
 def test_apply_changelog_merges_base_snapshot(spark):
     base = spark.createDataFrame(
         [(1, "one"), (2, "two"), (3, "three")], ["doc_id", "text"]
