@@ -1090,6 +1090,40 @@ WHERE rn <= 10
 """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.assign_splits):
+    pure md5-bucket projection, zero shuffles, stable under reruns /
+    repartitioning / corpus growth — a doc's split never changes when new
+    docs arrive, which is what makes yesterday's held-out set still held
+    out tomorrow."""
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir), _SPLIT_FRACTIONS, seed=0).select(
+        "doc_id", "split"
+    )
+
+
+def _split_assignment_oracle_sql() -> str:
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    items = list(_SPLIT_FRACTIONS.items())
+    cum, whens = 0.0, []
+    for name, frac in items[:-1]:
+        cum += frac
+        whens.append(f"WHEN b < {_keep_threshold(cum)} THEN '{name}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id || ':0'), 1, 4)) AS INTEGER) AS b
+  FROM documents) t
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.45, "src1": 0.25, "src2": 0.2, "src3": 0.1}
 _MIX_FACTOR = 0.8
 _MIX_SEED = 0
@@ -2680,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_split_assignment": doc_split_assignment,
         "doc_quota_cap": doc_quota_cap,
         "doc_latest_revision": doc_latest_revision,
         "doc_quality_cube": doc_quality_cube,
@@ -2746,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
         "doc_stratified_sample": _stratified_oracle_sql(),
+        "doc_split_assignment": _split_assignment_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,
         "doc_latest_revision": _LATEST_REVISION_ORACLE,
         "doc_quality_cube": _QUALITY_CUBE_ORACLE,

@@ -104,6 +104,7 @@ def main():
         "doc_repetition_profile",
         "doc_pii_redaction",
         "doc_packing",
+        "doc_split_assignment",
         "doc_quota_cap",
         "doc_latest_revision",
         "doc_quality_cube",

@@ -46,6 +46,45 @@ def deterministic_sample(
     return df.where(sample_bucket(key_col, seed) < F.lit(_keep_threshold(fraction)))
 
 
+def assign_splits(
+    df: DataFrame,
+    fractions: dict,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test assignment: each
+    row gets exactly one split label from its md5 bucket and the
+    cumulative fraction thresholds (insertion order of ``fractions``).
+
+    The properties that matter at 10^12 rows: (a) pure projection — zero
+    shuffles, assignment happens in the scan stage; (b) stable under
+    repartitioning, re-runs, engines, and INCREMENTAL GROWTH — a doc's
+    split never changes when more docs arrive, so yesterday's test set
+    stays a test set (per-partition RNG splitting silently violates
+    this); (c) leakage-auditable — membership is a pure function of
+    (key, seed), so any engine can re-derive it.  Fractions must sum to
+    1 (within bucket quantization); rates quantize to 1/65536 like the
+    samplers above."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    bucket = sample_bucket(key_col, seed)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        thr = _keep_threshold(cum)
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def quota_cap(
     df: DataFrame,
     group_col: str,

@@ -1179,6 +1179,46 @@ def test_quota_cap_fallback_path_is_exact(spark):
     assert got == want
 
 
+def test_assign_splits_disjoint_exhaustive_stable_and_growth_invariant(spark):
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    docs = spark.range(20000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id")
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, fr, seed=2)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive + disjoint: one label per row, totals add up
+    assert sum(counts.values()) == 20000 and set(counts) == set(fr)
+    for name, f in fr.items():
+        assert abs(counts[name] / 20000 - f) < 0.02
+    labels = {r.doc_id: r.split for r in out.collect()}
+    # repartition-stable
+    labels_rep = {
+        r.doc_id: r.split
+        for r in assign_splits(docs.repartition(11), fr, seed=2).collect()
+    }
+    assert labels_rep == labels
+    # growth-invariant: a doc's label is identical when assigned within a
+    # 10x-smaller corpus (membership is a pure function of key+seed)
+    small = docs.where(F.substring("doc_id", 2, 10).cast("long") < 2000)
+    labels_small = {
+        r.doc_id: r.split for r in assign_splits(small, fr, seed=2).collect()
+    }
+    assert labels_small == {k: v for k, v in labels.items() if k in labels_small}
+
+
+def test_assign_splits_rejects_bad_fractions():
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    with _pytest.raises(ValueError):
+        assign_splits(None, {"train": 0.5, "val": 0.4})
+    with _pytest.raises(ValueError):
+        assign_splits(None, {})
+
+
 def test_sample_fraction_bounds():
     import pytest as _pytest
 
