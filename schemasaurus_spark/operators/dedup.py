@@ -565,6 +565,28 @@ def minhash_band_index(
     return minhash_band_rows(with_sig, id_col, n_hashes, bands)
 
 
+def append_to_index(
+    index_df: DataFrame,
+    accepted_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The index-maintenance step between ingest cycles: the surviving
+    batch docs' band rows unioned onto the existing index, so the NEXT
+    cycle's near-dup check sees everything accepted so far.  Pure union —
+    no shuffle, no rescan of the historical corpus; a pipeline typically
+    parquet-appends just the new rows (``minhash_band_index(accepted)``)
+    rather than rewriting, this frame form exists for in-session cycles
+    and tests."""
+    new_rows = minhash_band_index(
+        accepted_df, text_col, id_col, n_hashes, bands, shingle_k
+    )
+    return index_df.select(id_col, "band", "bhash").unionByName(new_rows)
+
+
 def incremental_near_duplicates(
     batch_df: DataFrame,
     corpus_df: DataFrame,

@@ -202,6 +202,47 @@ def test_incremental_dedup_matches_cross_restriction_of_full_pairs(spark):
     assert survivors == {10, 11, 12} - flagged
 
 
+def test_incremental_index_append_cycle(spark):
+    """Two ingest cycles: a batch-2 doc near-duplicating a doc ACCEPTED in
+    batch 1 is only caught if the index was appended between cycles — the
+    maintenance workflow minhash_band_index's docstring describes."""
+    from schemasaurus_spark.operators.dedup import (
+        append_to_index,
+        incremental_dedup,
+        incremental_near_duplicates,
+        minhash_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "original historical corpus document text " * 8)],
+        ["doc_id", "text"],
+    )
+    novel = "a genuinely new document from the first ingest " * 8
+    batch1 = spark.createDataFrame([(100, novel)], ["doc_id", "text"])
+    idx = minhash_band_index(corpus)
+    accepted1 = incremental_dedup(batch1, corpus, index_df=idx, threshold=0.5)
+    assert {r.doc_id for r in accepted1.collect()} == {100}
+
+    batch2 = spark.createDataFrame(
+        [(200, novel + " tail words")], ["doc_id", "text"]
+    )
+    # stale index: the batch-1 near-dup sails through
+    stale = incremental_near_duplicates(
+        batch2, corpus, index_df=idx, threshold=0.5
+    )
+    assert stale.count() == 0
+    # appended index: corpus side for verify must also include accepted docs
+    idx2 = append_to_index(idx, accepted1)
+    corpus2 = corpus.unionByName(accepted1)
+    caught = {
+        (r.batch_id, r.corpus_id)
+        for r in incremental_near_duplicates(
+            batch2, corpus2, index_df=idx2, threshold=0.5
+        ).collect()
+    }
+    assert caught == {(200, 100)}
+
+
 def test_incremental_dedup_expands_exact_dup_groups_across_split(spark):
     """Exact-dup collapse must be invisible in the result: a batch doc
     identical to THREE corpus copies yields three member pairs at
