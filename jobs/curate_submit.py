@@ -108,6 +108,12 @@ def main() -> None:
         help="cap each group of COL at N docs post-dedup, e.g. source:100000",
     )
     ap.add_argument("--quota-seed", type=int, default=0)
+    ap.add_argument(
+        "--splits",
+        default=None,
+        help='terminal train/val/test labeling, e.g. {"train":0.9,"val":0.05,"test":0.05}',
+    )
+    ap.add_argument("--split-seed", type=int, default=0)
     args = ap.parse_args()
 
     rep_thresholds = None
@@ -154,6 +160,8 @@ def main() -> None:
         quota_group_col=quota_col,
         quota_cap_docs=quota_n,
         quota_seed=args.quota_seed,
+        split_fractions=json.loads(args.splits) if args.splits else None,
+        split_seed=args.split_seed,
     )
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}

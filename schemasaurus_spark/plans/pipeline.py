@@ -42,7 +42,11 @@ from schemasaurus_spark.operators.dedup import (
 from schemasaurus_spark.operators.decontam import decontaminate
 from schemasaurus_spark.operators.mixing import mix_sources
 from schemasaurus_spark.operators.repetition import filter_repetitive
-from schemasaurus_spark.operators.sampling import quota_cap, stratified_sample
+from schemasaurus_spark.operators.sampling import (
+    assign_splits,
+    quota_cap,
+    stratified_sample,
+)
 from schemasaurus_spark.operators.substring_dedup import remove_duplicate_passages
 from schemasaurus_spark.operators.text import quality_score
 from schemasaurus_spark.schema.columns import validate_dataframe
@@ -95,6 +99,8 @@ class CorpusPipeline:
     quota_group_col: str | None = None
     quota_cap_docs: int | None = None
     quota_seed: int = 0
+    split_fractions: dict | None = None
+    split_seed: int = 0
 
     def valid_docs(self, docs: DataFrame) -> DataFrame:
         v = validate_dataframe(docs, self.schema)
@@ -203,6 +209,18 @@ class CorpusPipeline:
             seed=self.mix_seed,
         )
 
+    def labeled(self, docs: DataFrame) -> DataFrame:
+        """Optional terminal stage (``split_fractions`` opts in):
+        train/val/test labels keyed on the doc id (sampling.assign_splits)
+        — a pure projection, so it adds nothing to the plan's shuffle
+        count.  Keyed on id, an upsampled doc's every epoch lands in the
+        SAME split (no eval leakage through mixture repeats)."""
+        if self.split_fractions is None:
+            return docs
+        return assign_splits(
+            docs, self.split_fractions, key_col=self.id_col, seed=self.split_seed
+        )
+
     def run(self, docs: DataFrame) -> DataFrame:
         """The curated corpus as a composed plan.
 
@@ -212,21 +230,11 @@ class CorpusPipeline:
         so calling ``run`` already executes those jobs.  The returned frame
         re-derives stages 1-3 lazily on the caller's action and anti-joins
         the (already materialized) cluster-loser list."""
-        return self.mixed(
-            self.sampled(
-                self.quota_capped(
-                    self.passage_cleaned(
-                        self.near_deduped(
-                            self.optional_filtered(
-                                self.exact_deduped(
-                                    self.quality_docs(self.valid_docs(docs))
-                                )
-                            )
-                        )
-                    )
-                )
-            )
-        )
+        out = self.quality_docs(self.valid_docs(docs))
+        out = self.optional_filtered(self.exact_deduped(out))
+        out = self.passage_cleaned(self.near_deduped(out))
+        out = self.mixed(self.sampled(self.quota_capped(out)))
+        return self.labeled(out)
 
     def run_with_counts(self, docs: DataFrame) -> tuple[DataFrame, dict]:
         """Curated corpus + per-stage survivor counts (the no-silent-drops
@@ -281,6 +289,7 @@ class CorpusPipeline:
             if self.mix_weights is not None:
                 out = self.mixed(out)
                 counts["after_mixing"] = out.count()
+            out = self.labeled(out)  # pure projection: no count boundary
         finally:
             valid.unpersist()
             if exact is not None:

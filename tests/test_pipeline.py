@@ -209,6 +209,28 @@ def test_optional_quota_cap_stage(spark, raw_docs):
     assert ids_run < ids_uncapped
 
 
+def test_optional_split_labeling_stage(spark, raw_docs):
+    """Terminal split labeling: every surviving doc gets exactly one
+    label, the column is absent when the stage is off, and run() agrees
+    with the instrumented run."""
+    off = CorpusPipeline(schema=SCHEMA, quality_min=0.3, minhash_threshold=0.5)
+    assert "split" not in off.run(raw_docs).columns
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.3,
+        minhash_threshold=0.5,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    out = pipe.run(raw_docs)
+    assert "split" in out.columns
+    rows = out.select("doc_id", "split").collect()
+    assert rows and all(r.split in ("train", "val", "test") for r in rows)
+    out2, _ = pipe.run_with_counts(raw_docs)
+    assert {(r.doc_id, r.split) for r in out2.select("doc_id", "split").collect()} == {
+        (r.doc_id, r.split) for r in rows
+    }
+
+
 def test_optional_mixing_stage(spark, raw_docs):
     docs = raw_docs.withColumn(
         "source", F.when(F.col("doc_id") % 2 == 0, "web").otherwise("code")
