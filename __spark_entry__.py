@@ -1084,7 +1084,7 @@ SELECT source, doc_id FROM (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id) AS rn
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota:0'), doc_id) AS rn
   FROM documents) t
 WHERE rn <= 10
 """
@@ -1119,7 +1119,7 @@ SELECT doc_id,
        CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
 FROM (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(doc_id || ':0'), 1, 4)) AS INTEGER) AS b
+         CAST(('0x' || substr(md5(doc_id || ':split:0'), 1, 4)) AS INTEGER) AS b
   FROM documents) t
 """
 

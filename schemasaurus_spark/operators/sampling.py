@@ -65,13 +65,32 @@ def assign_splits(
     this); (c) leakage-auditable — membership is a pure function of
     (key, seed), so any engine can re-derive it.  Fractions must sum to
     1 (within bucket quantization); rates quantize to 1/65536 like the
-    samplers above."""
+    samplers above.
+
+    The hash domain is operator-scoped (``key:split:seed``, vs the
+    samplers' ``key:seed`` and quota_cap's ``key:quota:seed``): composed
+    stages must be statistically independent, and a shared hash is
+    silently NOT — quota_cap keeps each group's smallest-hash rows, so
+    thresholding the same hash here would have sent every quota survivor
+    to 'train' (caught in an end-to-end CLI run)."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not fractions:
         raise ValueError("fractions must name at least one split")
-    bucket = sample_bucket(key_col, seed)
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit("split"), F.lit(str(seed))
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
     expr = None
     cum = 0.0
     items = list(fractions.items())
@@ -120,12 +139,19 @@ def quota_cap(
     Determinism: the kept set depends only on (key, seed), never on
     partitioning or executor count.  Ties in the 60-bit hash order break
     on the key itself.  A NULL group is one group (null-safe joins
-    throughout), matching SQL ``PARTITION BY``."""
+    throughout), matching SQL ``PARTITION BY``.  The hash domain is
+    operator-scoped (``key:quota:seed``) so downstream hash-keyed stages
+    (split assignment, sampling) stay independent of WHICH rows survived
+    the cap — see assign_splits' docstring for the trap this avoids."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     if slack <= 1.0:
         raise ValueError(f"slack must be > 1, got {slack}")
-    hx = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+    hx = F.md5(
+        F.concat_ws(
+            ":", F.col(key_col).cast("string"), F.lit("quota"), F.lit(str(seed))
+        )
+    )
     hnum = F.conv(F.substring(hx, 1, 15), 16, 10).cast("double") / float(1 << 60)
     work = df.withColumn("_qhex", hx).withColumn("_qnum", hnum)
 

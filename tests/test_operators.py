@@ -1154,7 +1154,7 @@ def _quota_brute_force(rows, group_idx, key_idx, cap, seed=0):
 
     by_g = defaultdict(list)
     for r in rows:
-        h = hashlib.md5(f"{r[key_idx]}:{seed}".encode()).hexdigest()
+        h = hashlib.md5(f"{r[key_idx]}:quota:{seed}".encode()).hexdigest()
         by_g[r[group_idx]].append((h, r[key_idx]))
     kept = set()
     for g, lst in by_g.items():
@@ -1201,7 +1201,8 @@ def test_quota_cap_fallback_path_is_exact(spark):
 
     n, slack = 60, 1.2
     qnum = {
-        i: int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        i: int(hashlib.md5(f"{i}:quota:0".encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
         for i in range(n)
     }
     chosen_cap = None
@@ -1247,6 +1248,28 @@ def test_assign_splits_disjoint_exhaustive_stable_and_growth_invariant(spark):
         r.doc_id: r.split for r in assign_splits(small, fr, seed=2).collect()
     }
     assert labels_small == {k: v for k, v in labels.items() if k in labels_small}
+
+
+def test_quota_cap_and_splits_are_statistically_independent(spark):
+    """Regression for the correlated-hash trap: quota_cap keeps each
+    group's smallest-hash rows, so if split assignment thresholded the
+    SAME hash every survivor would land in 'train'.  With operator-scoped
+    hash domains the survivors' split mix must resemble the fractions."""
+    from schemasaurus_spark.operators.sampling import assign_splits, quota_cap
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("source")
+    )
+    capped = quota_cap(docs, "source", 200, key_col="doc_id")
+    labeled = assign_splits(capped, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r.split: r.n
+        for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert total == 2000
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.05
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
 
 
 def test_assign_splits_rejects_bad_fractions():
