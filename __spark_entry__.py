@@ -1163,7 +1163,7 @@ mix_base AS (
          (CAST({factor!r} AS DOUBLE) * CAST(t.total AS DOUBLE))
            * (CASE d.source {whens} ELSE CAST(0.0 AS DOUBLE) END)
            / CAST(c.n AS DOUBLE) AS rate,
-         CAST(('0x' || substr(md5(d.doc_id || ':{seed}'), 1, 4)) AS INTEGER) AS bucket
+         CAST(('0x' || substr(md5(d.doc_id || ':mix:{seed}'), 1, 4)) AS INTEGER) AS bucket
   FROM {source_table} d JOIN mix_counts c USING (source) CROSS JOIN mix_tot t
 ),
 mix_cop AS (

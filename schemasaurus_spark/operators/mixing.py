@@ -15,9 +15,14 @@ Shape at 10^12 docs:
 * the per-source count aggregate is map-side combined and collapses to
   |sources| rows (tiny), which then broadcast-join back onto the corpus
   — the corpus itself never shuffles;
-* the keep/repeat decision is the same 16-bit md5 bucket scheme as
-  ``sampling.py`` (run/partitioning/engine-invariant, quantized to
-  1/65536 — documented contract);
+* the keep/repeat decision is the 16-bit md5 bucket scheme from
+  ``sampling.py`` in an OPERATOR-SCOPED hash domain (``key:mix:seed``;
+  run/partitioning/engine-invariant, quantized to 1/65536 — documented
+  contract).  Domain scoping keeps a composed pipeline's stages
+  statistically independent: with the samplers' bare ``key:seed``
+  domain, an upstream deterministic sample at the same seed would leave
+  only low-bucket keys, skewing which docs get the fractional extra
+  epoch (the same trap caught live for quota_cap+assign_splits);
 * repetition is a JVM-side ``explode(sequence(...))`` — map-only, no
   Python, output rows ≈ budget.
 
@@ -35,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schemasaurus_spark.operators.sampling import BUCKETS, sample_bucket
+from schemasaurus_spark.operators.sampling import BUCKETS
 
 
 def _weight_case(source_col: str, weights: dict[str, float]) -> Column:
@@ -115,7 +120,19 @@ def mix_sources(
     rates = mixture_rates(
         df, weights, source_col, budget_docs=budget_docs, budget_factor=budget_factor
     ).select(source_col, "rate")
-    bucket = sample_bucket(key_col, seed)
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit("mix"), F.lit(str(seed))
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
     full = F.floor(F.col("rate")).cast("long")
     frac_thr = F.floor((F.col("rate") - F.floor(F.col("rate"))) * F.lit(float(BUCKETS)))
     n_copies = (full + F.when(bucket < frac_thr, F.lit(1)).otherwise(F.lit(0))).alias("_n_copies")

@@ -21,7 +21,7 @@ def _mk(spark, rows):
 
 
 def _bucket(key: int, seed: int = 0) -> int:
-    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:4], 16)
+    return int(hashlib.md5(f"{key}:mix:{seed}".encode()).hexdigest()[:4], 16)
 
 
 def _brute_mix(rows, weights, budget=None, factor=None, seed=0):
