@@ -16,6 +16,16 @@ derive the keep/drop decision from a 16-bit md5 bucket of the row's key:
 Bucket scheme: ``md5(key || ':' || seed)`` first 4 hex chars -> int in
 [0, 65536); keep when ``bucket < round(fraction * 65536)``.  Rates are
 therefore quantized to 1/65536 — documented contract, not a bug.
+
+Hash-domain discipline (learned the hard way — see quota_cap /
+assign_splits): operators that SELECT rows by hash must not share a hash
+domain with downstream hash-keyed operators, or composition silently
+correlates (quota survivors all landing in 'train'; two same-seed
+samplers composing as min(rate1, rate2) instead of rate1*rate2).
+quota_cap uses ``key:quota:seed``, assign_splits ``key:split:seed``,
+mixing ``key:mix:seed``; the two samplers below share the bare
+``key:seed`` domain BY DESIGN (a re-run of the same sample must be the
+same set) — compose them with DIFFERENT seeds.
 """
 
 from pyspark.sql import Column, DataFrame, Window
