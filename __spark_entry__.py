@@ -1218,6 +1218,37 @@ FROM stats ORDER BY tf DESC, token LIMIT {_VOCAB_K}
 """
 
 
+def doc_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty over the shared tokenization (vocab.novelty_profile):
+    fraction of a doc's distinct tokens that appear in NO other document —
+    the boilerplate-vs-new-material ranking signal dedup can't give.  Two
+    skew-safe aggregations + one vocabulary join (Zipf-bounded build
+    side); distinct-token semantics so repeats can't fake novelty."""
+    from schemasaurus_spark.operators.vocab import novelty_profile
+
+    return novelty_profile(_docs(spark, sf_dir))
+
+
+_NOVELTY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+per_doc AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+),
+dfreq AS (SELECT token, count(*) AS df_docs FROM per_doc GROUP BY token)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(CASE WHEN d.df_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN d.df_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM per_doc p JOIN dfreq d USING (token)
+GROUP BY p.doc_id
+"""
+
+
 _CHUNK_WINDOW, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_WINDOW - _CHUNK_OVERLAP
 
@@ -2721,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_diff": doc_corpus_diff,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
+        "doc_novelty_profile": doc_novelty_profile,
         "doc_chunking": doc_chunking,
         "doc_lm_score": doc_lm_score,
         "embedding_topk": embedding_topk,
@@ -2788,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_diff": _CORPUS_DIFF_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
+        "doc_novelty_profile": _NOVELTY_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,
         "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,

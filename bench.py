@@ -111,6 +111,7 @@ def main():
         "doc_corpus_diff",
         "doc_source_mix",
         "doc_token_topk",
+        "doc_novelty_profile",
         "doc_lm_score",
         "lineitem_dup_rows",
         "doc_training_corpus",

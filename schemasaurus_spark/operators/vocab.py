@@ -61,3 +61,48 @@ def vocab_topk(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "token", "tf", "df_docs"
     )
+
+
+def novelty_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc novelty signals over the shared tokenization:
+    ``(id, n_distinct_tokens, n_hapax, novelty)`` where a hapax is a
+    token whose corpus document frequency is 1 (it appears in THIS
+    document only) and novelty = n_hapax / n_distinct_tokens.
+
+    The data-selection signal dedup can't give you: boilerplate that
+    escaped near-dedup scores ~0 (every token is corpus-common), while
+    genuinely new material scores high — Dolma/RefinedWeb-style pipelines
+    rank or threshold on exactly this before sampling.
+
+    Scale shape: reuses token_stats' two-level skew-safe aggregation
+    (a stop-word reaches the shuffle as one row per DOCUMENT, never per
+    occurrence), then ONE more map-side-combined (doc, token-distinct)
+    pass joined against the df table on token.  The join's build side is
+    the vocabulary — Zipf-bounded, broadcastable far beyond any realistic
+    corpus — and doc_id is unique in the final aggregate, so no skew.
+    Distinct-token semantics throughout: occurrence counts would let one
+    repeated rare token masquerade as high novelty."""
+    per_doc = (
+        tokenized(df, text_col, id_col)
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+        .distinct()
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        per_doc.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum((F.col("df_docs") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            id_col,
+            "n_distinct_tokens",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_distinct_tokens"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

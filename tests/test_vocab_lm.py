@@ -113,3 +113,30 @@ def test_lm_laplace_external_model_unseen_grams(spark):
 def test_lm_short_docs_omitted(spark):
     got = lm_quality_score(_mk(spark, {1: "ab", 2: "abcd"})).collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_novelty_profile_matches_brute_force(spark):
+    """Hapax fraction vs a pure-Python reference; repeated rare tokens
+    must not inflate novelty (distinct-token semantics)."""
+    from schemasaurus_spark.operators.vocab import novelty_profile
+
+    texts = {
+        1: "alpha beta gamma alpha",          # alpha repeats in-doc only
+        2: "beta delta epsilon",
+        3: "zeta zeta zeta",                  # one unique token, repeated
+        4: "beta gamma",                      # nothing unique
+        5: None,
+    }
+    df = _mk(spark, texts)
+    docs = {k: set(v.lower().split()) for k, v in texts.items() if v}
+    dfreq = Counter(t for s in docs.values() for t in s)
+    got = {
+        r.doc_id: (r.n_distinct_tokens, r.n_hapax, r.novelty)
+        for r in novelty_profile(df).collect()
+    }
+    assert set(got) == set(docs)
+    for k, s in docs.items():
+        hap = sum(1 for t in s if dfreq[t] == 1)
+        assert got[k] == (len(s), hap, round(hap / len(s), 6))
+    assert got[3] == (1, 1, 1.0)   # repetition can't fake breadth
+    assert got[4][2] == 0.0        # pure boilerplate scores zero
