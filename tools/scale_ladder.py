@@ -114,7 +114,15 @@ def main() -> None:
     ap.add_argument("--factors", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--queries", nargs="+", default=None,
+        help="ladder only these queries (default: the full QUERIES list)",
+    )
     args = ap.parse_args()
+    queries = args.queries or QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        ap.error(f"not ladder queries: {unknown} (choose from {QUERIES})")
 
     spark = get_spark("scale_ladder", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,8 +137,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    ladder: dict = {q: {} for q in QUERIES}
-    rows: dict = {q: {} for q in QUERIES}
+    ladder: dict = {q: {} for q in queries}
+    rows: dict = {q: {} for q in queries}
     n_docs: dict = {}
     try:
         for factor in args.factors:
@@ -139,7 +147,7 @@ def main() -> None:
                 f"{path}/documents.parquet"
             ).count()
             print(f"# corpus x{factor}: {n_docs[str(factor)]} docs", flush=True)
-            for q in QUERIES:
+            for q in queries:
                 spark.catalog.clearCache()
                 spark.sparkContext.setJobDescription(f"{q}@x{factor}")
                 t0 = time.time()
@@ -157,7 +165,7 @@ def main() -> None:
         spark.stop()
 
     exponents: dict = {}
-    for q in QUERIES:
+    for q in queries:
         fs = sorted(int(f) for f in ladder[q])
         steps = []
         for a, b in zip(fs, fs[1:]):
