@@ -1249,6 +1249,73 @@ GROUP BY p.doc_id
 """
 
 
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule gate (operators/quality_gate.py): the
+    corpus-level counterpart of the reference's per-document schema walk —
+    8 rules (row counts, null rates, cardinalities, bounds, means,
+    uniqueness-as-a-ratio) evaluated in ONE map-side-combinable aggregate
+    scan, duplicate metric references deduped, NULL metrics failing
+    closed.  Thresholds are rate/ratio-based so the suite's verdicts are
+    identical at every scale factor; two rules fail by design so both
+    branches of the gate are exercised."""
+    from schemasaurus_spark.operators.quality_gate import QualityRule, quality_gate
+
+    rules = [
+        QualityRule("rows_min", "row_count", "ge", 100),
+        QualityRule("text_not_null", "null_rate", "le", 0.0, column="text"),
+        QualityRule(
+            "lang_card", "distinct_count", "between", 3, column="lang", threshold_hi=10
+        ),
+        QualityRule("doc_id_unique", "distinct_ratio", "ge", 1.0, column="doc_id"),
+        QualityRule("n_chars_min", "min", "ge", 0, column="n_chars"),
+        QualityRule("n_chars_mean_cap", "mean", "le", 200, column="n_chars"),
+        QualityRule("source_card_cap", "distinct_count", "le", 10, column="source"),
+        QualityRule("text_len_cap", "max_length", "le", 4096, column="text"),
+    ]
+    return quality_gate(_docs(spark, sf_dir), rules)
+
+
+_GATE_ORACLE = """
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS rc,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS text_nr,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS lang_dc,
+         CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*) AS did_dr,
+         CAST(min(n_chars) AS DOUBLE) AS nc_min,
+         CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS nc_mean,
+         CAST(count(DISTINCT source) AS DOUBLE) AS src_dc,
+         CAST(max(length(text)) AS DOUBLE) AS tx_maxlen
+  FROM documents)
+SELECT 'rows_min' AS rule_id, CAST(NULL AS VARCHAR) AS "column",
+       'row_count' AS metric, 'ge' AS op, CAST(100 AS DOUBLE) AS threshold,
+       CAST(NULL AS DOUBLE) AS threshold_hi, rc AS value,
+       coalesce(rc >= 100.0, FALSE) AS passed FROM m
+UNION ALL
+SELECT 'text_not_null', 'text', 'null_rate', 'le', CAST(0 AS DOUBLE),
+       CAST(NULL AS DOUBLE), text_nr, coalesce(text_nr <= 0.0, FALSE) FROM m
+UNION ALL
+SELECT 'lang_card', 'lang', 'distinct_count', 'between', CAST(3 AS DOUBLE),
+       CAST(10 AS DOUBLE), lang_dc,
+       coalesce(lang_dc >= 3.0 AND lang_dc <= 10.0, FALSE) FROM m
+UNION ALL
+SELECT 'doc_id_unique', 'doc_id', 'distinct_ratio', 'ge', CAST(1 AS DOUBLE),
+       CAST(NULL AS DOUBLE), did_dr, coalesce(did_dr >= 1.0, FALSE) FROM m
+UNION ALL
+SELECT 'n_chars_min', 'n_chars', 'min', 'ge', CAST(0 AS DOUBLE),
+       CAST(NULL AS DOUBLE), nc_min, coalesce(nc_min >= 0.0, FALSE) FROM m
+UNION ALL
+SELECT 'n_chars_mean_cap', 'n_chars', 'mean', 'le', CAST(200 AS DOUBLE),
+       CAST(NULL AS DOUBLE), nc_mean, coalesce(nc_mean <= 200.0, FALSE) FROM m
+UNION ALL
+SELECT 'source_card_cap', 'source', 'distinct_count', 'le', CAST(10 AS DOUBLE),
+       CAST(NULL AS DOUBLE), src_dc, coalesce(src_dc <= 10.0, FALSE) FROM m
+UNION ALL
+SELECT 'text_len_cap', 'text', 'max_length', 'le', CAST(4096 AS DOUBLE),
+       CAST(NULL AS DOUBLE), tx_maxlen, coalesce(tx_maxlen <= 4096.0, FALSE) FROM m
+"""
+
+
 _CHUNK_WINDOW, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_WINDOW - _CHUNK_OVERLAP
 
@@ -2753,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
         "doc_novelty_profile": doc_novelty_profile,
+        "doc_quality_gate": doc_quality_gate,
         "doc_chunking": doc_chunking,
         "doc_lm_score": doc_lm_score,
         "embedding_topk": embedding_topk,
@@ -2821,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_novelty_profile": _NOVELTY_ORACLE,
+        "doc_quality_gate": _GATE_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,
         "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,

@@ -1,0 +1,184 @@
+"""Declarative data-quality rule gate: a Deequ-style check suite evaluated
+in ONE aggregate pass over the table.
+
+The reference validates individual documents against a compiled schema
+(/root/reference/src/compiler.js walk semantics); this operator is the
+AGGREGATE-level counterpart a 100 TB validation engine needs next to it:
+corpus-level constraints ("null rate of `text` <= 0.1%", "doc_id is
+unique", "lang cardinality in [3, 10]") declared as data, not code, and
+verified without a per-rule scan.
+
+Scale shape
+-----------
+* Every metric referenced by the rule suite is computed in a SINGLE
+  ``df.agg(...)`` — one map-side-combinable scan regardless of how many
+  rules are declared.  Duplicate (metric, column) references across rules
+  are deduplicated to one aggregate expression.
+* ``approx_distinct`` (HyperLogLog++, rsd configurable) is the 100 TB
+  path for cardinality gates; ``distinct_count`` stays available where
+  the exactness is the contract.
+* The rule table itself is plan-time metadata (a handful of literals);
+  the result is built by exploding an in-plan array of per-rule structs
+  off the one-row aggregate — no driver-side collect of data, no second
+  job.
+
+Empty-input semantics: ratio metrics (``null_rate``, ``distinct_ratio``,
+``mean``) are NULL on an empty table and the rule FAILS CLOSED
+(``passed = false``) — a gate that cannot measure must not wave data
+through.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = ("le", "ge", "lt", "gt", "eq", "between")
+
+#: metrics that do not take a column
+_TABLE_METRICS = ("row_count",)
+
+_COLUMN_METRICS = (
+    "null_rate",
+    "distinct_count",
+    "approx_distinct",
+    "distinct_ratio",
+    "min",
+    "max",
+    "mean",
+    "max_length",
+    "min_length",
+)
+
+
+@dataclass(frozen=True)
+class QualityRule:
+    """One declarative check: ``metric(column) op threshold``.
+
+    ``op`` is one of le/ge/lt/gt/eq/between (between is inclusive on both
+    ends and requires ``threshold_hi``).
+    """
+
+    rule_id: str
+    metric: str
+    op: str
+    threshold: float
+    column: str | None = None
+    threshold_hi: float | None = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _OPS:
+            raise ValueError(f"rule {self.rule_id!r}: unknown op {self.op!r}")
+        if self.op == "between" and self.threshold_hi is None:
+            raise ValueError(f"rule {self.rule_id!r}: between needs threshold_hi")
+        if self.metric in _TABLE_METRICS:
+            if self.column is not None:
+                raise ValueError(
+                    f"rule {self.rule_id!r}: {self.metric} takes no column"
+                )
+        elif self.metric in _COLUMN_METRICS:
+            if self.column is None:
+                raise ValueError(f"rule {self.rule_id!r}: {self.metric} needs a column")
+        else:
+            raise ValueError(f"rule {self.rule_id!r}: unknown metric {self.metric!r}")
+
+
+def _metric_expr(metric: str, column: str | None, rsd: float) -> Column:
+    """Aggregate expression for one (metric, column), cast to double.
+
+    Ratio metrics are spelled as explicit double divisions
+    (sum-double / count) so an ANSI-SQL oracle reproduces them bit-exact.
+    """
+    c = F.col(column) if column is not None else None
+    if metric == "row_count":
+        return F.count(F.lit(1)).cast("double")
+    if metric == "null_rate":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("double") / F.count(
+            F.lit(1)
+        )
+    if metric == "distinct_count":
+        return F.count_distinct(c).cast("double")
+    if metric == "approx_distinct":
+        return F.approx_count_distinct(c, rsd).cast("double")
+    if metric == "distinct_ratio":
+        return F.count_distinct(c).cast("double") / F.count(F.lit(1))
+    if metric == "min":
+        return F.min(c).cast("double")
+    if metric == "max":
+        return F.max(c).cast("double")
+    if metric == "mean":
+        # explicit sum/count (not avg) so the division is the same single
+        # IEEE op the oracle performs
+        return F.sum(c).cast("double") / F.count(c)
+    if metric == "max_length":
+        return F.max(F.length(c)).cast("double")
+    if metric == "min_length":
+        return F.min(F.length(c)).cast("double")
+    raise AssertionError(metric)
+
+
+def _passed(value: Column, rule: QualityRule) -> Column:
+    t = F.lit(float(rule.threshold))
+    if rule.op == "le":
+        ok = value <= t
+    elif rule.op == "ge":
+        ok = value >= t
+    elif rule.op == "lt":
+        ok = value < t
+    elif rule.op == "gt":
+        ok = value > t
+    elif rule.op == "eq":
+        ok = value == t
+    else:  # between
+        ok = (value >= t) & (value <= F.lit(float(rule.threshold_hi)))
+    # fail closed: NULL metric (empty input / all-NULL column) fails the gate
+    return F.coalesce(ok, F.lit(False))
+
+
+def quality_gate(
+    df: DataFrame, rules: list[QualityRule], rsd: float = 0.05
+) -> DataFrame:
+    """Evaluate a declarative rule suite in one aggregate pass.
+
+    Returns one row per rule:
+    (rule_id, column, metric, op, threshold, threshold_hi, value, passed)
+    with ``value`` the measured metric as double and ``passed`` the gate
+    verdict (NULL value fails closed).
+    """
+    if not rules:
+        raise ValueError("quality_gate: empty rule suite")
+    ids = [r.rule_id for r in rules]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"quality_gate: duplicate rule_ids in {ids}")
+
+    # one aggregate expression per DISTINCT (metric, column)
+    keys: dict[tuple[str, str | None], str] = {}
+    aggs = []
+    for r in rules:
+        k = (r.metric, r.column)
+        if k not in keys:
+            alias = f"m{len(keys)}"
+            keys[k] = alias
+            aggs.append(_metric_expr(r.metric, r.column, rsd).alias(alias))
+    one = df.agg(*aggs)
+
+    structs = []
+    for r in rules:
+        value = F.col(keys[(r.metric, r.column)])
+        structs.append(
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit(r.column).cast("string").alias("column"),
+                F.lit(r.metric).alias("metric"),
+                F.lit(r.op).alias("op"),
+                F.lit(float(r.threshold)).alias("threshold"),
+                F.lit(
+                    None if r.threshold_hi is None else float(r.threshold_hi)
+                ).cast("double").alias("threshold_hi"),
+                value.alias("value"),
+                _passed(value, r).alias("passed"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

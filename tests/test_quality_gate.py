@@ -1,0 +1,136 @@
+"""Declarative quality-rule gate: metric exactness, op semantics,
+single-pass dedup, and fail-closed empty/NULL behavior."""
+
+import pytest
+
+from schemasaurus_spark.operators.quality_gate import QualityRule, quality_gate
+
+
+def _df(spark):
+    rows = [
+        ("a", 10, "en"),
+        ("b", 20, "en"),
+        ("c", 30, None),
+        ("d", 40, "fr"),
+        ("a", None, "fr"),  # duplicate key, NULL num
+    ]
+    return spark.createDataFrame(rows, "k string, num int, lang string")
+
+
+def _run(spark, rules, df=None):
+    out = quality_gate(df if df is not None else _df(spark), rules)
+    return {r["rule_id"]: r.asDict() for r in out.collect()}
+
+
+def test_metric_values_exact(spark):
+    got = _run(
+        spark,
+        [
+            QualityRule("rc", "row_count", "ge", 5),
+            QualityRule("nr", "null_rate", "le", 0.5, column="num"),
+            QualityRule("dc", "distinct_count", "eq", 4, column="k"),
+            QualityRule("dr", "distinct_ratio", "ge", 0.5, column="k"),
+            QualityRule("mn", "min", "ge", 10, column="num"),
+            QualityRule("mx", "max", "le", 40, column="num"),
+            QualityRule("me", "mean", "eq", 25.0, column="num"),
+            QualityRule("ml", "max_length", "le", 2, column="lang"),
+            QualityRule("mnl", "min_length", "ge", 2, column="lang"),
+        ],
+    )
+    assert got["rc"]["value"] == 5.0 and got["rc"]["passed"]
+    assert got["nr"]["value"] == 1 / 5 and got["nr"]["passed"]
+    assert got["dc"]["value"] == 4.0 and got["dc"]["passed"]
+    assert got["dr"]["value"] == 4 / 5 and got["dr"]["passed"]
+    assert got["mn"]["value"] == 10.0 and got["mn"]["passed"]
+    assert got["mx"]["value"] == 40.0 and got["mx"]["passed"]
+    # mean over non-NULL num: (10+20+30+40)/4
+    assert got["me"]["value"] == 25.0 and got["me"]["passed"]
+    assert got["ml"]["value"] == 2.0 and got["ml"]["passed"]
+    assert got["mnl"]["value"] == 2.0 and got["mnl"]["passed"]
+
+
+def test_op_semantics_and_between_bounds(spark):
+    got = _run(
+        spark,
+        [
+            QualityRule("lt_f", "row_count", "lt", 5),
+            QualityRule("gt_f", "row_count", "gt", 5),
+            QualityRule("eq_p", "row_count", "eq", 5),
+            QualityRule("bt_lo", "row_count", "between", 5, threshold_hi=9),
+            QualityRule("bt_hi", "row_count", "between", 1, threshold_hi=5),
+            QualityRule("bt_out", "row_count", "between", 6, threshold_hi=9),
+        ],
+    )
+    assert not got["lt_f"]["passed"] and not got["gt_f"]["passed"]
+    assert got["eq_p"]["passed"]
+    # between is inclusive on BOTH ends
+    assert got["bt_lo"]["passed"] and got["bt_hi"]["passed"]
+    assert not got["bt_out"]["passed"]
+
+
+def test_single_aggregate_pass_dedup(spark):
+    """N rules over the same metric produce ONE aggregate expression and
+    the whole suite stays a single Aggregate node (one scan)."""
+    rules = [
+        QualityRule(f"r{i}", "null_rate", "le", 0.1 * i, column="num")
+        for i in range(1, 8)
+    ] + [QualityRule("rc", "row_count", "ge", 1)]
+    out = quality_gate(_df(spark), rules)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+    got = {r["rule_id"]: r for r in out.collect()}
+    assert len(got) == 8
+    # 0.2 rate: r1 (<=0.1) fails, r2.. pass
+    assert not got["r1"]["passed"] and got["r2"]["passed"]
+
+
+def test_fail_closed_on_empty_and_all_null(spark):
+    empty = _df(spark).limit(0)
+    got = _run(
+        spark,
+        [
+            QualityRule("nr", "null_rate", "le", 1.0, column="num"),
+            QualityRule("mn", "min", "ge", -1e9, column="num"),
+            QualityRule("rc", "row_count", "ge", 0),
+        ],
+        df=empty,
+    )
+    assert got["nr"]["value"] is None and got["nr"]["passed"] is False
+    assert got["mn"]["value"] is None and got["mn"]["passed"] is False
+    # row_count is measurable on an empty table
+    assert got["rc"]["value"] == 0.0 and got["rc"]["passed"]
+
+    allnull = _df(spark).selectExpr("k", "CAST(NULL AS INT) AS num", "lang")
+    got2 = _run(
+        spark,
+        [QualityRule("mx", "max", "le", 100, column="num")],
+        df=allnull,
+    )
+    assert got2["mx"]["value"] is None and got2["mx"]["passed"] is False
+
+
+def test_approx_distinct_within_rsd(spark):
+    df = spark.range(0, 2000).selectExpr("CAST(id AS STRING) AS k")
+    got = _run(
+        spark,
+        [QualityRule("ad", "approx_distinct", "between", 1800, column="k", threshold_hi=2200)],
+        df=df,
+    )
+    assert got["ad"]["passed"], got["ad"]
+
+
+def test_spec_validation(spark):
+    with pytest.raises(ValueError, match="unknown op"):
+        QualityRule("x", "row_count", "??", 1)
+    with pytest.raises(ValueError, match="threshold_hi"):
+        QualityRule("x", "row_count", "between", 1)
+    with pytest.raises(ValueError, match="takes no column"):
+        QualityRule("x", "row_count", "le", 1, column="k")
+    with pytest.raises(ValueError, match="needs a column"):
+        QualityRule("x", "null_rate", "le", 1)
+    with pytest.raises(ValueError, match="unknown metric"):
+        QualityRule("x", "median", "le", 1, column="k")
+    with pytest.raises(ValueError, match="duplicate rule_ids"):
+        quality_gate(_df(spark), [QualityRule("a", "row_count", "le", 1)] * 2)
+    with pytest.raises(ValueError, match="empty rule suite"):
+        quality_gate(_df(spark), [])
