@@ -2380,6 +2380,93 @@ def northrule_dangling_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SI_DOCS_PATH = f"{_NR_ORACLE_DIR}/span_integrity_docs_n2000_seed11_faults13"
+_si_written = False
+
+
+def _span_integrity_docs(spark: SparkSession) -> DataFrame:
+    """Interleaved docs with deterministically planted sequence faults
+    (every fault class present, ~1/7 of docs left untouched) so each
+    cross-span code is exercised non-vacuously; materialized once so the
+    DuckDB oracle reads the byte-identical corpus."""
+    global _si_written
+    if not _si_written:
+        from schemasaurus_spark.operators.span_integrity import plant_sequence_faults
+
+        plant_sequence_faults(
+            generate_documents(spark, n_docs=2000, seed=11), seed=13
+        ).coalesce(4).write.mode("overwrite").parquet(_SI_DOCS_PATH)
+        _si_written = True
+    return spark.read.parquet(_SI_DOCS_PATH)
+
+
+def northrule_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-span SEQUENCE constraints (operators/span_integrity.py) — the
+    structural invariants of an interleaved document that no per-element
+    keyword check can express: strictly increasing offsets, text-extent
+    overlap, kind-conditional field requirements, media_ref/kind
+    consistency.  One scan, zero shuffles (adjacent-span access via
+    F.get inside the transform lambda, not explode+window)."""
+    from schemasaurus_spark.operators.span_integrity import span_integrity_violations
+
+    return span_integrity_violations(_span_integrity_docs(spark))
+
+
+# Lag-window mirror of the sequence checks: adjacent-span context via
+# lag() over (doc_id, i) — the row-relational restatement of the in-array
+# F.get(spans, i-1) access the Spark plan uses.
+_SI_ORACLE = f"""
+WITH docs AS (
+  -- rn: per-PHYSICAL-row window key — the corpus contains planted
+  -- duplicate doc_ids whose spans differ, and the sequence checks are
+  -- defined within one document row, not across copies sharing an id
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_SI_DOCS_PATH}/*.parquet')
+),
+ex AS (
+  SELECT doc_id, rn, unnest(spans) AS s, generate_subscripts(spans, 1) - 1 AS i
+  FROM docs
+),
+sp AS (
+  SELECT doc_id, rn, CAST(i AS INTEGER) AS i, s.kind AS kind, s.text AS text,
+         s.media_ref AS media_ref, s['offset'] AS "offset"
+  FROM ex
+),
+w AS (
+  SELECT sp.*, lag(kind) OVER win AS pkind, lag(text) OVER win AS ptext,
+         lag("offset") OVER win AS poff
+  FROM sp WINDOW win AS (PARTITION BY rn ORDER BY i)
+)
+SELECT doc_id, i AS span_idx, 'spanOrder' AS code,
+       '/spans/' || i || '/offset' AS path,
+       CAST("offset" AS VARCHAR) AS value, CAST(poff AS VARCHAR) AS arg
+FROM w
+WHERE i > 0 AND "offset" IS NOT NULL AND poff IS NOT NULL AND "offset" <= poff
+UNION ALL
+SELECT doc_id, i, 'spanOverlap', '/spans/' || i || '/offset',
+       CAST("offset" AS VARCHAR), CAST(poff + length(ptext) AS VARCHAR)
+FROM w
+WHERE i > 0 AND "offset" IS NOT NULL AND poff IS NOT NULL AND "offset" > poff
+  AND pkind = 'text' AND ptext IS NOT NULL AND poff + length(ptext) > "offset"
+UNION ALL
+SELECT doc_id, i, 'spanTextRequired', '/spans/' || i || '/text',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM w WHERE kind = 'text' AND text IS NULL
+UNION ALL
+SELECT doc_id, i, 'spanTextForbidden', '/spans/' || i || '/text', text, kind
+FROM w WHERE kind IS NOT NULL AND kind <> 'text' AND text IS NOT NULL
+UNION ALL
+SELECT doc_id, i, 'spanMediaRefRequired', '/spans/' || i || '/media_ref',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM w WHERE kind IN ('image', 'audio') AND media_ref IS NULL
+UNION ALL
+SELECT doc_id, i, 'spanRefKindMismatch', '/spans/' || i || '/media_ref',
+       media_ref, kind
+FROM w WHERE (kind = 'image' AND media_ref LIKE 'media://aud/%')
+          OR (kind = 'audio' AND media_ref LIKE 'media://img/%')
+"""
+
+
 # The DuckDB mirror of the compiled DOCUMENT_SCHEMA walk over the typed
 # span struct.  Every branch the Column compiler can emit for this schema +
 # table shape is expressed (most yield zero rows on the generated corpus by
@@ -2849,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
         "northrule_dangling_media": northrule_dangling_media,
+        "northrule_span_integrity": northrule_span_integrity,
         "event_value_quartiles": event_value_quartiles,
         "event_props_validation": event_props_validation,
         "event_props_normalization": event_props_normalization,
@@ -2921,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
+        "northrule_span_integrity": _SI_ORACLE,
         "event_type_chi2_drift": _CHI2_ORACLE,
         "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,
