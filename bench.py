@@ -90,6 +90,12 @@ def main():
     run("span_uniqueness", lambda: force(duplicate_keys(docs, "doc_id")))
     run("span_referential", lambda: force(dangling_media_refs(docs, catalog)))
 
+    # sequence-level structural checks on the same sf-scaled corpus (one
+    # scan, zero shuffles — F.get adjacency, not explode+window)
+    from schemasaurus_spark.operators.span_integrity import span_integrity_violations
+
+    run("span_integrity", lambda: force(span_integrity_violations(docs)))
+
     # -- contract queries over the sf testdata tables -----------------------
     for name in [
         "doc_validation_violations",
@@ -108,6 +114,7 @@ def main():
         "doc_quota_cap",
         "doc_latest_revision",
         "doc_quality_cube",
+        "doc_quality_gate",
         "doc_corpus_diff",
         "doc_source_mix",
         "doc_token_topk",
