@@ -51,17 +51,9 @@ def build_session() -> SparkSession:
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write a small text file through the Hadoop FS API so the report
-    lands next to the corpus on ANY scheme spark can write (s3a://,
-    hdfs://, file://) — a plain open() only works for local paths."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
+    from schemasaurus_spark.sources.io import write_text_file
+
+    write_text_file(spark, path, text)
 
 
 def main() -> None:

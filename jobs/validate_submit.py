@@ -8,6 +8,16 @@
         --output /data/validation_out   (violations/ + manifests/ + verdicts.json) \
         [--schema schema.json] [--files-per-unit 16] [--resume]
         [--on-drift error|reset]
+        [--sequence-checks]             (cross-span order/overlap/conditional-
+                                         field violations -> sequence_violations/
+                                         parquet + per-code counts in the summary;
+                                         one extra scan, zero shuffles) \
+        [--gate rules.json]             (declarative corpus-level rule suite,
+                                         one aggregate pass -> gate rows in the
+                                         summary; JSON: list of
+                                         {rule_id, metric, op, threshold,
+                                          [column], [threshold_hi]}) \
+        [--gate-strict]                 (exit 3 if any gate rule fails)
 
 On a cluster the session comes from spark-submit's conf (master, executor
 counts, memory); this script only sets engine-level SQL conf.  Without
@@ -54,6 +64,9 @@ def main() -> None:
     ap.add_argument("--files-per-unit", type=int, default=16)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--on-drift", choices=["error", "reset"], default="error")
+    ap.add_argument("--sequence-checks", action="store_true")
+    ap.add_argument("--gate", default=None, help="quality-rule suite JSON file")
+    ap.add_argument("--gate-strict", action="store_true")
     args = ap.parse_args()
 
     from schemasaurus_spark.runstate import ResumableValidation
@@ -66,14 +79,56 @@ def main() -> None:
     if not args.resume and os.path.isdir(os.path.join(args.output, "manifests")):
         shutil.rmtree(os.path.join(args.output, "manifests"))
 
+    gate_rules = None
+    if args.gate:
+        from schemasaurus_spark.operators.quality_gate import load_rules
+
+        with open(args.gate) as f:
+            gate_rules = load_rules(json.load(f))  # validate BEFORE any Spark work
+
     spark = build_session()
     rv = ResumableValidation(schema, files_per_unit=args.files_per_unit)
     summary = rv.run(spark, args.input, args.output, on_drift=args.on_drift)
-    with open(os.path.join(args.output, "verdicts.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+
+    if args.sequence_checks:
+        from schemasaurus_spark.operators.span_integrity import (
+            span_integrity_violations,
+        )
+
+        seq = span_integrity_violations(spark.read.parquet(args.input))
+        seq.write.mode("overwrite").parquet(
+            os.path.join(args.output, "sequence_violations")
+        )
+        counts = dict(
+            spark.read.parquet(os.path.join(args.output, "sequence_violations"))
+            .groupBy("code")
+            .count()
+            .collect()
+        )
+        summary["sequence_violations"] = {k: int(v) for k, v in sorted(counts.items())}
+
+    gate_failed = False
+    if gate_rules is not None:
+        from schemasaurus_spark.operators.quality_gate import quality_gate
+
+        rows = [
+            r.asDict()
+            for r in quality_gate(spark.read.parquet(args.input), gate_rules).collect()
+        ]
+        summary["gate"] = rows
+        gate_failed = any(not r["passed"] for r in rows)
+        summary["gate_passed"] = not gate_failed
+
+    from schemasaurus_spark.sources.io import write_text_file
+
+    write_text_file(
+        spark,
+        os.path.join(args.output, "verdicts.json"),
+        json.dumps(summary, indent=2),
+    )
     print(json.dumps(summary))
     spark.stop()
-    sys.exit(0)
+    sys.exit(3 if (gate_failed and args.gate_strict) else 0)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,28 @@ class QualityRule:
             raise ValueError(f"rule {self.rule_id!r}: unknown metric {self.metric!r}")
 
 
+def load_rules(spec: list[dict]) -> list[QualityRule]:
+    """Build a rule suite from parsed JSON (the --gate file of
+    jobs/validate_submit.py): a list of {rule_id, metric, op, threshold,
+    [column], [threshold_hi]} dicts.  Validation (unknown metric/op,
+    missing fields, stray keys) happens here, BEFORE any Spark work."""
+    if not isinstance(spec, list):
+        raise ValueError("gate spec must be a JSON list of rule objects")
+    allowed = {"rule_id", "metric", "op", "threshold", "column", "threshold_hi"}
+    rules = []
+    for i, d in enumerate(spec):
+        if not isinstance(d, dict):
+            raise ValueError(f"gate rule #{i} is not an object: {d!r}")
+        stray = set(d) - allowed
+        if stray:
+            raise ValueError(f"gate rule #{i}: unknown keys {sorted(stray)}")
+        missing = {"rule_id", "metric", "op", "threshold"} - set(d)
+        if missing:
+            raise ValueError(f"gate rule #{i}: missing keys {sorted(missing)}")
+        rules.append(QualityRule(**d))
+    return rules
+
+
 def _metric_expr(metric: str, column: str | None, rsd: float) -> Column:
     """Aggregate expression for one (metric, column), cast to double.
 

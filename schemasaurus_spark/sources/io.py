@@ -102,3 +102,18 @@ def read_bucket(spark: SparkSession, ref: TableRef, bucket_by: str,
     return df.where(
         (F.col("doc_bucket") == bucket) & (F.col(bucket_by) == key_value)
     )
+
+
+def write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (run report, verdict summary) through the
+    Hadoop FS API so it lands next to the data on ANY scheme the session
+    can write (s3a://, hdfs://, file://) — a plain ``open()`` only works
+    for local paths."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()

@@ -134,3 +134,30 @@ def test_spec_validation(spark):
         quality_gate(_df(spark), [QualityRule("a", "row_count", "le", 1)] * 2)
     with pytest.raises(ValueError, match="empty rule suite"):
         quality_gate(_df(spark), [])
+
+
+def test_load_rules_roundtrip_and_validation():
+    from schemasaurus_spark.operators.quality_gate import load_rules
+
+    rules = load_rules(
+        [
+            {"rule_id": "a", "metric": "row_count", "op": "ge", "threshold": 1},
+            {
+                "rule_id": "b",
+                "metric": "null_rate",
+                "op": "between",
+                "threshold": 0,
+                "threshold_hi": 0.5,
+                "column": "x",
+            },
+        ]
+    )
+    assert [r.rule_id for r in rules] == ["a", "b"]
+    with pytest.raises(ValueError, match="JSON list"):
+        load_rules({"rule_id": "a"})
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_rules([{"rule_id": "a", "metric": "row_count", "op": "ge", "threshold": 1, "extra": 2}])
+    with pytest.raises(ValueError, match="missing keys"):
+        load_rules([{"rule_id": "a"}])
+    with pytest.raises(ValueError, match="unknown metric"):
+        load_rules([{"rule_id": "a", "metric": "p99", "op": "ge", "threshold": 1, "column": "x"}])
