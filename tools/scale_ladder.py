@@ -65,6 +65,13 @@ QUERIES = [
     # are shingle-disjoint under the cipher, so band buckets stay
     # constant-sized and candidate pairs scale linearly with the factor
     "doc_incremental_dedup",
+    # round 4 session 4: per-doc novelty (hapax fraction) — cipher copies
+    # keep token namespaces disjoint (up to accidental rotated-word
+    # collisions), so each copy's document-frequency structure — and with
+    # it every doc's hapax set — carries over: result rows are exactly
+    # k-fold (one per doc), ideal work linear in k (token rows k-fold,
+    # vocab join build side k-fold but Zipf-bounded per copy)
+    "doc_novelty_profile",
 ]
 
 
