@@ -1249,6 +1249,59 @@ GROUP BY p.doc_id
 """
 
 
+def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional documents<->embedding-store coverage audit
+    (operators/coverage.py): one thin-row union + ONE key shuffle (no
+    full-outer join, no per-side distinct pass) reduced to a single
+    verdict row — row counts, distinct-key counts, shared/one-sided
+    keys, NULL-key rows, and per-direction coverage rates."""
+    from schemasaurus_spark.operators.coverage import coverage_report
+
+    return coverage_report(
+        _docs(spark, sf_dir),
+        _table(spark, sf_dir, "embeddings"),
+        "doc_id",
+        right_key="vec_id",
+    )
+
+
+_COVERAGE_ORACLE = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, 1 AS lc, 0 AS rc FROM documents
+  UNION ALL
+  SELECT CAST(vec_id AS VARCHAR), 0, 1 FROM embeddings
+),
+pk AS (SELECT key, sum(lc) AS lc, sum(rc) AS rc FROM t GROUP BY key),
+m AS (
+  SELECT
+    CAST(coalesce(sum(lc), 0) AS BIGINT) AS n_left,
+    CAST(coalesce(sum(rc), 0) AS BIGINT) AS n_right,
+    CAST(count(CASE WHEN key IS NOT NULL AND lc > 0 THEN 1 END) AS BIGINT)
+      AS n_left_keys,
+    CAST(count(CASE WHEN key IS NOT NULL AND rc > 0 THEN 1 END) AS BIGINT)
+      AS n_right_keys,
+    CAST(count(CASE WHEN key IS NOT NULL AND lc > 0 AND rc > 0 THEN 1 END)
+      AS BIGINT) AS n_shared_keys,
+    CAST(count(CASE WHEN key IS NOT NULL AND lc > 0 AND rc = 0 THEN 1 END)
+      AS BIGINT) AS n_left_only_keys,
+    CAST(count(CASE WHEN key IS NOT NULL AND lc = 0 AND rc > 0 THEN 1 END)
+      AS BIGINT) AS n_right_only_keys,
+    CAST(coalesce(sum(CASE WHEN key IS NULL THEN lc END), 0) AS BIGINT)
+      AS n_left_null_rows,
+    CAST(coalesce(sum(CASE WHEN key IS NULL THEN rc END), 0) AS BIGINT)
+      AS n_right_null_rows
+  FROM pk)
+SELECT m.*,
+       CASE WHEN n_left_keys > 0
+            THEN CAST(n_shared_keys AS DOUBLE) / n_left_keys END
+         AS left_coverage,
+       CASE WHEN n_right_keys > 0
+            THEN CAST(n_shared_keys AS DOUBLE) / n_right_keys END
+         AS right_coverage
+FROM m
+"""
+
+
 def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality rule gate (operators/quality_gate.py): the
     corpus-level counterpart of the reference's per-document schema walk —
@@ -2908,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_topk": doc_token_topk,
         "doc_novelty_profile": doc_novelty_profile,
         "doc_quality_gate": doc_quality_gate,
+        "doc_embedding_coverage": doc_embedding_coverage,
         "doc_chunking": doc_chunking,
         "doc_lm_score": doc_lm_score,
         "embedding_topk": embedding_topk,
@@ -2978,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_topk": _VOCAB_ORACLE,
         "doc_novelty_profile": _NOVELTY_ORACLE,
         "doc_quality_gate": _GATE_ORACLE,
+        "doc_embedding_coverage": _COVERAGE_ORACLE,
         "doc_chunking": _CHUNK_ORACLE,
         "doc_lm_score": _LM_ORACLE,
         "embedding_topk": _TOPK_ORACLE,

@@ -115,6 +115,7 @@ def main():
         "doc_latest_revision",
         "doc_quality_cube",
         "doc_quality_gate",
+        "doc_embedding_coverage",
         "doc_corpus_diff",
         "doc_source_mix",
         "doc_token_topk",
