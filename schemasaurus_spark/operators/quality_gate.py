@@ -45,11 +45,23 @@ _COLUMN_METRICS = (
     "distinct_count",
     "approx_distinct",
     "distinct_ratio",
+    "approx_distinct_ratio",
     "min",
     "max",
     "mean",
     "max_length",
     "min_length",
+)
+
+#: metrics a mergeable stats snapshot (operators/snapshot.py) can answer
+#: without rescanning the corpus; the rest need the scan path
+_SNAPSHOT_METRICS = (
+    "row_count",
+    "null_rate",
+    "approx_distinct",
+    "approx_distinct_ratio",
+    "min",
+    "max",
 )
 
 
@@ -126,6 +138,8 @@ def _metric_expr(metric: str, column: str | None, rsd: float) -> Column:
         return F.approx_count_distinct(c, rsd).cast("double")
     if metric == "distinct_ratio":
         return F.count_distinct(c).cast("double") / F.count(F.lit(1))
+    if metric == "approx_distinct_ratio":
+        return F.approx_count_distinct(c, rsd).cast("double") / F.count(F.lit(1))
     if metric == "min":
         return F.min(c).cast("double")
     if metric == "max":
@@ -204,3 +218,111 @@ def quality_gate(
             )
         )
     return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def snapshot_gate(spark, snap, rules: list[QualityRule]) -> DataFrame:
+    """Evaluate a rule suite against a mergeable stats snapshot
+    (operators/snapshot.py) — ZERO corpus scans.
+
+    This is the 100 TB audit path: the resumable runner's per-unit
+    snapshots fold into the corpus snapshot (runstate.merged_snapshot)
+    with a metadata-sized merge, and the gate then reads ONLY that
+    snapshot.  Supported metrics: row_count, null_rate, approx_distinct,
+    approx_distinct_ratio (Datasketches HLL estimates — same fail-closed
+    NULL semantics), and min/max for numerically-tracked columns.  Exact
+    distinct_count / distinct_ratio / mean / length metrics need the scan
+    path (``quality_gate``) and are rejected here EXPLICITLY — a gate
+    must never silently swap an exact contract for an approximation.
+
+    The snapshot's columns part is metadata-sized (one row per tracked
+    column), so the single collect here is O(tracked columns), not data.
+    Output schema matches ``quality_gate`` exactly.
+    """
+    if not rules:
+        raise ValueError("snapshot_gate: empty rule suite")
+    ids = [r.rule_id for r in rules]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"snapshot_gate: duplicate rule_ids in {ids}")
+    unsupported = [r.rule_id for r in rules if r.metric not in _SNAPSHOT_METRICS]
+    if unsupported:
+        raise ValueError(
+            f"snapshot_gate: rules {unsupported} use metrics a snapshot "
+            f"cannot answer (supported: {list(_SNAPSHOT_METRICS)}); "
+            "run them through quality_gate's scan path"
+        )
+
+    stats = {
+        row["column"]: row.asDict()
+        for row in snap.columns.select(
+            "column",
+            "kind",
+            "n",
+            "n_null",
+            "min_s",
+            "max_s",
+            F.hll_sketch_estimate(F.col("hll")).alias("distinct_est"),
+        ).collect()
+    }
+    if not stats:
+        raise ValueError("snapshot_gate: snapshot tracks no columns")
+    n_rows = next(iter(stats.values()))["n"]
+
+    def value_of(r: QualityRule):
+        if r.metric == "row_count":
+            return float(n_rows)
+        s = stats.get(r.column)
+        if s is None:
+            raise ValueError(
+                f"snapshot_gate: rule {r.rule_id!r} needs column "
+                f"{r.column!r}, which the snapshot does not track "
+                f"(tracked: {sorted(stats)})"
+            )
+        if r.metric == "null_rate":
+            return float(s["n_null"]) / s["n"] if s["n"] else None
+        if r.metric == "approx_distinct":
+            return float(s["distinct_est"])
+        if r.metric == "approx_distinct_ratio":
+            return float(s["distinct_est"]) / s["n"] if s["n"] else None
+        # min / max: snapshots store the STRING form; only numerically
+        # tracked columns round-trip to a double faithfully
+        if s["kind"] != "numeric":
+            raise ValueError(
+                f"snapshot_gate: rule {r.rule_id!r} asks {r.metric} of "
+                f"non-numeric snapshot column {r.column!r}"
+            )
+        raw = s["min_s"] if r.metric == "min" else s["max_s"]
+        return None if raw is None else float(raw)
+
+    def passed(v, r: QualityRule) -> bool:
+        if v is None:
+            return False  # fail closed, as in the scan path
+        if r.op == "le":
+            return v <= r.threshold
+        if r.op == "ge":
+            return v >= r.threshold
+        if r.op == "lt":
+            return v < r.threshold
+        if r.op == "gt":
+            return v > r.threshold
+        if r.op == "eq":
+            return v == r.threshold
+        return r.threshold <= v <= r.threshold_hi
+
+    rows = [
+        (
+            r.rule_id,
+            r.column,
+            r.metric,
+            r.op,
+            float(r.threshold),
+            None if r.threshold_hi is None else float(r.threshold_hi),
+            value_of(r),
+            passed(value_of(r), r),
+        )
+        for r in rules
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, column string, metric string, op string, "
+        "threshold double, threshold_hi double, value double, passed boolean",
+    )

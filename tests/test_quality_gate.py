@@ -161,3 +161,41 @@ def test_load_rules_roundtrip_and_validation():
         load_rules([{"rule_id": "a"}])
     with pytest.raises(ValueError, match="unknown metric"):
         load_rules([{"rule_id": "a", "metric": "p99", "op": "ge", "threshold": 1, "column": "x"}])
+
+
+def test_snapshot_gate_matches_scan_path_and_rejects_unsupported(spark):
+    from schemasaurus_spark.operators.quality_gate import snapshot_gate
+    from schemasaurus_spark.operators.snapshot import SnapshotSpec, compute_snapshot
+
+    df = _df(spark)
+    snap = compute_snapshot(df, SnapshotSpec(numeric=("num",), categorical=("lang",)))
+    rules = [
+        QualityRule("rc", "row_count", "ge", 5),
+        QualityRule("nr", "null_rate", "le", 0.5, column="num"),
+        QualityRule("mn", "min", "ge", 10, column="num"),
+        QualityRule("mx", "max", "le", 40, column="num"),
+        QualityRule("ad", "approx_distinct", "between", 2, column="lang", threshold_hi=6),
+        QualityRule("adr", "approx_distinct_ratio", "le", 1.0, column="lang"),
+    ]
+    got = {r["rule_id"]: r.asDict() for r in snapshot_gate(spark, snap, rules).collect()}
+    scan = {r["rule_id"]: r.asDict() for r in quality_gate(df, rules).collect()}
+    # deterministic metrics agree EXACTLY with the scan path
+    for rid in ("rc", "nr", "mn", "mx"):
+        assert got[rid]["value"] == scan[rid]["value"], rid
+        assert got[rid]["passed"] == scan[rid]["passed"], rid
+    # sketch metrics: tiny cardinality -> HLL is exact in practice (NULLs
+    # excluded by the sketch, same as approx_count_distinct); gate passes
+    assert got["ad"]["value"] == 2.0 and got["ad"]["passed"]  # {en, fr}
+    assert got["adr"]["passed"]
+    # schema identical to the scan path (modulo nullability flags)
+    shape = lambda d: [(f.name, f.dataType) for f in d.schema.fields]  # noqa: E731
+    assert shape(snapshot_gate(spark, snap, rules)) == shape(quality_gate(df, rules))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot answer"):
+        snapshot_gate(spark, snap, [QualityRule("x", "mean", "le", 1, column="num")])
+    with _pytest.raises(ValueError, match="does not track"):
+        snapshot_gate(spark, snap, [QualityRule("x", "null_rate", "le", 1, column="k")])
+    with _pytest.raises(ValueError, match="non-numeric"):
+        snapshot_gate(spark, snap, [QualityRule("x", "min", "ge", 0, column="lang")])
