@@ -18,6 +18,13 @@
                                          {rule_id, metric, op, threshold,
                                           [column], [threshold_hi]}) \
         [--gate-strict]                 (exit 3 if any gate rule fails)
+        [--snapshot-numeric c1,c2] [--snapshot-categorical c3]
+        [--snapshot-derive 'size(spans) AS n_spans']
+                                        (write mergeable per-unit stats
+                                         snapshots during the pass) \
+        [--gate-source scan|snapshot]   (snapshot: answer the gate from the
+                                         merged unit snapshots — ZERO extra
+                                         corpus scans)
 
 On a cluster the session comes from spark-submit's conf (master, executor
 counts, memory); this script only sets engine-level SQL conf.  Without
@@ -67,7 +74,49 @@ def main() -> None:
     ap.add_argument("--sequence-checks", action="store_true")
     ap.add_argument("--gate", default=None, help="quality-rule suite JSON file")
     ap.add_argument("--gate-strict", action="store_true")
+    ap.add_argument(
+        "--gate-source",
+        choices=["scan", "snapshot"],
+        default="scan",
+        help="evaluate --gate by rescanning the input (scan) or from the "
+        "merged per-unit stats snapshot (snapshot; zero extra scans — "
+        "requires --snapshot-numeric/--snapshot-categorical)",
+    )
+    ap.add_argument(
+        "--snapshot-numeric",
+        default=None,
+        help="comma-separated columns to track numerically in per-unit "
+        "mergeable stats snapshots",
+    )
+    ap.add_argument(
+        "--snapshot-categorical",
+        default=None,
+        help="comma-separated columns to track categorically",
+    )
+    ap.add_argument(
+        "--snapshot-derive",
+        action="append",
+        default=[],
+        metavar="'EXPR AS alias'",
+        help="SQL projection(s) added before snapshotting (repeatable), "
+        "e.g. 'size(spans) AS n_spans' — how nested span shapes become "
+        "trackable stats columns",
+    )
     args = ap.parse_args()
+
+    snap_numeric = tuple(
+        c for c in (args.snapshot_numeric or "").split(",") if c
+    )
+    snap_categorical = tuple(
+        c for c in (args.snapshot_categorical or "").split(",") if c
+    )
+    if args.gate_source == "snapshot" and not args.gate:
+        ap.error("--gate-source snapshot requires --gate")
+    if args.gate_source == "snapshot" and not (snap_numeric or snap_categorical):
+        ap.error(
+            "--gate-source snapshot requires --snapshot-numeric and/or "
+            "--snapshot-categorical so per-unit snapshots are written"
+        )
 
     from schemasaurus_spark.runstate import ResumableValidation
 
@@ -86,8 +135,25 @@ def main() -> None:
         with open(args.gate) as f:
             gate_rules = load_rules(json.load(f))  # validate BEFORE any Spark work
 
+    snapshot_spec = None
+    snapshot_prep = None
+    if snap_numeric or snap_categorical:
+        from schemasaurus_spark.operators.snapshot import SnapshotSpec
+
+        snapshot_spec = SnapshotSpec(
+            numeric=snap_numeric, categorical=snap_categorical
+        )
+        if args.snapshot_derive:
+            derives = list(args.snapshot_derive)
+            snapshot_prep = lambda df: df.selectExpr("*", *derives)  # noqa: E731
+
     spark = build_session()
-    rv = ResumableValidation(schema, files_per_unit=args.files_per_unit)
+    rv = ResumableValidation(
+        schema,
+        files_per_unit=args.files_per_unit,
+        snapshot_spec=snapshot_spec,
+        snapshot_prep=snapshot_prep,
+    )
     summary = rv.run(spark, args.input, args.output, on_drift=args.on_drift)
 
     if args.sequence_checks:
@@ -109,12 +175,18 @@ def main() -> None:
 
     gate_failed = False
     if gate_rules is not None:
-        from schemasaurus_spark.operators.quality_gate import quality_gate
+        if args.gate_source == "snapshot":
+            from schemasaurus_spark.operators.quality_gate import snapshot_gate
+            from schemasaurus_spark.runstate import merged_snapshot
 
-        rows = [
-            r.asDict()
-            for r in quality_gate(spark.read.parquet(args.input), gate_rules).collect()
-        ]
+            gate_df = snapshot_gate(
+                spark, merged_snapshot(spark, args.output), gate_rules
+            )
+        else:
+            from schemasaurus_spark.operators.quality_gate import quality_gate
+
+            gate_df = quality_gate(spark.read.parquet(args.input), gate_rules)
+        rows = [r.asDict() for r in gate_df.collect()]
         summary["gate"] = rows
         gate_failed = any(not r["passed"] for r in rows)
         summary["gate_passed"] = not gate_failed
