@@ -90,7 +90,7 @@ class QualityRule:
                 raise ValueError(
                     f"rule {self.rule_id!r}: {self.metric} takes no column"
                 )
-        elif self.metric in _COLUMN_METRICS:
+        elif self.metric in _COLUMN_METRICS or self.metric in _DRIFT_METRICS:
             if self.column is None:
                 raise ValueError(f"rule {self.rule_id!r}: {self.metric} needs a column")
         else:
@@ -188,6 +188,13 @@ def quality_gate(
     ids = [r.rule_id for r in rules]
     if len(set(ids)) != len(ids):
         raise ValueError(f"quality_gate: duplicate rule_ids in {ids}")
+
+    drifty = [r.rule_id for r in rules if r.metric in _DRIFT_METRICS]
+    if drifty:
+        raise ValueError(
+            f"quality_gate: rules {drifty} use drift metrics — evaluate "
+            "them with drift_gate over a drift_vs_snapshot report"
+        )
 
     # one aggregate expression per DISTINCT (metric, column)
     keys: dict[tuple[str, str | None], str] = {}
@@ -326,3 +333,90 @@ def snapshot_gate(spark, snap, rules: list[QualityRule]) -> DataFrame:
         "rule_id string, column string, metric string, op string, "
         "threshold double, threshold_hi double, value double, passed boolean",
     )
+
+
+#: fields of a drift_vs_snapshot report row a drift rule can threshold,
+#: plus two derived deltas
+_DRIFT_METRICS = (
+    "statistic",
+    "psi",
+    "p_value",
+    "null_rate_delta",          # abs(null_rate_cur - null_rate_base)
+    "distinct_ratio_change",    # distinct_cur / distinct_base
+)
+
+
+def drift_gate(report: list[dict], rules: list[QualityRule]) -> list[dict]:
+    """Turn a ``snapshot.drift_vs_snapshot`` report into blocking verdicts.
+
+    ``drift_vs_snapshot`` measures (KS/chi-square statistic, PSI, p-value,
+    null-rate and distinct deltas per column); this evaluates declarative
+    thresholds over those measurements — "block the release if any
+    column's PSI > 0.2" — closing the monitor -> gate loop without
+    touching data (the report is O(tracked columns)).
+
+    Rules reuse ``QualityRule`` with drift metric names (column required);
+    returns quality_gate-shaped dicts (rule_id, column, metric, op,
+    threshold, threshold_hi, value, passed).  A rule naming an untracked
+    column FAILS CLOSED with value None (a drift gate must not pass
+    because monitoring silently stopped covering a column).
+    """
+    if not rules:
+        raise ValueError("drift_gate: empty rule suite")
+    ids = [r.rule_id for r in rules]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"drift_gate: duplicate rule_ids in {ids}")
+    bad = [r.rule_id for r in rules if r.metric not in _DRIFT_METRICS]
+    if bad:
+        raise ValueError(
+            f"drift_gate: rules {bad} use non-drift metrics "
+            f"(supported: {list(_DRIFT_METRICS)})"
+        )
+    by_col = {row["column"]: row for row in report}
+
+    out = []
+    for r in rules:
+        if r.column is None:
+            raise ValueError(f"drift_gate: rule {r.rule_id!r} needs a column")
+        row = by_col.get(r.column)
+        if row is None:
+            value = None
+        elif r.metric == "null_rate_delta":
+            value = abs(row["null_rate_cur"] - row["null_rate_base"])
+        elif r.metric == "distinct_ratio_change":
+            value = (
+                row["distinct_cur"] / row["distinct_base"]
+                if row["distinct_base"]
+                else None
+            )
+        else:
+            value = float(row[r.metric])
+        if value is None:
+            ok = False  # fail closed
+        elif r.op == "le":
+            ok = value <= r.threshold
+        elif r.op == "ge":
+            ok = value >= r.threshold
+        elif r.op == "lt":
+            ok = value < r.threshold
+        elif r.op == "gt":
+            ok = value > r.threshold
+        elif r.op == "eq":
+            ok = value == r.threshold
+        else:
+            ok = r.threshold <= value <= r.threshold_hi
+        out.append(
+            {
+                "rule_id": r.rule_id,
+                "column": r.column,
+                "metric": r.metric,
+                "op": r.op,
+                "threshold": float(r.threshold),
+                "threshold_hi": None
+                if r.threshold_hi is None
+                else float(r.threshold_hi),
+                "value": value,
+                "passed": ok,
+            }
+        )
+    return out

@@ -199,3 +199,73 @@ def test_snapshot_gate_matches_scan_path_and_rejects_unsupported(spark):
         snapshot_gate(spark, snap, [QualityRule("x", "null_rate", "le", 1, column="k")])
     with _pytest.raises(ValueError, match="non-numeric"):
         snapshot_gate(spark, snap, [QualityRule("x", "min", "ge", 0, column="lang")])
+
+
+def test_drift_gate_thresholds_and_fail_closed():
+    from schemasaurus_spark.operators.quality_gate import drift_gate
+
+    report = [
+        {
+            "column": "value",
+            "test": "ks",
+            "statistic": 0.30,
+            "psi": 0.25,
+            "p_value": 0.001,
+            "drifted": True,
+            "null_rate_base": 0.01,
+            "null_rate_cur": 0.05,
+            "distinct_base": 100.0,
+            "distinct_cur": 150.0,
+        }
+    ]
+    rules = [
+        QualityRule("ks_cap", "statistic", "le", 0.2, column="value"),
+        QualityRule("psi_cap", "psi", "le", 0.3, column="value"),
+        QualityRule("p_floor", "p_value", "ge", 0.05, column="value"),
+        QualityRule("nulls_stable", "null_rate_delta", "le", 0.05, column="value"),
+        QualityRule("card_band", "distinct_ratio_change", "between", 0.5, column="value", threshold_hi=2.0),
+        QualityRule("untracked", "psi", "le", 1.0, column="ghost"),
+    ]
+    got = {r["rule_id"]: r for r in drift_gate(report, rules)}
+    assert not got["ks_cap"]["passed"] and got["ks_cap"]["value"] == 0.30
+    assert got["psi_cap"]["passed"]
+    assert not got["p_floor"]["passed"]
+    assert got["nulls_stable"]["passed"] and abs(got["nulls_stable"]["value"] - 0.04) < 1e-12
+    assert got["card_band"]["passed"] and got["card_band"]["value"] == 1.5
+    # a column that fell out of monitoring fails closed
+    assert got["untracked"]["value"] is None and got["untracked"]["passed"] is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-drift metrics"):
+        drift_gate(report, [QualityRule("x", "null_rate", "le", 1, column="value")])
+
+
+def test_drift_gate_over_real_report_and_scan_path_rejects_drift_metrics(spark):
+    from schemasaurus_spark.operators.quality_gate import drift_gate
+    from schemasaurus_spark.operators.snapshot import (
+        SnapshotSpec,
+        compute_snapshot,
+        drift_vs_snapshot,
+    )
+
+    spec = SnapshotSpec(numeric=("v",), n_bins=32)
+    base_df = spark.range(0, 2000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    snap = compute_snapshot(base_df, spec)
+    shifted = spark.range(0, 2000).selectExpr("CAST(id % 100 + 50 AS DOUBLE) AS v")
+    report = drift_vs_snapshot(shifted, snap, spec)
+    got = {
+        r["rule_id"]: r
+        for r in drift_gate(
+            report,
+            [
+                QualityRule("ks_cap", "statistic", "le", 0.1, column="v"),
+                QualityRule("psi_cap", "psi", "le", 0.1, column="v"),
+            ],
+        )
+    }
+    # a +50 shift on a 0..99 grid is gross drift: both rules must trip
+    assert not got["ks_cap"]["passed"] and not got["psi_cap"]["passed"]
+
+    with pytest.raises(ValueError, match="drift metrics"):
+        quality_gate(base_df, [QualityRule("x", "psi", "le", 1, column="v")])
