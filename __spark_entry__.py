@@ -1560,6 +1560,56 @@ cross_scored AS (
 SELECT batch_id, corpus_id, jaccard FROM cross_scored WHERE jaccard >= 0.5"""
 
 
+def doc_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT novelty check (operators/bloom.py): which
+    docs of an ingest batch are not already in the corpus.  The batch is
+    a doc_id%5 slice of the table with every 5th slice member rewritten
+    to planted-novel text — so BOTH branches are non-vacuous: ~80% of the
+    batch is present in the corpus (flows through the bloom 'maybe' +
+    exact-verify path), ~20% is genuinely novel (mostly rejected by the
+    bloom outright).  The result provably equals the plain anti-join the
+    oracle replays (NOT EXISTS); the bloom only removes the corpus
+    shuffle (build = zero-shuffle treeAggregate of per-partition bitmaps,
+    verify = broadcast semi-join, corpus scanned map-side only)."""
+    from schemasaurus_spark.operators.bloom import bloom_novel_docs
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            (F.col("doc_id") % 25 == 0) & F.col("text").isNotNull(),
+            F.concat(
+                F.lit("novel "), F.col("doc_id").cast("string"), F.lit(" "), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bloom_novel_docs(batch, docs, n_bits=1 << 20, n_hashes=5)
+
+
+_BLOOM_NOVELTY_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 25 = 0 AND text IS NOT NULL
+              THEN concat('novel ', CAST(doc_id AS VARCHAR), ' ', text)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+bf AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM b
+),
+cf AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint FROM bf
+WHERE NOT EXISTS (SELECT 1 FROM cf WHERE cf.fingerprint = bf.fingerprint)
+"""
+
+
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (the no-approximation tier of
     the dedup family: MinHash estimates this number; this computes it).
@@ -2971,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": embedding_decontamination,
         "minhash_near_dups": minhash_near_dups,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_bloom_novelty": doc_bloom_novelty,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
         "doc_training_corpus": doc_training_corpus,
@@ -3045,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontamination": _EMB_DECONTAM_ORACLE,
         "minhash_near_dups": _minhash_oracle_sql(),
         "doc_incremental_dedup": _incremental_dedup_oracle_sql(),
+        "doc_bloom_novelty": _BLOOM_NOVELTY_ORACLE,
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),

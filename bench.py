@@ -126,6 +126,7 @@ def main():
         "doc_mixed_corpus",
         "minhash_near_dups",
         "doc_incremental_dedup",
+        "doc_bloom_novelty",
         "doc_ngram_jaccard_dups",
         "simhash_near_dups",
         "embedding_topk",

@@ -1,0 +1,124 @@
+"""Bloom-prefiltered exact novelty: equality with the plain anti-join
+(the operator's whole contract), no-false-negative guarantees under a
+deliberately saturated filter, and the empty/NULL edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_novel_docs,
+    build_bloom_bitmap,
+    derive_bloom_params,
+)
+from schemasaurus_spark.operators.dedup import normalize_text
+
+
+def _corpus(spark, texts, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _plain_anti(batch, corpus):
+    fp = F.md5(normalize_text(F.col("text")))
+    b = batch.select("doc_id", fp.alias("fingerprint"))
+    c = corpus.select(fp.alias("fingerprint"))
+    return b.join(c, "fingerprint", "left_anti").select("doc_id", "fingerprint")
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.fingerprint) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    corpus = _corpus(spark, [f"shared doc number {i} body" for i in range(40)])
+    # 10 overlapping (same normalized text, different whitespace/case),
+    # 10 genuinely novel
+    batch = _corpus(
+        spark,
+        [f"  SHARED doc   number {i} body " for i in range(10)]
+        + [f"fresh doc {i} never seen" for i in range(10)],
+        start_id=1000,
+    )
+    return batch, corpus
+
+
+@pytest.mark.parametrize("verify", ["broadcast", "shuffle"])
+def test_matches_plain_anti_join(spark, data, verify):
+    batch, corpus = data
+    got = _rows(bloom_novel_docs(batch, corpus, verify=verify))
+    want = _rows(_plain_anti(batch, corpus))
+    assert got == want
+    assert len(got) == 10 and all(i >= 1010 for i, _ in got)
+
+
+def test_exact_under_saturated_filter(spark, data):
+    """8 bits + 1 hash saturates instantly: every row becomes 'maybe',
+    everything flows through the exact verify — result unchanged."""
+    batch, corpus = data
+    got = _rows(bloom_novel_docs(batch, corpus, n_bits=8, n_hashes=1))
+    assert got == _rows(_plain_anti(batch, corpus))
+
+
+def test_no_false_negatives_in_probe(spark, data):
+    """Every corpus fingerprint must probe True against its own filter
+    (the property the exactness proof rests on)."""
+    _, corpus = data
+    fps = corpus.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    bitmap = build_bloom_bitmap(fps, "fingerprint", n_bits=1 << 13, n_hashes=4)
+    probed = bloom_might_contain(fps, "fingerprint", bitmap, 1 << 13, 4)
+    assert probed.where(~F.col("_maybe")).count() == 0
+
+
+def test_build_is_deterministic_and_partition_invariant(spark, data):
+    _, corpus = data
+    fps = corpus.select(F.md5(normalize_text(F.col("text"))).alias("f"))
+    a = build_bloom_bitmap(fps.repartition(1), "f", 1 << 10, 3)
+    b = build_bloom_bitmap(fps.repartition(7), "f", 1 << 10, 3)
+    assert a == b and any(a)
+
+
+def test_empty_corpus_all_novel(spark, data):
+    batch, _ = data
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = bloom_novel_docs(batch, empty)
+    assert got.count() == batch.count()
+
+
+def test_null_text_always_novel(spark):
+    corpus = _corpus(spark, ["a doc"])
+    batch = spark.createDataFrame(
+        [(5, None), (6, "a doc")], "doc_id long, text string"
+    )
+    got = _rows(bloom_novel_docs(batch, corpus))
+    assert [i for i, _ in got] == [5]
+    assert got[0][1] is None
+
+
+def test_derive_params():
+    m, k = derive_bloom_params(1_000_000, fpp=0.01)
+    assert m % 8 == 0
+    assert 9 * 1_000_000 <= m <= 10 * 1_000_000  # ~9.585 bits/key at 1%
+    assert k == 7
+    with pytest.raises(ValueError):
+        derive_bloom_params(10, fpp=1.5)
+    with pytest.raises(ValueError):
+        build_bloom_bitmap(None, "x", n_bits=12, n_hashes=1)  # not a byte multiple
+
+
+def test_verify_broadcast_never_shuffles_corpus(spark, data):
+    """The verify stage's exchanges must not carry corpus rows: only
+    (distinct) fingerprint aggregates appear under hashpartitioning."""
+    batch, corpus = data
+    out = bloom_novel_docs(batch, corpus, verify="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast exchanges expected; the only hash exchanges are the two
+    # distinct() aggregations, which are map-side-combined fingerprints
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "fingerprint" in m.group(1)
