@@ -1560,6 +1560,27 @@ cross_scored AS (
 SELECT batch_id, corpus_id, jaccard FROM cross_scored WHERE jaccard >= 0.5"""
 
 
+_BM25_TERMS = ["table", "window", "hash", "customer"]
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.py): top-10 docs per
+    probe term with tf/dl/df side-channels, rank, and the rounded score.
+    One corpus pass, query-term-filtered explode (the exchange carries
+    only matches), broadcast stats/df joins, WindowGroupLimit top-k; the
+    oracle is generated from the SAME constants via bm25_oracle_sql so
+    the float arithmetic is bit-identical (module docstring)."""
+    from schemasaurus_spark.operators.retrieval import bm25_topk_per_term
+
+    return bm25_topk_per_term(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _bm25_oracle_sql() -> str:
+    from schemasaurus_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=10)
+
+
 def doc_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered EXACT novelty check (operators/bloom.py): which
     docs of an ingest batch are not already in the corpus.  The batch is
@@ -3022,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_bloom_novelty": doc_bloom_novelty,
+        "doc_bm25_search": doc_bm25_search,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
         "doc_training_corpus": doc_training_corpus,
@@ -3097,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         "doc_incremental_dedup": _incremental_dedup_oracle_sql(),
         "doc_bloom_novelty": _BLOOM_NOVELTY_ORACLE,
+        "doc_bm25_search": _bm25_oracle_sql(),
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),

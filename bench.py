@@ -127,6 +127,7 @@ def main():
         "minhash_near_dups",
         "doc_incremental_dedup",
         "doc_bloom_novelty",
+        "doc_bm25_search",
         "doc_ngram_jaccard_dups",
         "simhash_near_dups",
         "embedding_topk",
