@@ -2504,6 +2504,70 @@ def northrule_dangling_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def northrule_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interleave structure profile (operators/interleave.py):
+    kind counts, modality switches, longest text/non-text runs, boundary
+    kinds — ZERO shuffles (in-array folds, no explode+window).  Oracle
+    replays with rn-partitioned gaps-and-islands windows — per PHYSICAL
+    row, because the generated corpus contains duplicate doc_ids."""
+    from schemasaurus_spark.operators.interleave import interleave_profile
+
+    return interleave_profile(_northrule_docs(spark))
+
+
+def _interleave_oracle_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+ex AS (
+  SELECT rn, doc_id, unnest(spans) AS s, generate_subscripts(spans, 1) - 1 AS i
+  FROM docs
+),
+sp AS (
+  SELECT rn, doc_id, CAST(i AS INTEGER) AS i, s.kind AS kind,
+         s.media_ref AS media_ref
+  FROM ex
+),
+base AS (
+  SELECT rn, any_value(doc_id) AS doc_id,
+         count(*) AS n_spans,
+         count(*) FILTER (kind = 'text')  AS n_text,
+         count(*) FILTER (kind = 'image') AS n_image,
+         count(*) FILTER (kind = 'audio') AS n_audio,
+         count(*) FILTER (kind = 'ref')   AS n_ref,
+         count(*) FILTER (media_ref IS NOT NULL) AS n_media_refs,
+         arg_min(kind, i) AS first_kind,
+         arg_max(kind, i) AS last_kind
+  FROM sp GROUP BY rn
+),
+sw AS (
+  SELECT rn, count(*) FILTER (prev IS NOT NULL AND prev <> kind) AS n_switches
+  FROM (
+    SELECT rn, kind, lag(kind) OVER (PARTITION BY rn ORDER BY i) AS prev
+    FROM sp
+  ) GROUP BY rn
+),
+isl AS (
+  SELECT rn, (kind = 'text') AS is_text,
+         i - row_number() OVER (PARTITION BY rn, (kind = 'text') ORDER BY i) AS island
+  FROM sp
+),
+rl AS (SELECT rn, is_text, island, count(*) AS run_len FROM isl GROUP BY 1, 2, 3),
+mx AS (
+  SELECT rn,
+         coalesce(max(run_len) FILTER (is_text), 0) AS max_text_run,
+         coalesce(max(run_len) FILTER (NOT is_text), 0) AS max_nontext_run
+  FROM rl GROUP BY rn
+)
+SELECT b.doc_id, b.n_spans, b.n_text, b.n_image, b.n_audio, b.n_ref,
+       b.n_media_refs, coalesce(sw.n_switches, 0) AS n_switches,
+       mx.max_text_run, mx.max_nontext_run, b.first_kind, b.last_kind
+FROM base b JOIN sw USING (rn) JOIN mx USING (rn)
+"""
+
+
 _SI_DOCS_PATH = f"{_NR_ORACLE_DIR}/span_integrity_docs_n2000_seed11_faults13"
 _si_written = False
 
@@ -3064,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_sequence": northrule_span_sequence,
         "northrule_dangling_media": northrule_dangling_media,
         "northrule_span_integrity": northrule_span_integrity,
+        "northrule_interleave_profile": northrule_interleave_profile,
         "event_value_quartiles": event_value_quartiles,
         "event_props_validation": event_props_validation,
         "event_props_normalization": event_props_normalization,
@@ -3140,6 +3205,7 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
         "northrule_span_integrity": _SI_ORACLE,
+        "northrule_interleave_profile": _interleave_oracle_sql(),
         "event_type_chi2_drift": _CHI2_ORACLE,
         "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,

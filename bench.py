@@ -96,6 +96,10 @@ def main():
 
     run("span_integrity", lambda: force(span_integrity_violations(docs)))
 
+    from schemasaurus_spark.operators.interleave import interleave_profile
+
+    run("interleave_profile", lambda: force(interleave_profile(docs)))
+
     # -- contract queries over the sf testdata tables -----------------------
     for name in [
         "doc_validation_violations",
