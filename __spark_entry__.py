@@ -2138,6 +2138,77 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (operators/phash.py): REAL PNG
+    decode → exact-integer aHash → pigeonhole-complete banded join →
+    in-plan bit_count verify.  150 gradient images + 30 planted
+    near-variants (same pixels +1 via seed 43) guarantee true positives;
+    the oracle recomputes every hash from the closed-form pixel formula
+    in pure SQL and brute-forces all pairs — a decoder, block-geometry,
+    bit-order, or banding bug all hash-mismatch."""
+    from schemasaurus_spark.operators.media import synth_png_media_table
+    from schemasaurus_spark.operators.phash import phash_near_dups
+
+    base = synth_png_media_table(spark, 150, seed=42)
+    variants = synth_png_media_table(
+        spark, 30, seed=43, ref_prefix="media://png-v/"
+    )
+    return phash_near_dups(base.unionByName(variants), max_hamming=4)
+
+
+_MEDIA_PHASH_ORACLE = """
+WITH imgs AS (
+  SELECT 'media://png/' || CAST(t.i AS VARCHAR) AS media_ref, t.i AS id,
+         42 AS cst, t.i % 24 + 16 AS w, t.i % 16 + 16 AS h
+  FROM generate_series(0, 149) AS t(i)
+  UNION ALL
+  SELECT 'media://png-v/' || CAST(t.i AS VARCHAR), t.i, 43,
+         t.i % 24 + 16, t.i % 16 + 16
+  FROM generate_series(0, 29) AS t(i)
+),
+px AS (
+  SELECT m.media_ref,
+         (8 * i.v) // m.h AS bi, (8 * j.v) // m.w AS bj,
+         (m.id*7 + i.v*5 + j.v*3 + m.cst) % 256
+         + (m.id*7 + i.v*5 + j.v*3 + 11 + m.cst) % 256
+         + (m.id*7 + i.v*5 + j.v*3 + 22 + m.cst) % 256 AS luma
+  FROM imgs m
+  JOIN generate_series(0, 31) AS i(v) ON i.v < m.h
+  JOIN generate_series(0, 39) AS j(v) ON j.v < m.w
+),
+blocks AS (
+  SELECT media_ref, bi, bj, sum(luma) AS bs, count(*) AS bn
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT media_ref, sum(bs) AS total, sum(bn) AS npx FROM blocks GROUP BY 1),
+bits AS (
+  SELECT b.media_ref,
+         CASE WHEN b.bs * t.npx >= t.total * b.bn THEN 1 ELSE 0 END AS bit,
+         63 - (b.bi * 8 + b.bj) AS pos
+  FROM blocks b JOIN tot t USING (media_ref)
+),
+hv AS (
+  SELECT media_ref,
+         sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << CAST(pos AS INTEGER))) AS uh
+  FROM bits GROUP BY media_ref
+),
+hash AS (
+  SELECT media_ref,
+         CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                   THEN uh - (CAST(1 AS HUGEINT) << 64)
+                   ELSE uh END AS BIGINT) AS v
+  FROM hv
+),
+pairs AS (
+  SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+         bit_count(xor(a.v, b.v)) AS hamming
+  FROM hash a JOIN hash b ON a.media_ref < b.media_ref
+)
+SELECT ref_a, ref_b, CAST(hamming AS INTEGER) AS hamming
+FROM pairs WHERE hamming <= 4
+"""
+
+
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub stage: typed placeholder redaction + per-type counts.
     The raw generated corpus contains no PII, so the query plants
@@ -3123,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_features": media_wav_features,
         "media_jpeg_features": media_jpeg_features,
         "media_mjpeg_frames": media_mjpeg_frames,
+        "media_phash_near_dups": media_phash_near_dups,
         "northrule_violations": northrule_violations,
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
@@ -3200,6 +3272,7 @@ def oracle_sql() -> dict[str, str]:
         "media_wav_features": _MEDIA_WAV_ORACLE,
         "media_jpeg_features": _MEDIA_JPEG_ORACLE,
         "media_mjpeg_frames": _MEDIA_MJPEG_ORACLE,
+        "media_phash_near_dups": _MEDIA_PHASH_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,

@@ -153,6 +153,7 @@ def main():
         "media_wav_features",
         "media_jpeg_features",
         "media_mjpeg_frames",
+        "media_phash_near_dups",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -104,7 +104,9 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-def synth_png_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
+def synth_png_media_table(
+    spark, n: int = 100, seed: int = 42, ref_prefix: str = "media://png/"
+) -> DataFrame:
     """Media table whose payloads are REAL PNG bytes (8-bit RGB).
 
     Pixels are a deterministic closed-form gradient so downstream decoded
@@ -135,7 +137,7 @@ def synth_png_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 j = np.arange(w)[None, :, None]
                 c = np.arange(3)[None, None, :]
                 px = ((id_ * 7 + i * 5 + j * 3 + c * 11 + seed) % 256).astype(np.uint8)
-                rows.append((f"media://png/{id_}", "image", encode_png(px),
+                rows.append((f"{ref_prefix}{id_}", "image", encode_png(px),
                              {"codec": "png", "w": str(w), "h": str(h)}))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "media_kind", "payload", "meta"]

@@ -72,6 +72,15 @@ QUERIES = [
     # k-fold (one per doc), ideal work linear in k (token rows k-fold,
     # vocab join build side k-fold but Zipf-bounded per copy)
     "doc_novelty_profile",
+    # round 4 session 5: bloom novelty — cipher copies keep fingerprints
+    # disjoint, each copy's batch slice matches only its own copy's corpus
+    # text, so batch/corpus/bitmap-build rows, the maybe-set, and the novel
+    # result are all exactly k-fold (ideal work linear)
+    "doc_bloom_novelty",
+    # bm25 — the probe terms live in the UNMUTATED copy's token namespace
+    # only: tf/topk rows stay constant while the tokenize+filter scan (the
+    # dominant cost) grows k-fold; wall should track the scan, not the k
+    "doc_bm25_search",
 ]
 
 
