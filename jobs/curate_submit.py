@@ -9,7 +9,9 @@
         [--sample-seed 0] [--strata-col lang] [--with-counts] \
         [--benchmark /data/eval_docs --decontam-window 13] \
         [--max-top-bigram-frac 0.2 --max-dup-longgram-frac 0.15] \
-        [--mix '{"web": 0.6, "code": 0.4}' --mix-budget-factor 1.0]
+        [--mix '{"web": 0.6, "code": 0.4}' --mix-budget-factor 1.0] \
+        [--novelty-corpus /data/corpus_prev/corpus --novelty-fpp 0.01 \
+         --novelty-expected-keys 1000000000]
 
 Runs plans/pipeline.py's CorpusPipeline — validate, quality-filter,
 exact-dedup, near-dedup by MinHash connected components, stratified
@@ -106,6 +108,25 @@ def main() -> None:
         help='terminal train/val/test labeling, e.g. {"train":0.9,"val":0.05,"test":0.05}',
     )
     ap.add_argument("--split-seed", type=int, default=0)
+    ap.add_argument(
+        "--novelty-corpus",
+        default=None,
+        help="existing curated-corpus parquet dir; ingest pre-filter keeps "
+        "only batch docs whose normalized-text fingerprint is NOT already "
+        "there (exact bloom-accelerated novelty — the daily-ingest shape: "
+        "the already-curated bulk never enters the pipeline)",
+    )
+    ap.add_argument("--novelty-fpp", type=float, default=0.01)
+    ap.add_argument(
+        "--novelty-expected-keys",
+        type=int,
+        default=None,
+        help="corpus row count for bloom sizing (e.g. from the previous "
+        "cycle's report corpus_rows) — skips the metadata count",
+    )
+    ap.add_argument(
+        "--novelty-verify", choices=("broadcast", "shuffle"), default="broadcast"
+    )
     args = ap.parse_args()
 
     rep_thresholds = None
@@ -157,6 +178,24 @@ def main() -> None:
     )
     docs = spark.read.parquet(args.input)
     report: dict = {"config": {k: v for k, v in vars(args).items() if k != "schema"}}
+    if args.novelty_corpus:
+        from schemasaurus_spark.operators.bloom import novelty_prefilter
+
+        prev = spark.read.parquet(args.novelty_corpus)
+        if args.with_counts:
+            report["ingest_batch_rows"] = docs.count()
+        docs = novelty_prefilter(
+            docs,
+            prev,
+            fpp=args.novelty_fpp,
+            expected_keys=args.novelty_expected_keys,
+            verify=args.novelty_verify,
+        )
+        if args.with_counts:
+            # the pre-filter survivors feed every downstream count — pin
+            # once so the bloom build+probe doesn't recompute per stage
+            docs = docs.persist()
+            report["ingest_novel_rows"] = docs.count()
     if args.with_counts:
         corpus, counts = pipe.run_with_counts(docs)
         report["stage_counts"] = counts

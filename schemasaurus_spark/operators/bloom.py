@@ -58,6 +58,7 @@ __all__ = [
     "build_bloom_bitmap",
     "bloom_might_contain",
     "bloom_novel_docs",
+    "novelty_prefilter",
 ]
 
 
@@ -227,3 +228,36 @@ def bloom_novel_docs(
     else:
         survivors = maybe.join(corpus_fps, "fingerprint", "left_anti")
     return definite.unionByName(survivors)
+
+
+def novelty_prefilter(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+    expected_keys: int | None = None,
+    verify: str = "broadcast",
+) -> DataFrame:
+    """Ingest pre-filter: the rows of ``batch`` (ALL columns preserved)
+    whose normalized-text fingerprint is not already in ``corpus`` —
+    ``bloom_novel_docs`` composed for pipeline use.
+
+    Sizing: ``expected_keys`` skips the corpus count (pass the corpus's
+    known row count, e.g. from the previous cycle's report — the right
+    call at 10^12 rows); when omitted the corpus is counted once
+    (parquet metadata count — no data scan).  The filter is sized with
+    ``derive_bloom_params(keys, fpp)``.
+
+    The novel id set is joined back ``left_semi`` on ``id_col`` so the
+    batch keeps its full schema; the ids are thin (8-16 B/row) and AQE
+    broadcasts the side that fits, so at the designed operating point
+    (mostly-novel daily batch) this adds one small exchange at most.
+    """
+    keys = int(expected_keys) if expected_keys is not None else corpus.count()
+    n_bits, n_hashes = derive_bloom_params(keys, fpp)
+    novel = bloom_novel_docs(
+        batch, corpus, text_col, id_col, n_bits=n_bits, n_hashes=n_hashes,
+        verify=verify,
+    ).select(id_col)
+    return batch.join(novel, id_col, "left_semi")

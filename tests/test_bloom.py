@@ -10,6 +10,7 @@ from schemasaurus_spark.operators.bloom import (
     bloom_novel_docs,
     build_bloom_bitmap,
     derive_bloom_params,
+    novelty_prefilter,
 )
 from schemasaurus_spark.operators.dedup import normalize_text
 
@@ -122,3 +123,28 @@ def test_verify_broadcast_never_shuffles_corpus(spark, data):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert "fingerprint" in m.group(1)
+
+
+def test_novelty_prefilter_keeps_full_schema_and_novel_rows_only(spark, data):
+    batch, corpus = data
+    batch = batch.withColumn("lang", F.lit("en")).withColumn(
+        "quality", F.col("doc_id").cast("double") / 10
+    )
+    out = novelty_prefilter(batch, corpus, fpp=0.01)
+    assert out.columns == batch.columns  # pre-filter, not a projection
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    want = sorted(r.doc_id for r in _plain_anti(batch, corpus).collect())
+    assert got == want  # exactly the anti-join survivors
+    # extra columns survive untouched
+    row = out.where(F.col("doc_id") == got[0]).first()
+    assert row.lang == "en" and row.quality == got[0] / 10
+
+
+def test_novelty_prefilter_expected_keys_skips_count(spark, data):
+    batch, corpus = data
+    # expected_keys deliberately tiny -> undersized filter -> false
+    # positives forced through the verify path; result must stay exact
+    out = novelty_prefilter(batch, corpus, fpp=0.5, expected_keys=2)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    want = sorted(r.doc_id for r in _plain_anti(batch, corpus).collect())
+    assert got == want
