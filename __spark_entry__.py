@@ -3104,6 +3104,122 @@ FROM ev
 """
 
 
+# shared between the Spark query and the DuckDB oracle: a varied JSON
+# corpus built in-plan from events (string columns only, so the snippet is
+# valid in both dialects).  class 2 is deliberately unterminated
+# (malformed-JSON path), class 1 mis-types k as string, class 3 adds an
+# undeclared key, class 5 mixes number+integer in one array.
+_PROPS_JSON_CASE = """
+CASE event_id % 7
+  WHEN 0 THEN '{"k": ' || ks || ', "tags": ["' || event_type
+              || '", "x"], "meta": {"src": "' || event_type
+              || '", "lvl": ' || k3s || '}}'
+  WHEN 1 THEN '{"k": "' || ks || '"}'
+  WHEN 2 THEN '{"k": ' || ks
+  WHEN 3 THEN '{"k": ' || ks || ', "extra": true}'
+  WHEN 4 THEN '{"k": null}'
+  WHEN 5 THEN '{"k": ' || ks || ', "vals": [1.5, ' || k5s || ']}'
+  ELSE '{"k": ' || ks || '}'
+END AS j
+"""
+
+_PROPS_DECLARED_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "k": {"type": "integer"},
+        "tags": {"type": "array", "items": {"type": "string"}},
+        "meta": {
+            "type": "object",
+            "properties": {"src": {"type": "string"}, "lvl": {"type": "integer"}},
+        },
+        "vals": {"type": "array", "items": {"type": "number"}},
+    },
+}
+
+
+def event_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-schema profile (schema inference) of a semi-structured
+    column: per (JSON-pointer path, JSON type) occurrence counts via the
+    Arrow-batch walk kernel with in-kernel pre-aggregation — the exchange
+    carries per-batch counter rows, never per-JSON-node rows
+    (schema/profile.json_schema_profile).  Input is a varied JSON corpus
+    constructed in-plan from events (nested objects, arrays, a mis-typed
+    key, a malformed 1-in-7 sliver), identically in both engines; the
+    oracle re-derives every (path, type) count closed-form from the
+    construction arithmetic — the same discipline as the PNG pixel-formula
+    oracle."""
+    from schemasaurus_spark.schema.profile import json_schema_profile
+
+    ev = _table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "CAST(CAST(get_json_object(props, '$.k') AS INT) AS STRING) AS ks",
+        "CAST(CAST(get_json_object(props, '$.k') AS INT) % 3 AS STRING) AS k3s",
+        "CAST(CAST(get_json_object(props, '$.k') AS INT) % 5 AS STRING) AS k5s",
+    )
+    built = ev.selectExpr(_PROPS_JSON_CASE)
+    return json_schema_profile(built, "j")
+
+
+_PROPS_PROFILE_COUNTS_CTE = """
+WITH n AS (
+  SELECT CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN event_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_id % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN event_id % 7 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(sum(CASE WHEN event_id % 7 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+         CAST(sum(CASE WHEN event_id % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n6
+  FROM events
+)
+"""
+
+_PROPS_PROFILE_ORACLE = _PROPS_PROFILE_COUNTS_CTE + """
+SELECT path, jtype, n FROM (
+  SELECT '' AS path, 'object' AS jtype, n0+n1+n3+n4+n5+n6 AS n FROM n
+  UNION ALL SELECT '', 'malformed', n2 FROM n
+  UNION ALL SELECT '/k', 'integer', n0+n3+n5+n6 FROM n
+  UNION ALL SELECT '/k', 'string', n1 FROM n
+  UNION ALL SELECT '/k', 'null', n4 FROM n
+  UNION ALL SELECT '/tags', 'array', n0 FROM n
+  UNION ALL SELECT '/tags[]', 'string', 2*n0 FROM n
+  UNION ALL SELECT '/meta', 'object', n0 FROM n
+  UNION ALL SELECT '/meta/src', 'string', n0 FROM n
+  UNION ALL SELECT '/meta/lvl', 'integer', n0 FROM n
+  UNION ALL SELECT '/extra', 'boolean', n3 FROM n
+  UNION ALL SELECT '/vals', 'array', n5 FROM n
+  UNION ALL SELECT '/vals[]', 'number', n5 FROM n
+  UNION ALL SELECT '/vals[]', 'integer', n5 FROM n
+) t WHERE n > 0
+"""
+
+
+def event_props_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance diff of the observed profile against a DECLARED draft-4
+    schema whose (path, allowed-types) inventory is enumerated by the same
+    compiled schema iterator the validator uses (ghost walk — the
+    reference's iterateSchema driving declaration discovery,
+    /root/reference/src/compiler.js:294-311).  Returns only violating
+    (path, jtype, n, issue) rows: the mis-typed string k, the JSON-null k,
+    the undeclared /extra key, and the malformed sliver.  The
+    integer-in-a-number-array case (class 5) must NOT appear — draft-4
+    numeric subsumption."""
+    from schemasaurus_spark.schema.profile import schema_conformance
+
+    profile = event_props_schema_profile(spark, sf_dir)
+    return schema_conformance(profile, _PROPS_DECLARED_SCHEMA)
+
+
+_PROPS_CONFORMANCE_ORACLE = _PROPS_PROFILE_COUNTS_CTE + """
+SELECT path, jtype, n, issue FROM (
+  SELECT '' AS path, 'malformed' AS jtype, n2 AS n, 'malformed' AS issue FROM n
+  UNION ALL SELECT '/k', 'string', n1, 'type_mismatch' FROM n
+  UNION ALL SELECT '/k', 'null', n4, 'type_mismatch' FROM n
+  UNION ALL SELECT '/extra', 'boolean', n3, 'undeclared_path' FROM n
+) t WHERE n > 0
+"""
+
+
 def event_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events")
     return (
@@ -3204,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quartiles": event_value_quartiles,
         "event_props_validation": event_props_validation,
         "event_props_normalization": event_props_normalization,
+        "event_props_schema_profile": event_props_schema_profile,
+        "event_props_schema_conformance": event_props_schema_conformance,
         "event_type_chi2_drift": event_type_chi2_drift,
         "event_value_ks_drift": event_value_ks_drift,
         "event_value_psi_drift": event_value_psi_drift,
@@ -3249,6 +3367,8 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quartiles": _QUARTILES_ORACLE,
         "event_props_validation": _EVENT_PROPS_ORACLE,
         "event_props_normalization": _EVENT_PROPS_NORM_ORACLE,
+        "event_props_schema_profile": _PROPS_PROFILE_ORACLE,
+        "event_props_schema_conformance": _PROPS_CONFORMANCE_ORACLE,
         "embedding_ann_lsh": _ann_oracle_sql(),
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
         "embedding_dup_components": _embedding_components_oracle_sql(),

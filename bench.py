@@ -141,6 +141,8 @@ def main():
         "embedding_ivf_topk",
         "event_props_validation",
         "event_props_normalization",
+        "event_props_schema_profile",
+        "event_props_schema_conformance",
         "event_value_quartiles",
         "event_value_ks_drift",
         "event_value_psi_drift",
