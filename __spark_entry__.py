@@ -3104,6 +3104,103 @@ FROM ev
 """
 
 
+def doc_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion (operators/suggest.py): one
+    aggregate pass profiles every column, a second metadata-sized pass
+    gathers domains ONLY for columns already known low-cardinality, and
+    the suggestions (not_null / unique / completeness_ge / value_range /
+    categorical_domain / max_length_le) come out as data.  text is
+    NULLed 1-in-25 in-plan so the completeness branch and the
+    unique-suppression-under-nulls branch are non-vacuous; the oracle
+    reproduces the full conditional lexicon, not constants — every
+    WHERE clause re-decides each suggestion from the same statistics."""
+    from schemasaurus_spark.operators.suggest import suggest_constraints
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 25 = 0 THEN NULL ELSE text END AS text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return suggest_constraints(docs, categorical_max_distinct=20)
+
+
+_SUGGEST_ORACLE = """
+WITH base AS (
+  SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN NULL ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+), s AS (
+  SELECT count(*) AS n,
+    count(doc_id) AS nn_id, count(DISTINCT doc_id) AS d_id,
+    min(doc_id) AS min_id, max(doc_id) AS max_id,
+    count(text) AS nn_tx, count(DISTINCT text) AS d_tx,
+    max(length(text)) AS ml_tx,
+    count(lang) AS nn_lg, count(DISTINCT lang) AS d_lg,
+    max(length(lang)) AS ml_lg,
+    count(source) AS nn_sr, count(DISTINCT source) AS d_sr,
+    max(length(source)) AS ml_sr,
+    count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
+    min(n_chars) AS min_nc, max(n_chars) AS max_nc
+  FROM base
+)
+SELECT col_name, suggestion, arg FROM (
+  SELECT 'doc_id' AS col_name, 'not_null' AS suggestion,
+         CAST(NULL AS VARCHAR) AS arg
+  FROM s WHERE n > 0 AND nn_id = n
+  UNION ALL SELECT 'doc_id', 'unique', NULL FROM s
+  WHERE n > 0 AND nn_id = n AND d_id = n
+  UNION ALL SELECT 'doc_id', 'completeness_ge', CAST((100*nn_id)//n AS VARCHAR)
+  FROM s WHERE nn_id > 0 AND nn_id < n
+  UNION ALL SELECT 'doc_id', 'value_range',
+         CAST(min_id AS VARCHAR) || '..' || CAST(max_id AS VARCHAR)
+  FROM s WHERE nn_id > 0
+  UNION ALL SELECT 'text', 'not_null', NULL FROM s WHERE n > 0 AND nn_tx = n
+  UNION ALL SELECT 'text', 'unique', NULL FROM s
+  WHERE n > 0 AND nn_tx = n AND d_tx = n
+  UNION ALL SELECT 'text', 'completeness_ge', CAST((100*nn_tx)//n AS VARCHAR)
+  FROM s WHERE nn_tx > 0 AND nn_tx < n
+  UNION ALL SELECT 'text', 'max_length_le', CAST(ml_tx AS VARCHAR)
+  FROM s WHERE nn_tx > 0
+  UNION ALL SELECT 'text', 'categorical_domain',
+         (SELECT string_agg(v, ',' ORDER BY v)
+          FROM (SELECT DISTINCT text AS v FROM base WHERE text IS NOT NULL))
+  FROM s WHERE nn_tx > 0 AND d_tx BETWEEN 1 AND 20
+  UNION ALL SELECT 'lang', 'not_null', NULL FROM s WHERE n > 0 AND nn_lg = n
+  UNION ALL SELECT 'lang', 'unique', NULL FROM s
+  WHERE n > 0 AND nn_lg = n AND d_lg = n
+  UNION ALL SELECT 'lang', 'completeness_ge', CAST((100*nn_lg)//n AS VARCHAR)
+  FROM s WHERE nn_lg > 0 AND nn_lg < n
+  UNION ALL SELECT 'lang', 'max_length_le', CAST(ml_lg AS VARCHAR)
+  FROM s WHERE nn_lg > 0
+  UNION ALL SELECT 'lang', 'categorical_domain',
+         (SELECT string_agg(v, ',' ORDER BY v)
+          FROM (SELECT DISTINCT lang AS v FROM base WHERE lang IS NOT NULL))
+  FROM s WHERE nn_lg > 0 AND d_lg BETWEEN 1 AND 20
+  UNION ALL SELECT 'source', 'not_null', NULL FROM s WHERE n > 0 AND nn_sr = n
+  UNION ALL SELECT 'source', 'unique', NULL FROM s
+  WHERE n > 0 AND nn_sr = n AND d_sr = n
+  UNION ALL SELECT 'source', 'completeness_ge', CAST((100*nn_sr)//n AS VARCHAR)
+  FROM s WHERE nn_sr > 0 AND nn_sr < n
+  UNION ALL SELECT 'source', 'max_length_le', CAST(ml_sr AS VARCHAR)
+  FROM s WHERE nn_sr > 0
+  UNION ALL SELECT 'source', 'categorical_domain',
+         (SELECT string_agg(v, ',' ORDER BY v)
+          FROM (SELECT DISTINCT source AS v FROM base WHERE source IS NOT NULL))
+  FROM s WHERE nn_sr > 0 AND d_sr BETWEEN 1 AND 20
+  UNION ALL SELECT 'n_chars', 'not_null', NULL FROM s WHERE n > 0 AND nn_nc = n
+  UNION ALL SELECT 'n_chars', 'unique', NULL FROM s
+  WHERE n > 0 AND nn_nc = n AND d_nc = n
+  UNION ALL SELECT 'n_chars', 'completeness_ge', CAST((100*nn_nc)//n AS VARCHAR)
+  FROM s WHERE nn_nc > 0 AND nn_nc < n
+  UNION ALL SELECT 'n_chars', 'value_range',
+         CAST(min_nc AS VARCHAR) || '..' || CAST(max_nc AS VARCHAR)
+  FROM s WHERE nn_nc > 0
+) t
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3325,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_chi2_drift": event_type_chi2_drift,
         "event_value_ks_drift": event_value_ks_drift,
         "event_value_psi_drift": event_value_psi_drift,
+        "doc_constraint_suggestions": doc_constraint_suggestions,
     }
 
 
@@ -3402,4 +3500,5 @@ def oracle_sql() -> dict[str, str]:
         "event_type_chi2_drift": _CHI2_ORACLE,
         "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,
+        "doc_constraint_suggestions": _SUGGEST_ORACLE,
     }
