@@ -3201,6 +3201,50 @@ SELECT col_name, suggestion, arg FROM (
 """
 
 
+def doc_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editdist.py): all title
+    pairs within Levenshtein distance 2, EXACT — Ed-Join/AllPairs prefix
+    filtering over (gram, occurrence#) with a broadcast short panel, so
+    the oracle can stay the brute-force inequality join.  Titles are the
+    first 24 chars of whitespace-collapsed text; docs with doc_id % 7 == 0
+    get a planted single-substitution variant (id + 1000000) so true
+    typo pairs exist at every scale."""
+    from schemasaurus_spark.operators.editdist import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = docs.selectExpr(
+        "doc_id AS id",
+        "substring(regexp_replace(text, '\\\\s+', ' '), 1, 24) AS s",
+    )
+    variants = docs.where(F.col("doc_id") % 7 == 0).selectExpr(
+        "doc_id + 1000000 AS id",
+        "concat(substring(substring(regexp_replace(text, '\\\\s+', ' '), 1, 24), 1, 6),"
+        " 'q',"
+        " substring(substring(regexp_replace(text, '\\\\s+', ' '), 1, 24), 8)) AS s",
+    )
+    titles = base.unionByName(variants)
+    return edit_distance_pairs(titles, text_col="s", id_col="id", max_dist=2, q=2)
+
+
+_EDITDIST_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24) AS s
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat(substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 1, 6),
+                'q',
+                substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 8))
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+FROM t a JOIN t b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3423,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_ks_drift": event_value_ks_drift,
         "event_value_psi_drift": event_value_psi_drift,
         "doc_constraint_suggestions": doc_constraint_suggestions,
+        "doc_editdist_dups": doc_editdist_dups,
     }
 
 
@@ -3501,4 +3546,5 @@ def oracle_sql() -> dict[str, str]:
         "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,
         "doc_constraint_suggestions": _SUGGEST_ORACLE,
+        "doc_editdist_dups": _EDITDIST_ORACLE,
     }
