@@ -3245,6 +3245,96 @@ WHERE levenshtein(a.s, b.s) <= 2
 """
 
 
+def event_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-schema DRIFT between two corpus versions
+    (schema/profile.schema_profile_drift): the shape counterpart of the
+    value-distribution drift family — added/removed paths, added/vanished
+    types per surviving path (the silent producer-migration signal), and
+    per-document share shifts.  Baseline = even event_ids, current = odd,
+    with the current-side JSON construction deliberately migrated (/u
+    integer->string for one class, /tags dropped, /new_key introduced,
+    /v number->integer), so every status branch is non-vacuous.  The
+    oracle builds both profiles closed-form from the construction
+    arithmetic and replays the drift join/window/status logic in SQL."""
+    from schemasaurus_spark.schema.profile import (
+        json_schema_profile,
+        schema_profile_drift,
+    )
+
+    ev = _table(spark, sf_dir, "events").select("event_id")
+    base = ev.where("event_id % 2 = 0").selectExpr(
+        """CASE WHEN event_id % 6 = 0
+             THEN concat('{"u": ', CAST(event_id AS STRING),
+                         ', "v": 1.5, "tags": ["x", "y"]}')
+             ELSE concat('{"u": ', CAST(event_id AS STRING), ', "old": "s"}')
+           END AS j"""
+    )
+    cur = ev.where("event_id % 2 = 1").selectExpr(
+        """CASE WHEN event_id % 6 = 1
+             THEN concat('{"u": "', CAST(event_id AS STRING), '", "v": 2}')
+           WHEN event_id % 6 = 3
+             THEN concat('{"u": ', CAST(event_id AS STRING), ', "new_key": true}')
+             ELSE concat('{"u": ', CAST(event_id AS STRING), ', "old": "s"}')
+           END AS j"""
+    )
+    return schema_profile_drift(
+        json_schema_profile(base, "j"), json_schema_profile(cur, "j")
+    )
+
+
+_SCHEMA_DRIFT_ORACLE = """
+WITH n AS (
+  SELECT CAST(sum(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN event_id % 6 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_id % 6 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN event_id % 6 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN event_id % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(sum(CASE WHEN event_id % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+  FROM events
+),
+pb AS (
+  SELECT '' AS path, 'object' AS jtype, n0+n2+n4 AS n FROM n
+  UNION ALL SELECT '/u', 'integer', n0+n2+n4 FROM n
+  UNION ALL SELECT '/v', 'number', n0 FROM n
+  UNION ALL SELECT '/tags', 'array', n0 FROM n
+  UNION ALL SELECT '/tags[]', 'string', 2*n0 FROM n
+  UNION ALL SELECT '/old', 'string', n2+n4 FROM n
+),
+pc AS (
+  SELECT '' AS path, 'object' AS jtype, n1+n3+n5 AS n FROM n
+  UNION ALL SELECT '/u', 'string', n1 FROM n
+  UNION ALL SELECT '/u', 'integer', n3+n5 FROM n
+  UNION ALL SELECT '/v', 'integer', n1 FROM n
+  UNION ALL SELECT '/new_key', 'boolean', n3 FROM n
+  UNION ALL SELECT '/old', 'string', n5 FROM n
+),
+j AS (
+  SELECT coalesce(pb.path, pc.path) AS path,
+         coalesce(pb.jtype, pc.jtype) AS jtype,
+         coalesce(pb.n, 0) AS n_base, coalesce(pc.n, 0) AS n_cur
+  FROM pb FULL OUTER JOIN pc ON pb.path = pc.path AND pb.jtype = pc.jtype
+),
+w AS (
+  SELECT j.*,
+         sum(n_base) OVER (PARTITION BY path) AS pb_tot,
+         sum(n_cur) OVER (PARTITION BY path) AS pc_tot,
+         (SELECT n FROM pb WHERE path = '') AS rb,
+         (SELECT n FROM pc WHERE path = '') AS rc
+  FROM j
+)
+SELECT path, jtype, n_base, n_cur,
+  n_base / rb AS share_base,
+  n_cur / rc AS share_cur,
+  (n_cur / rc) - (n_base / rb) AS share_delta,
+  CASE WHEN pb_tot = 0 THEN 'added_path'
+       WHEN pc_tot = 0 THEN 'removed_path'
+       WHEN n_base = 0 THEN 'added_type'
+       WHEN n_cur = 0 THEN 'removed_type'
+       ELSE 'common' END AS status
+FROM w
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3468,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_psi_drift": event_value_psi_drift,
         "doc_constraint_suggestions": doc_constraint_suggestions,
         "doc_editdist_dups": doc_editdist_dups,
+        "event_props_schema_drift": event_props_schema_drift,
     }
 
 
@@ -3547,4 +3638,5 @@ def oracle_sql() -> dict[str, str]:
         "event_value_ks_drift": _KS_ORACLE,
         "doc_constraint_suggestions": _SUGGEST_ORACLE,
         "doc_editdist_dups": _EDITDIST_ORACLE,
+        "event_props_schema_drift": _SCHEMA_DRIFT_ORACLE,
     }

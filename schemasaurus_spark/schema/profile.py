@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from .walker import new_iterator
 
 __all__ = [
+    "schema_profile_drift",
     "json_schema_profile",
     "declared_paths",
     "schema_conformance",
@@ -212,4 +213,72 @@ def schema_conformance(
         joined.withColumn("issue", issue)
         .where(F.col("issue").isNotNull())
         .select("path", "jtype", "n", "issue")
+    )
+
+
+def schema_profile_drift(base: DataFrame, current: DataFrame) -> DataFrame:
+    """Structural drift between two observed-schema profiles (both
+    ``json_schema_profile`` outputs, or mergeable sums of them): the
+    schema-shape counterpart of the value-distribution drift family
+    (operators/drift.py) — "did the data's SHAPE change between corpus
+    versions?", answered before any value statistic moves.
+
+    Output: one row per (path, jtype) seen on either side —
+    ``(path, jtype, n_base, n_cur, share_base, share_cur, share_delta,
+    status)``.  Shares are occurrences per profiled document (count
+    divided by the side's root-path total, the number of parsed docs),
+    so the numbers stay comparable when the two corpora differ in size;
+    an empty side yields NULL shares (no documents, no denominator).
+    ``status``: ``added_path`` / ``removed_path`` (the path itself
+    appeared/disappeared), ``added_type`` / ``removed_type`` (the path
+    survives but exhibits a new/vanished JSON type — the classic silent
+    producer-migration signal: "/id" drifting integer -> string), else
+    ``common``.
+
+    Scale shape: both inputs are metadata-sized by the profiler's
+    construction (bounded path space), so everything here — the
+    full-outer diff join, the per-path presence window, the broadcast
+    root-count join — runs over profile rows, never corpus rows.  The
+    corpus itself was scanned once per side, by the profiler."""
+    from pyspark.sql import Window
+
+    b = base.groupBy("path", "jtype").agg(F.sum("n").alias("n_base"))
+    c = current.groupBy("path", "jtype").agg(F.sum("n").alias("n_cur"))
+    j = b.join(c, ["path", "jtype"], "full_outer").select(
+        "path",
+        "jtype",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy("path")
+    j = j.withColumn("_pb", F.sum("n_base").over(w)).withColumn(
+        "_pc", F.sum("n_cur").over(w)
+    )
+    roots = j.agg(
+        F.sum(F.when(F.col("path") == "", F.col("n_base"))).alias("_rb"),
+        F.sum(F.when(F.col("path") == "", F.col("n_cur"))).alias("_rc"),
+    )
+    status = (
+        F.when(F.col("_pb") == 0, F.lit("added_path"))
+        .when(F.col("_pc") == 0, F.lit("removed_path"))
+        .when(F.col("n_base") == 0, F.lit("added_type"))
+        .when(F.col("n_cur") == 0, F.lit("removed_type"))
+        .otherwise(F.lit("common"))
+    )
+    share_b = F.when(F.col("_rb") > 0, F.col("n_base") / F.col("_rb"))
+    share_c = F.when(F.col("_rc") > 0, F.col("n_cur") / F.col("_rc"))
+    return (
+        j.crossJoin(F.broadcast(roots))
+        .withColumn("share_base", share_b)
+        .withColumn("share_cur", share_c)
+        .select(
+            "path",
+            "jtype",
+            "n_base",
+            "n_cur",
+            "share_base",
+            "share_cur",
+            (F.col("share_cur") - F.col("share_base")).alias("share_delta"),
+            status.alias("status"),
+        )
     )

@@ -117,3 +117,58 @@ def test_kernel_preaggregates_before_shuffle(spark):
     assert "MapInPandas" in plan
     # partial aggregation sits below the exchange (map-side combine)
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+# ---------------------------------------------------------------- drift
+
+
+def _profile_of(spark, docs):
+    from schemasaurus_spark.schema.profile import json_schema_profile
+
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    return json_schema_profile(df, "j")
+
+
+def test_schema_profile_drift_all_statuses(spark):
+    from schemasaurus_spark.schema.profile import schema_profile_drift
+
+    base = _profile_of(
+        spark,
+        ['{"u": 1, "v": 1.5, "tags": ["x"]}', '{"u": 2, "old": "s"}'],
+    )
+    cur = _profile_of(
+        spark,
+        ['{"u": "1", "v": 2}', '{"u": 3, "nk": true}', '{"u": 4, "old": "s"}',
+         '{"u": 5, "old": "s"}'],
+    )
+    rows = {
+        (r.path, r.jtype): r for r in schema_profile_drift(base, cur).collect()
+    }
+    assert rows[("/nk", "boolean")].status == "added_path"
+    assert rows[("/tags", "array")].status == "removed_path"
+    assert rows[("/tags[]", "string")].status == "removed_path"
+    assert rows[("/u", "string")].status == "added_type"
+    assert rows[("/v", "number")].status == "removed_type"
+    assert rows[("/v", "integer")].status == "added_type"
+    assert rows[("/u", "integer")].status == "common"
+    assert rows[("/old", "string")].status == "common"
+    # share arithmetic: /old 1/2 -> 2/4 = no shift; root = 1 -> 1
+    r = rows[("/old", "string")]
+    assert (r.n_base, r.n_cur) == (1, 2)
+    assert r.share_base == 0.5 and r.share_cur == 0.5 and r.share_delta == 0.0
+    root = rows[("", "object")]
+    assert root.status == "common" and root.share_delta == 0.0
+    # /u integer share drops 2/2 -> 3/4
+    u = rows[("/u", "integer")]
+    assert u.share_base == 1.0 and u.share_cur == 0.75
+
+
+def test_schema_profile_drift_empty_side(spark):
+    from schemasaurus_spark.schema.profile import schema_profile_drift
+
+    base = _profile_of(spark, ['{"a": 1}'])
+    empty = _profile_of(spark, [])
+    rows = {(r.path, r.jtype): r for r in schema_profile_drift(base, empty).collect()}
+    assert rows[("/a", "integer")].status == "removed_path"
+    assert rows[("/a", "integer")].share_cur is None
+    assert rows[("/a", "integer")].share_delta is None
