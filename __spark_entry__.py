@@ -3335,6 +3335,47 @@ FROM w
 """
 
 
+_FD_COLS = ["doc_id", "lang", "source", "lang_code"]
+
+
+def doc_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (operators/fd.py): every ordered
+    column pair's (n_groups, n_violating, holds) in one pass per lhs
+    column.  lang_code = upper(lang) plants a bijective FD pair
+    (lang <-> lang_code both hold), doc_id is a key (determines all),
+    lang -> source fails — holding, failing, and derived-column branches
+    all non-vacuous.  Oracle re-decides each pair from the same NULL-
+    tolerant arithmetic (count(DISTINCT rhs) per lhs group)."""
+    from schemasaurus_spark.operators.fd import fd_profile
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source", "upper(lang) AS lang_code"
+    )
+    return fd_profile(docs, _FD_COLS)
+
+
+def _fd_oracle_sql() -> str:
+    blocks = []
+    for lhs in _FD_COLS:
+        for rhs in _FD_COLS:
+            if rhs == lhs:
+                continue
+            blocks.append(
+                f"SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,"
+                f" count(*) AS n_groups,"
+                f" CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)"
+                f"   AS BIGINT) AS n_violating,"
+                f" coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds"
+                f" FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS c"
+                f"       FROM base GROUP BY {lhs})"
+            )
+        union = "\nUNION ALL ".join(blocks)
+    return (
+        "WITH base AS (SELECT doc_id, lang, source, upper(lang) AS lang_code"
+        " FROM documents)\n" + union
+    )
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3559,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_constraint_suggestions": doc_constraint_suggestions,
         "doc_editdist_dups": doc_editdist_dups,
         "event_props_schema_drift": event_props_schema_drift,
+        "doc_fd_profile": doc_fd_profile,
     }
 
 
@@ -3639,4 +3681,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_constraint_suggestions": _SUGGEST_ORACLE,
         "doc_editdist_dups": _EDITDIST_ORACLE,
         "event_props_schema_drift": _SCHEMA_DRIFT_ORACLE,
+        "doc_fd_profile": _fd_oracle_sql(),
     }
