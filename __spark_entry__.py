@@ -3376,6 +3376,51 @@ def _fd_oracle_sql() -> str:
     )
 
 
+def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout (operators/zorder.py): Morton-interleaved
+    (doc_id, n_chars) at 8 bits/dim into 16 fixed-width buckets, reporting
+    per-bucket row counts and per-dimension min/max — the data-skipping
+    ranges a z-ordered file layout exposes to a scan planner.  Scaling is
+    exact integer arithmetic off one broadcast min/max aggregate; the
+    oracle rebuilds every Morton key bit-for-bit in SQL (shift/mask
+    interleave generated from the same Python loop)."""
+    from schemasaurus_spark.operators.zorder import zorder_layout
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return zorder_layout(docs, ["doc_id", "n_chars"], bits=8, n_buckets=16)
+
+
+def _zorder_oracle_sql(bits: int = 8, n_buckets: int = 16) -> str:
+    maxv = (1 << bits) - 1
+    total = 1 << (bits * 2)
+    width = -(-total // n_buckets)
+    terms = []
+    for j, s in enumerate(["s0", "s1"]):
+        for b in range(bits):
+            terms.append(f"((({s} >> {b}) & 1) << {b * 2 + j})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH s AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS mn0, CAST(max(doc_id) AS BIGINT) AS mx0,
+         CAST(min(n_chars) AS BIGINT) AS mn1, CAST(max(n_chars) AS BIGINT) AS mx1
+  FROM documents
+),
+sc AS (
+  SELECT d.doc_id, d.n_chars,
+    CASE WHEN mx0 > mn0 THEN ((d.doc_id - mn0) * {maxv}) // (mx0 - mn0)
+         ELSE 0 END AS s0,
+    CASE WHEN mx1 > mn1 THEN ((d.n_chars - mn1) * {maxv}) // (mx1 - mn1)
+         ELSE 0 END AS s1
+  FROM documents d, s
+),
+zz AS (SELECT doc_id, n_chars, ({interleave}) AS zv FROM sc)
+SELECT zv // {width} AS bucket, count(*) AS n_rows,
+       min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
+       min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
+FROM zz GROUP BY 1
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3601,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_editdist_dups": doc_editdist_dups,
         "event_props_schema_drift": event_props_schema_drift,
         "doc_fd_profile": doc_fd_profile,
+        "doc_zorder_layout": doc_zorder_layout,
     }
 
 
@@ -3682,4 +3728,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_editdist_dups": _EDITDIST_ORACLE,
         "event_props_schema_drift": _SCHEMA_DRIFT_ORACLE,
         "doc_fd_profile": _fd_oracle_sql(),
+        "doc_zorder_layout": _zorder_oracle_sql(),
     }
