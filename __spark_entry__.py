@@ -3421,6 +3421,35 @@ FROM zz GROUP BY 1
 """
 
 
+def doc_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/heavy.py) over the shared
+    tokenization at k=32: per-partition state bounded at k-1 counters
+    regardless of domain size, candidate union provably a superset of the
+    true hitters (pigeonhole), broadcast-semi-join exact verify.  The
+    oracle is the plain GROUP BY ... HAVING cnt*k > n the sketch path
+    must equal exactly."""
+    from schemasaurus_spark.operators.heavy import heavy_hitters
+    from schemasaurus_spark.operators.tokenize import tokenized
+
+    toks = tokenized(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.explode("_toks").alias("tok")
+    )
+    return heavy_hitters(toks, "tok", 32)
+
+
+_HEAVY_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok AS item, count(*) AS cnt
+FROM toks, tot
+GROUP BY tok, n
+HAVING count(*) * 32 > n
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3647,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_schema_drift": event_props_schema_drift,
         "doc_fd_profile": doc_fd_profile,
         "doc_zorder_layout": doc_zorder_layout,
+        "doc_heavy_tokens": doc_heavy_tokens,
     }
 
 
@@ -3729,4 +3759,5 @@ def oracle_sql() -> dict[str, str]:
         "event_props_schema_drift": _SCHEMA_DRIFT_ORACLE,
         "doc_fd_profile": _fd_oracle_sql(),
         "doc_zorder_layout": _zorder_oracle_sql(),
+        "doc_heavy_tokens": _HEAVY_ORACLE,
     }
