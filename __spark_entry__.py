@@ -3450,6 +3450,27 @@ HAVING count(*) * 32 > n
 """
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (sampling.weighted_sample):
+    sequential-Poisson priorities u/w over md5 fractions — inclusion
+    probability ~ n_chars, identical row set across runs/partitionings/
+    engines; TakeOrderedAndProject, never a corpus sort.  Oracle replays
+    the exact two-division priority and the same ORDER BY ... LIMIT."""
+    from schemasaurus_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), 100, "n_chars")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *,
+    ((CAST(('0x' || substr(md5(doc_id || ':wsample:0'), 1, 15)) AS BIGINT) + 1)
+     / 1152921504606846976.0) / n_chars AS pr
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY pr, doc_id LIMIT 100
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3677,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fd_profile": doc_fd_profile,
         "doc_zorder_layout": doc_zorder_layout,
         "doc_heavy_tokens": doc_heavy_tokens,
+        "doc_weighted_sample": doc_weighted_sample,
     }
 
 
@@ -3760,4 +3782,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fd_profile": _fd_oracle_sql(),
         "doc_zorder_layout": _zorder_oracle_sql(),
         "doc_heavy_tokens": _HEAVY_ORACLE,
+        "doc_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     }

@@ -223,3 +223,61 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_keep_threshold(fraction))
         ).otherwise(thr)
     return df.where(sample_bucket(key_col, seed) < thr)
+
+
+def weighted_priority(key_col: str, weight_col: str, seed: int = 0) -> Column:
+    """Sequential-Poisson priority ``u / w``: u is a 60-bit md5 fraction
+    of ``key:wsample:seed`` mapped into (0, 1] (the +1 keeps a zero hash
+    from producing priority 0 for every weight).  Pure double arithmetic
+    over exact integer inputs — any engine reproduces it bit-for-bit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col), F.lit("wsample"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    return u / F.col(weight_col).cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows without replacement,
+    inclusion probability approximately proportional to ``weight_col`` —
+    Ohlsson's sequential Poisson sampling (the published πps estimator
+    behind "priority sampling"): keep the n SMALLEST priorities
+    ``u / w``.  High weight ⇒ small priority ⇒ kept.
+
+    Why this formulation and not exact A-ES (``-ln(u)/w``): the log makes
+    the key depend on libm rounding, which engines disagree on at the
+    ulp level — sequential Poisson's key is two IEEE divisions over
+    exact integers, so runs, parallelism levels, and engines (the DuckDB
+    oracle) produce the IDENTICAL row set, which is what corpus curation
+    needs from a sample.  The distributional price is documented by
+    Ohlsson: inclusion probabilities are o(1)-close to exact πps.
+
+    Scale shape: priority is a scan-stage projection (zero shuffles);
+    the top-n is ``orderBy(...).limit(n)`` — Catalyst plans
+    TakeOrderedAndProject (per-partition heads + driver merge), never a
+    corpus sort.  Rows with NULL or non-positive weight are EXCLUDED
+    (zero weight means inclusion probability zero by definition).
+    Hash domain ``key:wsample:seed`` per the module's composition
+    discipline.  Ties (two identical priorities) break on ``key_col``."""
+    if n < 0:
+        raise ValueError(f"weighted_sample: n must be >= 0, got {n}")
+    pr = weighted_priority(key_col, weight_col, seed)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_pr", pr)
+        .orderBy("_pr", key_col)
+        .limit(n)
+        .drop("_pr")
+    )

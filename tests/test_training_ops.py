@@ -508,3 +508,48 @@ def test_passage_removal_brute_force_parity_random(spark):
             ).collect()
         }
         assert got == _brute_removed(texts, window, min_count)
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def _priority_py(key, w, seed=0):
+    import hashlib
+
+    h = int(hashlib.md5(f"{key}:wsample:{seed}".encode()).hexdigest()[:15], 16)
+    return ((h + 1) / float(1 << 60)) / w
+
+
+def test_weighted_sample_exact_python_parity_and_partition_invariance(spark):
+    from schemasaurus_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(300)]
+    want = {
+        k for k, _ in sorted(
+            ((k, _priority_py(k, w)) for k, w in rows), key=lambda t: (t[1], t[0])
+        )[:40]
+    }
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    for parts in (1, 32):
+        got = {
+            r.doc_id
+            for r in weighted_sample(df.repartition(parts), 40, "w").collect()
+        }
+        assert got == want, parts
+
+
+def test_weighted_sample_bias_and_exclusions(spark):
+    from schemasaurus_spark.operators.sampling import weighted_sample
+
+    # 200 heavy (w=50) + 200 light (w=1): a 100-row sample should be
+    # dominated by heavy rows (deterministic outcome, not a flaky bound)
+    rows = [(i, 50) for i in range(200)] + [(1000 + i, 1) for i in range(200)]
+    rows += [(5000, 0), (5001, -3), (5002, None)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    got = weighted_sample(df, 100, "w").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.doc_id < 1000)
+    assert heavy > 85, heavy
+    assert all(r.doc_id < 5000 for r in got)
+    # n exceeding eligible rows returns all eligible
+    assert weighted_sample(df, 10_000, "w").count() == 400
