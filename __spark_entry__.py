@@ -3471,6 +3471,82 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 """
 
 
+def doc_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-invariant corpus checksum (diff.dataset_checksum):
+    one (n_rows, checksum) row from exact decimal sums of 60-bit row
+    fingerprints mod 2^60 — the O(1)-output release-equality primitive.
+    The oracle rebuilds every fingerprint (fixed-width md5 segments) and
+    the modular sum in SQL."""
+    from schemasaurus_spark.operators.diff import dataset_checksum
+
+    return dataset_checksum(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+_CHECKSUM_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(
+    sum(CAST(('0x' || substr(fp, 1, 15)) AS BIGINT)) % 1152921504606846976,
+    0) AS BIGINT) AS checksum
+FROM (
+  SELECT md5(concat(
+    CASE WHEN doc_id IS NULL THEN '-' ELSE md5(CAST(doc_id AS VARCHAR)) END,
+    CASE WHEN text IS NULL THEN '-' ELSE md5(text) END,
+    CASE WHEN lang IS NULL THEN '-' ELSE md5(lang) END,
+    CASE WHEN source IS NULL THEN '-' ELSE md5(source) END,
+    CASE WHEN n_chars IS NULL THEN '-' ELSE md5(CAST(n_chars AS VARCHAR)) END
+  )) AS fp FROM documents
+)
+"""
+
+
+_CORR_COLS = ["doc_id", "n_chars", "text_len", "konst"]
+
+
+def doc_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Pearson profile (stats.correlation_profile): all
+    sufficient statistics as exact decimal sums in ONE scan, r as one
+    final IEEE formula — bit-identical across engines, unlike streaming
+    F.corr.  text_len plants a near-1 pair (n_chars ~ length(text)),
+    konst=7 exercises the zero-variance NULL-r branch."""
+    from schemasaurus_spark.operators.stats import correlation_profile
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "n_chars",
+        "CAST(length(text) AS BIGINT) AS text_len",
+        "CAST(7 AS BIGINT) AS konst",
+    )
+    return correlation_profile(docs, _CORR_COLS)
+
+
+def _corr_oracle_sql() -> str:
+    blocks = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            blocks.append(f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n,
+  CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) > 0
+        AND sqrt(CAST(n*syy - sy*sy AS DOUBLE)) > 0
+       THEN CAST(n*sxy - sx*sy AS DOUBLE)
+            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS r
+FROM (
+  SELECT coalesce(count(*), 0) AS n,
+         coalesce(sum({x}), 0) AS sx, coalesce(sum({y}), 0) AS sy,
+         coalesce(sum({x}*{y}), 0) AS sxy,
+         coalesce(sum({x}*{x}), 0) AS sxx, coalesce(sum({y}*{y}), 0) AS syy
+  FROM base WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+)""")
+    return (
+        "WITH base AS (SELECT doc_id, n_chars,"
+        " CAST(length(text) AS BIGINT) AS text_len,"
+        " CAST(7 AS BIGINT) AS konst FROM documents)\n"
+        + "\nUNION ALL".join(blocks)
+    )
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3699,6 +3775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zorder_layout": doc_zorder_layout,
         "doc_heavy_tokens": doc_heavy_tokens,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_dataset_checksum": doc_dataset_checksum,
+        "doc_corr_profile": doc_corr_profile,
     }
 
 
@@ -3783,4 +3861,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_zorder_layout": _zorder_oracle_sql(),
         "doc_heavy_tokens": _HEAVY_ORACLE,
         "doc_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "doc_dataset_checksum": _CHECKSUM_ORACLE,
+        "doc_corr_profile": _corr_oracle_sql(),
     }

@@ -60,3 +60,49 @@ def corpus_diff(
         .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
         .alias("change"),
     ).where(F.col("change").isNotNull())
+
+
+def _portable_fingerprint(cols: list[str]) -> Column:
+    """Cross-engine-replayable row fingerprint: fixed-width per-column
+    segments (md5 of the value's string form, or '-' for NULL) re-hashed
+    once.  Fixed-width fields make the serialization injective without
+    sentinels; md5(CAST(c AS STRING)) is reproducible in any SQL engine
+    for string/integer/boolean columns (float string forms are NOT
+    engine-portable — callers pre-round or pre-cast those)."""
+    segs = [
+        F.when(F.col(c).isNull(), F.lit("-")).otherwise(
+            F.md5(F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat(*segs))
+
+
+def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order- and partitioning-invariant content checksum of a table as
+    ONE row ``(n_rows, checksum)`` — the release-audit primitive when the
+    question is only "are these two corpus versions byte-identical as
+    multisets?" and a delta-sized ``corpus_diff`` is more answer than
+    needed (no key required, O(1) output, one scan).
+
+    Construction: per-row 60-bit value from the portable fingerprint,
+    summed exactly in decimal(38,0) (10^12 rows x 2^60 ~ 2^100 < 10^38)
+    and reduced mod 2^60 — addition commutes, so the result is invariant
+    to row order, partitioning, and engine.  Equal multisets ⇒ equal
+    checksum; a differing pair collides with probability ~2^-60 (not
+    adversarially secure — an audit tool, not a MAC).  Empty input
+    checksums to 0.  Scale shape: one map-side-combinable aggregate over
+    a scan-stage projection; no shuffle beyond the 1-row combine."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("dataset_checksum: need at least one column")
+    h = F.conv(F.substring(_portable_fingerprint(cols), 1, 15), 16, 10).cast(
+        "long"
+    )
+    total = F.sum(h.cast("decimal(38,0)"))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            (total % F.lit(1 << 60).cast("decimal(38,0)")).cast("long"), F.lit(0)
+        ).alias("checksum"),
+    )

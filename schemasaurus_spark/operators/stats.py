@@ -109,3 +109,77 @@ def corpus_rollup(
 def quantile_vector(df: DataFrame, col: str, probs: list[float], rsd: float = 0.01):
     """Approximate quantile vector (the KS drift input); driver-side list."""
     return df.stat.approxQuantile(col, probs, rsd)
+
+
+def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over INTEGRAL columns with engine-
+    exact arithmetic: ``(col_x, col_y, n, r)`` per unordered pair.
+
+    Why not ``F.corr``: streaming covariance implementations accumulate
+    doubles in partition order, so the result varies at the ulp level
+    across runs and engines — unverifiable.  Here the sufficient
+    statistics (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT decimal(38,0) sums
+    of integer products (map-side combinable, order-free), and r is one
+    final double formula ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    sqrt(n*Syy - Sy^2))`` — sqrt and division are correctly-rounded IEEE
+    ops, so any engine reproduces r bit-for-bit.  Integral columns only
+    (float inputs would need order-dependent float sums, the exact thing
+    this avoids); NULLs are handled pairwise (a row counts for a pair
+    iff both sides are non-null); a zero-variance side yields NULL r.
+
+    Scale shape: ONE ``df.agg`` computes all pairs' statistics in a
+    single scan (6 * k(k-1)/2 combinable aggregates); the r arithmetic
+    runs on the 1-row result; output is metadata-sized.  Bound: each
+    ``n * Sxy`` must fit decimal(38) — holds to ~10^12 rows of 32-bit
+    values."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    unknown = set(cols) - set(fields)
+    if unknown:
+        raise ValueError(f"correlation_profile: no such column(s) {sorted(unknown)}")
+    bad = [c for c in cols if not isinstance(fields[c], integral)]
+    if bad:
+        raise ValueError(f"correlation_profile: non-integral column(s) {bad}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("correlation_profile: need at least two columns")
+
+    dec = "decimal(38,0)"
+    zero = F.lit(0).cast(dec)
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        dx = F.when(both, F.col(x).cast(dec))
+        dy = F.when(both, F.col(y).cast(dec))
+        aggs += [
+            F.coalesce(F.sum(F.when(both, 1).cast(dec)), zero).alias(f"_n_{i}"),
+            F.coalesce(F.sum(dx), zero).alias(f"_sx_{i}"),
+            F.coalesce(F.sum(dy), zero).alias(f"_sy_{i}"),
+            F.coalesce(F.sum(dx * dy), zero).alias(f"_sxy_{i}"),
+            F.coalesce(F.sum(dx * dx), zero).alias(f"_sxx_{i}"),
+            F.coalesce(F.sum(dy * dy), zero).alias(f"_syy_{i}"),
+        ]
+    row = df.agg(*aggs)
+
+    structs = []
+    for i, (x, y) in enumerate(pairs):
+        n = F.col(f"_n_{i}")
+        sx, sy = F.col(f"_sx_{i}"), F.col(f"_sy_{i}")
+        sxy, sxx, syy = F.col(f"_sxy_{i}"), F.col(f"_sxx_{i}"), F.col(f"_syy_{i}")
+        num = (n * sxy - sx * sy).cast("double")
+        denx = F.sqrt((n * sxx - sx * sx).cast("double"))
+        deny = F.sqrt((n * syy - sy * sy).cast("double"))
+        r = F.when((denx > 0) & (deny > 0), num / (denx * deny))
+        structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                n.cast("long").alias("n"),
+                r.alias("r"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select(
+        "_p.col_x", "_p.col_y", "_p.n", "_p.r"
+    )
