@@ -3547,6 +3547,35 @@ FROM (
     )
 
 
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence outliers (operators/outliers.py): exact
+    interpolated quartiles per event_type (round-6 to absorb engine ulp
+    drift — the same parity discipline as event_value_quartiles), fences
+    broadcast back, rows outside flagged with side + violated bound.
+    One corpus scan for fences, one map-side join + filter to flag."""
+    from schemasaurus_spark.operators.outliers import iqr_outliers
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return iqr_outliers(ev, "value", ["event_type"])
+
+
+_OUTLIERS_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+  CASE WHEN value < q1 - 1.5*(q3-q1) THEN 'low'
+       WHEN value > q3 + 1.5*(q3-q1) THEN 'high' END AS side,
+  CASE WHEN value < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+       WHEN value > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1) END AS fence
+FROM events JOIN f USING (event_type)
+WHERE value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1)
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3777,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dataset_checksum": doc_dataset_checksum,
         "doc_corr_profile": doc_corr_profile,
+        "event_value_outliers": event_value_outliers,
     }
 
 
@@ -3863,4 +3893,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "doc_dataset_checksum": _CHECKSUM_ORACLE,
         "doc_corr_profile": _corr_oracle_sql(),
+        "event_value_outliers": _OUTLIERS_ORACLE,
     }
