@@ -115,15 +115,22 @@ def main():
         "doc_pii_redaction",
         "doc_packing",
         "doc_split_assignment",
+        "doc_weighted_sample",
+        "doc_zorder_layout",
         "doc_quota_cap",
         "doc_latest_revision",
         "doc_quality_cube",
         "doc_quality_gate",
+        "doc_constraint_suggestions",
+        "doc_fd_profile",
+        "doc_corr_profile",
         "doc_embedding_coverage",
         "doc_corpus_diff",
+        "doc_dataset_checksum",
         "doc_source_mix",
         "doc_token_topk",
         "doc_novelty_profile",
+        "doc_heavy_tokens",
         "doc_lm_score",
         "lineitem_dup_rows",
         "doc_training_corpus",
@@ -133,6 +140,7 @@ def main():
         "doc_bloom_novelty",
         "doc_bm25_search",
         "doc_ngram_jaccard_dups",
+        "doc_editdist_dups",
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
@@ -143,9 +151,11 @@ def main():
         "event_props_normalization",
         "event_props_schema_profile",
         "event_props_schema_conformance",
+        "event_props_schema_drift",
         "event_value_quartiles",
         "event_value_ks_drift",
         "event_value_psi_drift",
+        "event_value_outliers",
         "event_windowed_counts",
         "event_sessionization",
         "event_asof_join",
