@@ -294,3 +294,59 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
     base = read_snapshot(spark, snap_path)
     make_drift_sink(base, spec, out_dir)(gen(3000, 5000), shifted)
     assert drift_log(spark, out_dir).count() == 4
+
+
+def test_schema_drift_stream_flags_migrated_batch(spark, tmp_path):
+    """Streaming schema-shape monitor: baseline profile written once by a
+    batch job; a conforming micro-batch reports only 'common' rows, a
+    migrated one (type shift + new key) fires added_type/added_path —
+    and a replayed batch_id overwrites its partition."""
+    from schemasaurus_spark.schema.profile import json_schema_profile
+    from schemasaurus_spark.streaming.schema_drift_stream import (
+        make_schema_drift_sink,
+        monitor_schema_drift_stream,
+        schema_drift_log,
+    )
+
+    def gen(lo, hi, migrated=False):
+        if migrated:
+            j = F.concat(
+                F.lit('{"u": "'), F.col("id").cast("string"),
+                F.lit('", "nk": true}'),
+            )
+        else:
+            j = F.concat(F.lit('{"u": '), F.col("id").cast("string"), F.lit("}"))
+        return spark.range(lo, hi).select(j.alias("j"))
+
+    base_path = str(tmp_path / "baseline_profile")
+    json_schema_profile(gen(0, 500), "j").write.parquet(base_path)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    gen(500, 800).coalesce(1).write.mode("append").parquet(in_dir)
+    q = monitor_schema_drift_stream(
+        spark, in_dir, base_path, "j", out_dir, input_schema="j string"
+    )
+    q.awaitTermination(120)
+    gen(800, 1100, migrated=True).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = monitor_schema_drift_stream(
+        spark, in_dir, base_path, "j", out_dir, input_schema="j string"
+    )
+    q2.awaitTermination(120)
+
+    log = schema_drift_log(spark, out_dir).collect()
+    by_batch = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, {})[(r.path, r.jtype)] = r
+    quiet_id, migrated_id = sorted(by_batch)
+    quiet, mig = by_batch[quiet_id], by_batch[migrated_id]
+    assert all(r.status == "common" for r in quiet.values())
+    assert mig[("/u", "string")].status == "added_type"
+    assert mig[("/u", "integer")].status == "removed_type"
+    assert mig[("/nk", "boolean")].status == "added_path"
+    # replay idempotence: rerunning the sink for an existing batch_id
+    # rewrites its partition, leaving the log row count unchanged
+    baseline = spark.read.parquet(base_path)
+    n_before = len(log)
+    make_schema_drift_sink(baseline, "j", out_dir)(gen(500, 800), migrated_id)
+    assert schema_drift_log(spark, out_dir).count() == n_before - len(mig) + len(quiet)
