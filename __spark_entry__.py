@@ -3201,17 +3201,10 @@ SELECT col_name, suggestion, arg FROM (
 """
 
 
-def doc_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity join (operators/editdist.py): all title
-    pairs within Levenshtein distance 2, EXACT — Ed-Join/AllPairs prefix
-    filtering over (gram, occurrence#) with a broadcast short panel, so
-    the oracle can stay the brute-force inequality join.  Titles are the
-    first 24 chars of whitespace-collapsed text; docs with doc_id % 7 == 0
-    get a planted single-substitution variant (id + 1000000) so true
-    typo pairs exist at every scale."""
-    from schemasaurus_spark.operators.editdist import edit_distance_pairs
-
-    docs = _docs(spark, sf_dir)
+def _editdist_titles(docs: DataFrame) -> DataFrame:
+    """Shared planted-typo titles frame for the edit-distance contracts:
+    first 24 chars of whitespace-collapsed text, plus a single-char
+    substitution variant (id + 1000000) for every doc_id % 7 == 0."""
     base = docs.selectExpr(
         "doc_id AS id",
         "substring(regexp_replace(text, '\\\\s+', ' '), 1, 24) AS s",
@@ -3222,7 +3215,20 @@ def doc_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'q',"
         " substring(substring(regexp_replace(text, '\\\\s+', ' '), 1, 24), 8)) AS s",
     )
-    titles = base.unionByName(variants)
+    return base.unionByName(variants)
+
+
+def doc_editdist_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editdist.py): all title
+    pairs within Levenshtein distance 2, EXACT — Ed-Join/AllPairs prefix
+    filtering over (gram, occurrence#) with a broadcast short panel, so
+    the oracle can stay the brute-force inequality join.  Titles are the
+    first 24 chars of whitespace-collapsed text; docs with doc_id % 7 == 0
+    get a planted single-substitution variant (id + 1000000) so true
+    typo pairs exist at every scale."""
+    from schemasaurus_spark.operators.editdist import edit_distance_pairs
+
+    titles = _editdist_titles(_docs(spark, sf_dir))
     return edit_distance_pairs(titles, text_col="s", id_col="id", max_dist=2, q=2)
 
 
@@ -3576,6 +3582,63 @@ WHERE value < q1 - 1.5*(q3-q1) OR value > q3 + 1.5*(q3-q1)
 """
 
 
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit (sampling.split_leakage): the
+    edit-distance near-dup pairs joined against the deterministic split
+    assignment — pairs whose members straddle splits are the leak a
+    per-document assignment cannot see.  Composes two already-oracled
+    operators; the oracle replays the pair join + the md5 split formula
+    end-to-end."""
+    from schemasaurus_spark.operators.editdist import edit_distance_pairs
+    from schemasaurus_spark.operators.sampling import assign_splits, split_leakage
+
+    titles = _editdist_titles(_docs(spark, sf_dir))
+    pairs = edit_distance_pairs(titles, text_col="s", id_col="id", max_dist=2, q=2)
+    splits = assign_splits(titles, _SPLIT_FRACTIONS, key_col="id", seed=0).select(
+        "id", "split"
+    )
+    return split_leakage(pairs, splits, key_col="id")
+
+
+def _split_leakage_oracle_sql() -> str:
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    items = list(_SPLIT_FRACTIONS.items())
+    cum, whens = 0.0, []
+    for name, frac in items[:-1]:
+        cum += frac
+        whens.append(f"WHEN b < {_keep_threshold(cum)} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24) AS s
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat(substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 1, 6),
+                'q',
+                substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 8))
+  FROM documents WHERE doc_id % 7 = 0
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+  FROM t a JOIN t b
+    ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) <= 2
+),
+sp AS (
+  SELECT id, {case} AS split FROM (
+    SELECT id,
+           CAST(('0x' || substr(md5(id || ':split:0'), 1, 4)) AS INTEGER) AS b
+    FROM t)
+)
+SELECT p.id_a, p.id_b, p.dist, sa.split AS split_a, sb.split AS split_b
+FROM p JOIN sp sa ON p.id_a = sa.id JOIN sp sb ON p.id_b = sb.id
+WHERE sa.split <> sb.split
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3807,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dataset_checksum": doc_dataset_checksum,
         "doc_corr_profile": doc_corr_profile,
         "event_value_outliers": event_value_outliers,
+        "doc_split_leakage": doc_split_leakage,
     }
 
 
@@ -3894,4 +3958,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dataset_checksum": _CHECKSUM_ORACLE,
         "doc_corr_profile": _corr_oracle_sql(),
         "event_value_outliers": _OUTLIERS_ORACLE,
+        "doc_split_leakage": _split_leakage_oracle_sql(),
     }

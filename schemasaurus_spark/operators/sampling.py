@@ -281,3 +281,40 @@ def weighted_sample(
         .limit(n)
         .drop("_pr")
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs whose members
+    landed in DIFFERENT splits — the leak a per-document split assignment
+    cannot see (each doc's label is individually fine; the PAIR straddles
+    the boundary, so the test set contains a near-copy of training data).
+
+    ``pairs`` is any dedup-family output with ``id_a``/``id_b`` columns
+    (MinHash/SimHash/Jaccard/edit-distance/embedding); ``splits`` maps
+    ``key_col`` to ``split_col`` (``assign_splits`` output or any stored
+    assignment).  Returns the straddling pairs with both labels appended.
+
+    Scale shape: pairs are delta-sized by the dedup operators'
+    construction and the split frame is a thin (key, label) projection,
+    so the two key equi-joins are the whole cost; no corpus scan happens
+    here at all.  The fix for flagged pairs is policy (move one member,
+    drop one member, or re-split by component id via
+    ``dedup.connected_components`` so whole duplicate CLUSTERS get one
+    split — the component-keyed split is the preventive form of this
+    audit)."""
+    sa = splits.select(
+        F.col(key_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    sb = splits.select(
+        F.col(key_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )

@@ -553,3 +553,18 @@ def test_weighted_sample_bias_and_exclusions(spark):
     assert all(r.doc_id < 5000 for r in got)
     # n exceeding eligible rows returns all eligible
     assert weighted_sample(df, 10_000, "w").count() == 400
+
+
+def test_split_leakage_flags_straddling_pairs_only(spark):
+    from schemasaurus_spark.operators.sampling import split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8), (5, 6, 0.7)], "id_a bigint, id_b bigint, sim double"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"), (5, "val"), (6, "test")],
+        "doc_id bigint, split string",
+    )
+    got = {(r.id_a, r.id_b, r.split_a, r.split_b)
+           for r in split_leakage(pairs, splits).collect()}
+    assert got == {(1, 2, "train", "test"), (5, 6, "val", "test")}
