@@ -3639,6 +3639,71 @@ WHERE sa.split <> sb.split
 """
 
 
+_REG_V1 = {
+    "type": "object",
+    "properties": {"n_chars": {"type": "integer", "maximum": 300}},
+}
+_REG_V2 = {
+    "type": "object",
+    "properties": {
+        "n_chars": {"type": "integer", "maximum": 200},
+        "lang": {"type": "string", "enum": ["en", "de"]},
+    },
+}
+
+
+def doc_versioned_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-schema routing (schema/registry.py): rows dispatch to
+    their version's compiled validator inside ONE CASE expression — one
+    scan, no per-version filter+union re-reads; unregistered versions
+    fail closed with a schemaVersion error.  Versions assigned in-plan
+    (doc_id%31==0 -> unknown '9'; else parity picks v1/v2 with different
+    maxima + a v2-only enum), so every dispatch branch is non-vacuous;
+    the oracle replays each version's keyword conditions under the same
+    CASE."""
+    from schemasaurus_spark.schema.registry import SchemaRegistry
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "*",
+        "CASE WHEN doc_id % 31 = 0 THEN '9'"
+        " WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END AS schema_version",
+    )
+    out = SchemaRegistry({"1": _REG_V1, "2": _REG_V2}).validate(docs)
+    return (
+        out.where(~F.col("valid"))
+        .select("doc_id", "schema_version", F.explode("errors").alias("err"))
+        .select(
+            "doc_id",
+            F.col("schema_version").alias("version"),
+            F.col("err.code").alias("code"),
+            F.col("err.path").alias("json_pointer"),
+            F.col("err.value").alias("value"),
+        )
+    )
+
+
+_REGISTRY_ORACLE = """
+WITH v AS (
+  SELECT doc_id, lang, n_chars,
+    CASE WHEN doc_id % 31 = 0 THEN '9'
+         WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END AS version
+  FROM documents
+)
+SELECT doc_id, version, 'maximum' AS code, '/n_chars' AS json_pointer,
+       CAST(n_chars AS VARCHAR) AS value
+FROM v WHERE version = '1' AND n_chars > 300
+UNION ALL
+SELECT doc_id, version, 'maximum', '/n_chars', CAST(n_chars AS VARCHAR)
+FROM v WHERE version = '2' AND n_chars > 200
+UNION ALL
+SELECT doc_id, version, 'enum', '/lang', lang
+FROM v WHERE version = '2' AND lang NOT IN ('en', 'de')
+UNION ALL
+SELECT doc_id, version, 'schemaVersion', '', version
+FROM v WHERE version = '9'
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3871,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corr_profile": doc_corr_profile,
         "event_value_outliers": event_value_outliers,
         "doc_split_leakage": doc_split_leakage,
+        "doc_versioned_validation": doc_versioned_validation,
     }
 
 
@@ -3959,4 +4025,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_corr_profile": _corr_oracle_sql(),
         "event_value_outliers": _OUTLIERS_ORACLE,
         "doc_split_leakage": _split_leakage_oracle_sql(),
+        "doc_versioned_validation": _REGISTRY_ORACLE,
     }
