@@ -103,6 +103,7 @@ def main():
     # -- contract queries over the sf testdata tables -----------------------
     for name in [
         "doc_validation_violations",
+        "doc_versioned_validation",
         "doc_column_stats",
         "doc_text_profile",
         "doc_quality",
@@ -141,6 +142,7 @@ def main():
         "doc_bm25_search",
         "doc_ngram_jaccard_dups",
         "doc_editdist_dups",
+        "doc_split_leakage",
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
