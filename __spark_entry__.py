@@ -3704,6 +3704,140 @@ FROM v WHERE version = '9'
 """
 
 
+def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/privacy.py): k-anonymity + l-diversity
+    over quasi-identifier columns (lang, source, length band) with a
+    derived sensitive label — violating groups only, k-finding subsuming
+    the l-finding.  One map-side-combinable groupBy; the oracle replays
+    the same grouping + HAVING + subsumption CASE."""
+    from schemasaurus_spark.operators.privacy import k_anonymity_report
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "lang",
+        "source",
+        "n_chars div 100 AS len_band",
+        "CAST(doc_id % 4 AS STRING) AS grade",
+    )
+    return k_anonymity_report(
+        docs, ["lang", "source", "len_band"], k=3, sensitive_col="grade", l=2
+    )
+
+
+_KANON_ORACLE = """
+WITH base AS (
+  SELECT lang, source, n_chars // 100 AS len_band,
+         CAST(doc_id % 4 AS VARCHAR) AS grade
+  FROM documents
+),
+g AS (
+  SELECT lang, source, len_band,
+         CAST(count(*) AS BIGINT) AS group_size,
+         CAST(count(DISTINCT grade) AS BIGINT) AS distinct_sensitive
+  FROM base GROUP BY lang, source, len_band
+)
+SELECT lang, source, len_band, group_size, distinct_sensitive,
+  CASE WHEN group_size < 3 THEN 'k_anonymity'
+       WHEN distinct_sensitive < 2 THEN 'l_diversity' END AS issue
+FROM g WHERE group_size < 3 OR distinct_sensitive < 2
+"""
+
+
+def doc_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression fix for k-anonymity (privacy.suppress_under_k): drop
+    every row in an under-k quasi-identifier group, null-safe anti-join
+    so NULL-valued groups are removed too; result k-anonymous by
+    construction.  Oracle is the NOT EXISTS with IS NOT DISTINCT FROM."""
+    from schemasaurus_spark.operators.privacy import suppress_under_k
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source", "n_chars div 100 AS len_band"
+    )
+    return suppress_under_k(docs, ["lang", "source", "len_band"], k=3)
+
+
+_KSUPPRESS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS len_band FROM documents
+),
+g AS (
+  SELECT lang, source, len_band FROM base
+  GROUP BY lang, source, len_band HAVING count(*) < 3
+)
+SELECT b.doc_id, b.lang, b.source, b.len_band FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM g
+  WHERE g.lang IS NOT DISTINCT FROM b.lang
+    AND g.source IS NOT DISTINCT FROM b.source
+    AND g.len_band IS NOT DISTINCT FROM b.len_band
+)
+"""
+
+
+def doc_component_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware splits (sampling.component_splits): duplicate
+    clusters hash on their connected-component id so whole clusters land
+    in ONE split — the preventive form of the split-leakage audit
+    (leakage over the result is zero by construction, pytest-pinned).
+    Pairs come from the edit-distance join; the oracle replays pairs,
+    recursive-CTE reachability, and the md5 split thresholds."""
+    from schemasaurus_spark.operators.editdist import edit_distance_pairs
+    from schemasaurus_spark.operators.sampling import component_splits
+
+    titles = _editdist_titles(_docs(spark, sf_dir))
+    pairs = edit_distance_pairs(titles, text_col="s", id_col="id", max_dist=2, q=2)
+    out = component_splits(titles, pairs, _SPLIT_FRACTIONS, key_col="id", seed=0)
+    return out.select("id", "comp_id", "split")
+
+
+def _component_splits_oracle_sql() -> str:
+    from schemasaurus_spark.operators.sampling import _keep_threshold
+
+    items = list(_SPLIT_FRACTIONS.items())
+    cum, whens = 0.0, []
+    for name, frac in items[:-1]:
+        cum += frac
+        whens.append(f"WHEN bk < {_keep_threshold(cum)} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24) AS s
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat(substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 1, 6),
+                'q',
+                substr(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 24), 8))
+  FROM documents WHERE doc_id % 7 = 0
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b
+    ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) <= 2
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+),
+comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+j AS (
+  SELECT t.id, comp.comp_id,
+         CAST(('0x' || substr(md5(
+           CAST(coalesce(comp.comp_id, t.id) AS VARCHAR) || ':split:0'
+         ), 1, 4)) AS INTEGER) AS bk
+  FROM t LEFT JOIN comp ON t.id = comp.id
+)
+SELECT id, comp_id, {case} AS split FROM j
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -3937,6 +4071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_outliers": event_value_outliers,
         "doc_split_leakage": doc_split_leakage,
         "doc_versioned_validation": doc_versioned_validation,
+        "doc_k_anonymity": doc_k_anonymity,
+        "doc_k_suppression": doc_k_suppression,
+        "doc_component_splits": doc_component_splits,
     }
 
 
@@ -4026,4 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_outliers": _OUTLIERS_ORACLE,
         "doc_split_leakage": _split_leakage_oracle_sql(),
         "doc_versioned_validation": _REGISTRY_ORACLE,
+        "doc_k_anonymity": _KANON_ORACLE,
+        "doc_k_suppression": _KSUPPRESS_ORACLE,
+        "doc_component_splits": _component_splits_oracle_sql(),
     }

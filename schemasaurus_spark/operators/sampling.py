@@ -318,3 +318,44 @@ def split_leakage(
         .join(sb, "id_b")
         .where(F.col("split_a") != F.col("split_b"))
     )
+
+
+def component_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup-aware split assignment — the PREVENTIVE form of
+    ``split_leakage``: every member of a duplicate cluster hashes on its
+    connected-component id instead of its own, so a cluster lands in ONE
+    split by construction and the leakage audit returns zero rows on the
+    result (pytest-pinned).  Docs in no cluster keep their own key —
+    for them this is exactly ``assign_splits`` (same hash domain, same
+    thresholds), so adding pair evidence later only ever MOVES clustered
+    docs, never reshuffles the singletons.
+
+    Scale shape: component labels come from the O(log n) large-star/
+    small-star rounds (dedup.connected_components — pairs are delta-sized
+    dedup output); the label join is one key shuffle; the split itself
+    stays a pure projection.  Consistency caveat documented: the split
+    of a clustered doc depends on the cluster's min id, so growing a
+    cluster can move it between releases — that is the price of the
+    no-leakage guarantee and the reason releases version their pair
+    evidence alongside the corpus."""
+    from .dedup import connected_components
+
+    labels = connected_components(pairs, id_a, id_b)
+    j = df.join(
+        labels.select(F.col("id").alias(key_col), "comp_id"), key_col, "left"
+    )
+    skey = F.coalesce(F.col("comp_id"), F.col(key_col)).cast("string")
+    out = assign_splits(
+        j.withColumn("_skey", skey), fractions, key_col="_skey", seed=seed,
+        split_col=split_col,
+    )
+    return out.drop("_skey")

@@ -568,3 +568,33 @@ def test_split_leakage_flags_straddling_pairs_only(spark):
     got = {(r.id_a, r.id_b, r.split_a, r.split_b)
            for r in split_leakage(pairs, splits).collect()}
     assert got == {(1, 2, "train", "test"), (5, 6, "val", "test")}
+
+
+def test_component_splits_eliminate_leakage_and_preserve_singletons(spark):
+    from schemasaurus_spark.operators.sampling import (
+        assign_splits,
+        component_splits,
+        split_leakage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint"
+    )
+    # chain 0-1-2 plus pair (10, 11); everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = component_splits(docs, pairs, fr)
+    by_id = {r.doc_id: r.split for r in out.collect()}
+    # every cluster shares one split -> the leakage audit is empty
+    splits_df = out.select("doc_id", "split")
+    assert split_leakage(pairs, splits_df).count() == 0
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    # singletons match plain assign_splits exactly (same hash domain)
+    plain = {r.doc_id: r.split for r in assign_splits(docs, fr, seed=0).collect()}
+    clustered = {0, 1, 2, 10, 11}
+    for i in range(200):
+        if i not in clustered:
+            assert by_id[i] == plain[i], i
