@@ -143,6 +143,7 @@ def main():
         "doc_ngram_jaccard_dups",
         "doc_editdist_dups",
         "doc_split_leakage",
+        "doc_component_splits",
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
@@ -158,6 +159,8 @@ def main():
         "event_value_ks_drift",
         "event_value_psi_drift",
         "event_value_outliers",
+        "doc_k_anonymity",
+        "doc_k_suppression",
         "event_windowed_counts",
         "event_sessionization",
         "event_asof_join",
