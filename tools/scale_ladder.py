@@ -77,6 +77,19 @@ QUERIES = [
     # text, so batch/corpus/bitmap-build rows, the maybe-set, and the novel
     # result are all exactly k-fold (ideal work linear)
     "doc_bloom_novelty",
+    # round 4 session 6: edit-distance join — the cipher is a bijection on
+    # characters, so each copy's q-gram namespace is disjoint and every
+    # WITHIN-copy edit distance is preserved exactly: true pairs and ideal
+    # candidate work are linear in k (cross-copy pairs would need two
+    # cipher shifts to agree on a gram, impossible by construction up to
+    # accidental rotated collisions)
+    "doc_editdist_dups",
+    # heavy hitters: token rows k-fold; each copy's tokens are namespace-
+    # disjoint, so distinct-candidate count grows ~k-fold while the n/k
+    # threshold ALSO grows k-fold -> under the cipher no token stays a
+    # global heavy hitter at x>1 and the result is rows-empty; the
+    # measured cost (sketch pass + empty verify) is the honest scan shape
+    "doc_heavy_tokens",
     # bm25 — the probe terms live in the UNMUTATED copy's token namespace
     # only: tf/topk rows stay constant while the tokenize+filter scan (the
     # dominant cost) grows k-fold; wall should track the scan, not the k
