@@ -3838,6 +3838,57 @@ SELECT id, comp_id, {case} AS split FROM j
 """
 
 
+def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5 (operators/quant.py): symmetric
+    per-vector quantization (scales cancel out of cosine), exact int64
+    dot products, one IEEE division per pair — a quarter of the float32
+    bytes at query time.  The oracle rebuilds every quantized vector
+    with the identical floor(x/m*127+0.5) expression and replays the
+    integer dots in SQL."""
+    from schemasaurus_spark.operators.quant import int8_topk
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") < 8)
+    return int8_topk(emb, probes, k=5)
+
+
+_INT8_TOPK_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+         embedding
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN mx > 0
+           THEN CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT)
+           ELSE 0 END) AS qv
+  FROM m
+),
+n AS (
+  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         CASE WHEN p.nrm > 0 AND c.nrm > 0
+              THEN list_dot_product(p.qv, c.qv) / (p.nrm * c.nrm) END AS sim
+  FROM n p JOIN n c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 8
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY sim DESC NULLS LAST, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(sim, 6) AS similarity
+FROM ranked WHERE rank <= 5
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -4074,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_k_anonymity": doc_k_anonymity,
         "doc_k_suppression": doc_k_suppression,
         "doc_component_splits": doc_component_splits,
+        "embedding_int8_topk": embedding_int8_topk,
     }
 
 
@@ -4166,4 +4218,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_k_anonymity": _KANON_ORACLE,
         "doc_k_suppression": _KSUPPRESS_ORACLE,
         "doc_component_splits": _component_splits_oracle_sql(),
+        "embedding_int8_topk": _INT8_TOPK_ORACLE,
     }
