@@ -3889,6 +3889,53 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def doc_markup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup stripping (text.strip_markup): script/style
+    blocks removed whole, tags dropped, core entities decoded LAST (a
+    double-escaped &amp;lt; must stay literal), whitespace collapsed —
+    pure lookaround-free regex projection so Java and RE2 agree.  HTML
+    is planted in-plan around every third doc; the oracle replays the
+    identical pattern chain in DuckDB (RE2)."""
+    from schemasaurus_spark.operators.text import strip_markup
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        """CASE WHEN doc_id % 3 = 0 THEN concat(
+             '<html><script>var x = "<b>";</script><p class="a">', text,
+             '</p><style>p {}</style> &amp; &lt;tag&gt;</html>')
+           ELSE text END AS text""",
+    )
+    return strip_markup(docs).select("doc_id", "n_tags", "clean_text")
+
+
+_MARKUP_ORACLE = r"""
+WITH built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN concat(
+      '<html><script>var x = "<b>";</script><p class="a">', text,
+      '</p><style>p {}</style> &amp; &lt;tag&gt;</html>')
+    ELSE text END AS t
+  FROM documents
+),
+c1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '(?s)<[^>]+>')) AS BIGINT) AS n_tags,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+      '(?s)<[^>]+>', ' ', 'g') AS s
+  FROM built
+)
+SELECT doc_id, n_tags,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(s,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean_text
+FROM c1
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -4126,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_k_suppression": doc_k_suppression,
         "doc_component_splits": doc_component_splits,
         "embedding_int8_topk": embedding_int8_topk,
+        "doc_markup_removal": doc_markup_removal,
     }
 
 
@@ -4219,4 +4267,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_k_suppression": _KSUPPRESS_ORACLE,
         "doc_component_splits": _component_splits_oracle_sql(),
         "embedding_int8_topk": _INT8_TOPK_ORACLE,
+        "doc_markup_removal": _MARKUP_ORACLE,
     }

@@ -175,3 +175,35 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang.alias("lang_guess"),
         "fingerprint",
     )
+
+
+def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Web-corpus boilerplate cleaning: remove script/style blocks whole
+    (their CONTENT is code, not text), drop remaining tags, decode the
+    five core HTML entities, collapse the whitespace the removals leave
+    behind — the minimal deterministic scrub a crawled corpus needs
+    before tokenization (trafilatura-grade extraction is model/heuristic
+    territory; this is the exact, replayable tier).
+
+    Adds ``out_col`` plus ``n_tags`` (tags removed) so hollowed-out
+    documents are filterable.  Pure ``regexp_replace``/``regexp_count``
+    projection — map-only, codegen'd, zero shuffles, zero UDFs; patterns
+    avoid lookarounds so Java regex and RE2-family engines agree
+    byte-for-byte (the pii.py discipline).  Order matters and is fixed:
+    blocks -> tags -> entities -> whitespace (entity decode LAST so a
+    literal ``&lt;b&gt;`` in text cannot become a strippable tag)."""
+    script_block = r"(?is)<script[^>]*>.*?</script\s*>"
+    style_block = r"(?is)<style[^>]*>.*?</style\s*>"
+    tags = r"(?s)<[^>]+>"
+    t = F.col(text_col)
+    n_tags = (
+        F.coalesce(F.regexp_count(t, F.lit(tags)), F.lit(0)).cast("long")
+    )
+    cleaned = F.regexp_replace(t, script_block, " ")
+    cleaned = F.regexp_replace(cleaned, style_block, " ")
+    cleaned = F.regexp_replace(cleaned, tags, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn("n_tags", n_tags).withColumn(out_col, cleaned)

@@ -1292,3 +1292,23 @@ def test_sample_fraction_bounds():
     assert _keep_threshold(1.0) == 65536
     with _pytest.raises(ValueError):
         _keep_threshold(1.5)
+
+
+def test_strip_markup(spark):
+    from schemasaurus_spark.operators.text import strip_markup
+
+    rows = [
+        (1, '<html><script type="x">var a = "<p>";</script>'
+            '<p class="k">Hello <b>world</b></p><style>p{color:red}</style>'
+            ' &amp; &lt;kept&gt;</html>'),
+        (2, "plain text, no markup"),
+        (3, "a &amp;lt; b"),       # double-escaped: must NOT become a tag
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert got[1].clean_text == "Hello world & <kept>"
+    assert got[1].n_tags > 0
+    assert got[2].clean_text == "plain text, no markup" and got[2].n_tags == 0
+    assert got[3].clean_text == "a &lt; b"
+    assert got[4].clean_text is None and got[4].n_tags == 0
