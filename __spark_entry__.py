@@ -3936,6 +3936,43 @@ FROM c1
 """
 
 
+def event_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (operators/skew.py): the pre-flight check
+    before a 10^12-row join — top-20 hottest user_ids with share,
+    cumulative share, and the salt factor that flattens each to average
+    key load.  One combinable groupBy + TakeOrdered; oracle replays the
+    count/rank/running-share/ceil arithmetic with the same tie-break."""
+    from schemasaurus_spark.operators.skew import skew_profile
+
+    return skew_profile(_table(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts
+),
+top AS (
+  SELECT key, cnt FROM counts
+  ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 20
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY cnt DESC, key ASC NULLS LAST) AS INTEGER)
+    AS rank,
+  key, cnt,
+  cnt / n_rows AS share,
+  sum(cnt / n_rows) OVER (ORDER BY cnt DESC, key ASC NULLS LAST) AS cum_share,
+  CAST(ceil(CAST(cnt * n_distinct AS DOUBLE) / n_rows) AS BIGINT)
+    AS salt_factor
+FROM top, tot
+"""
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -4174,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_component_splits": doc_component_splits,
         "embedding_int8_topk": embedding_int8_topk,
         "doc_markup_removal": doc_markup_removal,
+        "event_user_skew": event_user_skew,
     }
 
 
@@ -4268,4 +4306,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_component_splits": _component_splits_oracle_sql(),
         "embedding_int8_topk": _INT8_TOPK_ORACLE,
         "doc_markup_removal": _MARKUP_ORACLE,
+        "event_user_skew": _SKEW_ORACLE,
     }
