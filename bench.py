@@ -150,6 +150,7 @@ def main():
         "embedding_near_dups",
         "embedding_decontamination",
         "embedding_ivf_topk",
+        "embedding_int8_topk",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",
@@ -161,6 +162,8 @@ def main():
         "event_value_outliers",
         "doc_k_anonymity",
         "doc_k_suppression",
+        "doc_markup_removal",
+        "event_user_skew",
         "event_windowed_counts",
         "event_sessionization",
         "event_asof_join",
