@@ -3973,6 +3973,48 @@ FROM top, tot
 """
 
 
+_CONC_COLS = ["lang", "source", "konst"]
+
+
+def doc_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-concentration profile (stats.category_concentration):
+    max-share / Gini / entropy / normalized entropy per categorical
+    column — the near-constant-vs-near-uniform signal cardinality alone
+    can't give.  konst exercises the single-category branch (entropy
+    +0.0 normalized from IEEE -0.0, norm_entropy NULL).  Counts are
+    exact; the float folds are round-6 (the quartiles-family parity
+    discipline), and the oracle applies the identical +0.0 / round-6
+    chain."""
+    from schemasaurus_spark.operators.stats import category_concentration
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "lang", "source", "'k' AS konst"
+    )
+    return category_concentration(docs, _CONC_COLS)
+
+
+def _concentration_oracle_sql() -> str:
+    blocks = []
+    for c in _CONC_COLS:
+        src = "'k' AS v" if c == "konst" else f"{c} AS v"
+        blocks.append(f"""
+SELECT '{c}' AS "column",
+       CAST(coalesce(sum(_c), 0) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(max(_c / _n), 6) AS max_share,
+       round(1 - sum((_c / _n) * (_c / _n)), 6) AS gini,
+       round(-sum((_c / _n) * ln(_c / _n)) + 0.0, 6) AS entropy,
+       CASE WHEN count(*) > 1
+            THEN round(round(-sum((_c / _n) * ln(_c / _n)) + 0.0, 6)
+                       / ln(CAST(count(*) AS DOUBLE)), 6) END AS norm_entropy
+FROM (
+  SELECT v, CAST(count(*) AS BIGINT) AS _c,
+         sum(count(*)) OVER () AS _n
+  FROM (SELECT {src} FROM documents) WHERE v IS NOT NULL GROUP BY v
+)""")
+    return "\nUNION ALL".join(blocks)
+
+
 # shared between the Spark query and the DuckDB oracle: a varied JSON
 # corpus built in-plan from events (string columns only, so the snippet is
 # valid in both dialects).  class 2 is deliberately unterminated
@@ -4212,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_int8_topk": embedding_int8_topk,
         "doc_markup_removal": doc_markup_removal,
         "event_user_skew": event_user_skew,
+        "doc_concentration_profile": doc_concentration_profile,
     }
 
 
@@ -4307,4 +4350,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_int8_topk": _INT8_TOPK_ORACLE,
         "doc_markup_removal": _MARKUP_ORACLE,
         "event_user_skew": _SKEW_ORACLE,
+        "doc_concentration_profile": _concentration_oracle_sql(),
     }

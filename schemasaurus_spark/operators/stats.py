@@ -183,3 +183,63 @@ def correlation_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(F.array(*structs)).alias("_p")).select(
         "_p.col_x", "_p.col_y", "_p.n", "_p.r"
     )
+
+
+def category_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Distribution-concentration profile per categorical column:
+    ``(column, n, n_distinct, max_share, gini, entropy, norm_entropy)``
+    — the "is this column degenerate / near-constant / near-uniform?"
+    signal that null-rate and cardinality alone cannot give (a column
+    with 1,000 distinct values and 99% mass on one of them gates very
+    differently from a uniform one).
+
+    gini = 1 - sum(p^2) (impurity), entropy in nats, norm_entropy =
+    entropy / ln(n_distinct) in [0, 1] (NULL for single-category
+    columns).  NULL cells are excluded (concentration of the VALUES;
+    missingness is null_rate's job).  Values are rounded to 6 decimals:
+    the count arithmetic is exact integers, but sum-of-p·ln(p) folds
+    floats whose last-ulp order varies by engine — round-6 is the
+    engine-parity discipline (same as the quartiles family).
+
+    Scale shape: one map-side-combined ``groupBy(col)`` per column over
+    a thin projection, then the concentration fold runs over the
+    category table (vocabulary-sized).  Columns profile independently;
+    a genuinely high-cardinality column's category table is its own
+    warning (use suggest/stats cardinality first)."""
+    from functools import reduce as _reduce
+
+    frames = []
+    for c in cols:
+        counts = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        p = F.col("_c") / F.col("_n")
+        agg = (
+            counts.crossJoin(
+                F.broadcast(counts.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_n")))
+            )
+            .agg(
+                F.lit(c).alias("column"),
+                F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.round(F.max(p), 6).alias("max_share"),
+                F.round(1 - F.sum(p * p), 6).alias("gini"),
+                # + 0.0 normalizes the constant-column -0.0 to +0.0 (IEEE:
+                # -0.0 + 0.0 = +0.0, identity elsewhere) — string canons
+                # would otherwise disagree on the sign of zero
+                F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
+            )
+            .withColumn(
+                "norm_entropy",
+                F.when(
+                    F.col("n_distinct") > 1,
+                    F.round(
+                        F.col("entropy") / F.log(F.col("n_distinct").cast("double")), 6
+                    ),
+                ),
+            )
+        )
+        frames.append(agg)
+    return _reduce(lambda a, b: a.unionByName(b), frames)

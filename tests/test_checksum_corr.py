@@ -95,3 +95,26 @@ def test_correlation_pairwise_nulls_and_validation(spark):
         assert False
     except ValueError as e:
         assert "non-integral" in str(e)
+
+
+def test_category_concentration_hand_computed(spark):
+    import math
+
+    from schemasaurus_spark.operators.stats import category_concentration
+
+    # a: 8x'x', 2x'y'  -> p = .8/.2 ; b: constant ; c: has NULLs
+    rows = [("x", "k", "v" if i < 5 else None) for i in range(8)]
+    rows += [("y", "k", "v") for _ in range(2)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = {r.column: r for r in category_concentration(df, ["a", "b", "c"]).collect()}
+    a = got["a"]
+    assert (a.n, a.n_distinct, a.max_share) == (10, 2, 0.8)
+    assert a.gini == round(1 - (0.64 + 0.04), 6)
+    want_ent = round(-(0.8 * math.log(0.8) + 0.2 * math.log(0.2)), 6)
+    assert a.entropy == want_ent
+    assert a.norm_entropy == round(want_ent / math.log(2.0), 6)
+    b = got["b"]
+    assert (b.n_distinct, b.entropy, b.norm_entropy) == (1, 0.0, None)
+    import math as _m
+    assert _m.copysign(1, b.entropy) == 1.0  # +0.0, not -0.0
+    assert got["c"].n == 7  # NULLs excluded from the value distribution
