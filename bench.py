@@ -125,6 +125,7 @@ def main():
         "doc_constraint_suggestions",
         "doc_fd_profile",
         "doc_corr_profile",
+        "doc_concentration_profile",
         "doc_embedding_coverage",
         "doc_corpus_diff",
         "doc_dataset_checksum",
