@@ -4162,6 +4162,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return doc_validation_violations(spark, "/root/testdata/sf0.001")
 
 
+
+def event_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (stats.benford_profile): leading-digit
+    distribution of a positive integral amount column vs log10(1+1/d),
+    with per-digit chi-square terms — the minted-vs-grown data-quality
+    signal.  Amounts are floor(value*1000) so the digit comes from a
+    bigint's decimal string (float formatting is not engine-portable; the
+    IEEE multiply+floor is).  Zero-count digits still emit rows.  The
+    oracle replays the identical arithmetic chain: round-6 expected_p
+    FIRST, terms computed from the rounded p."""
+    from schemasaurus_spark.operators.stats import benford_profile
+
+    ev = _table(spark, sf_dir, "events").selectExpr(
+        "CAST(floor(value * 1000) AS BIGINT) AS amount"
+    )
+    return benford_profile(ev, "amount")
+
+
+_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS _v FROM events
+  WHERE CAST(floor(value * 1000) AS BIGINT) > 0
+), c AS (
+  SELECT CAST(substr(CAST(_v AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM v),
+d AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10))
+SELECT d.digit,
+       coalesce(c.cnt, 0) AS cnt,
+       CASE WHEN _n > 0
+            THEN round(CAST(coalesce(c.cnt, 0) AS DOUBLE) / _n, 6) END AS share,
+       round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6) AS expected_p,
+       CASE WHEN _n > 0 THEN round(
+            pow(coalesce(c.cnt, 0)
+                - _n * round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6), 2)
+            / (_n * round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6)), 6)
+       END AS chi2_term
+FROM d LEFT JOIN c ON d.digit = c.digit CROSS JOIN n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4255,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_markup_removal": doc_markup_removal,
         "event_user_skew": event_user_skew,
         "doc_concentration_profile": doc_concentration_profile,
+        "event_value_benford": event_value_benford,
     }
 
 
@@ -4351,4 +4394,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_markup_removal": _MARKUP_ORACLE,
         "event_user_skew": _SKEW_ORACLE,
         "doc_concentration_profile": _concentration_oracle_sql(),
+        "event_value_benford": _BENFORD_ORACLE,
     }

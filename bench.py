@@ -161,6 +161,7 @@ def main():
         "event_value_ks_drift",
         "event_value_psi_drift",
         "event_value_outliers",
+        "event_value_benford",
         "doc_k_anonymity",
         "doc_k_suppression",
         "doc_markup_removal",

@@ -243,3 +243,76 @@ def category_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         frames.append(agg)
     return _reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution audit vs Benford's law:
+    ``(digit, cnt, share, expected_p, chi2_term)`` for digits 1-9 — the
+    classic fabricated-/truncated-data signal for columns of naturally
+    scale-spanning positive numbers (amounts, populations, byte sizes):
+    genuine ones lean log-uniform (P(d) = log10(1+1/d), 30.1% leading 1s);
+    a uniform or hand-entered column flunks the chi-square immediately.
+    Constant-domain complement to ``category_concentration``: that asks
+    "is the distribution degenerate?", this asks "does it look grown or
+    minted?".  Reference tie-in: schemasaurus has no statistics layer at
+    all — like KS/PSI drift this extends the north rule's distribution
+    checks (BASELINE.json) past the reference's per-document scope.
+
+    Caller contract: ``col`` must be POSITIVE INTEGRAL (cast/floor
+    upstream) — the first digit is read from the decimal string, which is
+    engine-identical for bigints but not for float formatting.  Zero-count
+    digits still emit rows (a chi-square needs all 9 cells).  Floats are
+    rounded to 6 decimals at each fold (expected_p first, then the terms
+    computed FROM the rounded p) — the quartiles-family parity discipline.
+
+    Scale shape: one map-side-combined groupBy over a NINE-value key
+    domain (no skew cliff possible — every partial aggregate is ≤9 rows),
+    one broadcast of the 1-row total, one join against the constant
+    9-row digit frame.  The scan is a single thin projection.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).cast("long").alias("_v")).where(F.col("_v") > 0)
+    counts = (
+        vals.select(
+            F.substring(F.col("_v").cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = vals.agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        digits.join(counts, "digit", "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "expected_p",
+            F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6),
+        )
+    )
+    n = F.col("_n")
+    exp_cnt = n * F.col("expected_p")
+    return out.select(
+        "digit",
+        "cnt",
+        F.when(n > 0, F.round(F.col("cnt") / n, 6)).alias("share"),
+        "expected_p",
+        F.when(
+            n > 0, F.round(F.pow(F.col("cnt") - exp_cnt, 2) / exp_cnt, 6)
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def benford_verdict(df: DataFrame, col: str, critical: float = 15.507) -> DataFrame:
+    """One-row gate over ``benford_profile``: ``(n, chi2, flagged)``.
+    Default critical value is the chi-square 95th percentile at 8 degrees
+    of freedom (9 cells - 1) — flagged=true means the leading-digit
+    distribution deviates from Benford at alpha=0.05.  Judgement aid, not
+    proof: many legitimate columns (bounded ranges, assigned IDs) are NOT
+    Benford-distributed; gate only columns where the law applies."""
+    prof = benford_profile(df, col)
+    return prof.agg(
+        F.sum("cnt").alias("n"),
+        F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        (F.sum("chi2_term") > critical).alias("flagged"),
+    )
