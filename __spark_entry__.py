@@ -4204,6 +4204,104 @@ FROM d LEFT JOIN c ON d.digit = c.digit CROSS JOIN n
 """
 
 
+
+def event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness profile per source (monitor.freshness_profile):
+    per event_type arrival stats with staleness measured against the
+    corpus's own newest row — no wall clock, so the report is
+    reproducible by construction.  All folds are exact microsecond
+    epochs; floats are single IEEE divisions rounded to 6."""
+    from schemasaurus_spark.operators.monitor import freshness_profile
+
+    return freshness_profile(
+        _table(spark, sf_dir, "events"), "ts", by="event_type"
+    )
+
+
+_FRESHNESS_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+  FROM events GROUP BY 1
+), m AS (SELECT max(last_us) AS as_of_us FROM g)
+SELECT event_type, n, first_ts, last_ts,
+       round((as_of_us - last_us) / 1000000.0, 6) AS lag_seconds,
+       round((last_us - first_us) / 1000000.0, 6) AS span_seconds,
+       CASE WHEN n > 1 THEN
+            round((last_us - first_us) / (n - 1) / 1000000.0, 6)
+       END AS mean_interarrival_seconds
+FROM g CROSS JOIN m
+"""
+
+
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection over zero-filled hourly buckets
+    (monitor.volume_anomalies).  The input plants both failure modes
+    in-plan, identically in both engines: hour 2024-01-20 06 is removed
+    (a silent outage the spine must zero-fill and flag) and hour
+    2024-01-15 12 is replicated 5x via explode(sequence) (a burst).
+    Mean/stddev fold exact integer sums; zscore is one IEEE chain
+    rounded to 6."""
+    from schemasaurus_spark.operators.monitor import volume_anomalies
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .where("date_trunc('hour', ts) <> TIMESTAMP '2024-01-20 06:00:00'")
+        .select(
+            "ts",
+            F.explode(
+                F.expr(
+                    "sequence(1, CASE WHEN date_trunc('hour', ts) = "
+                    "TIMESTAMP '2024-01-15 12:00:00' THEN 5 ELSE 1 END)"
+                )
+            ).alias("_r"),
+        )
+        .select("ts")
+    )
+    return volume_anomalies(ev, "ts", bucket="hour", z=3.0)
+
+
+_VOLUME_ORACLE = """
+WITH src AS (
+  SELECT ts FROM events
+  WHERE date_trunc('hour', ts) <> TIMESTAMP '2024-01-20 06:00:00'
+), rep AS (
+  SELECT ts FROM src, unnest(generate_series(1,
+    CASE WHEN date_trunc('hour', ts) = TIMESTAMP '2024-01-15 12:00:00'
+         THEN 5 ELSE 1 END))
+), c AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, CAST(count(*) AS BIGINT) AS cnt
+  FROM rep GROUP BY 1
+), r AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM c),
+s AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+         AS bucket_ts
+  FROM r
+), f AS (
+  SELECT s.bucket_ts, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+  FROM s LEFT JOIN c USING (bucket_ts)
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM f
+)
+SELECT bucket_ts, cnt,
+       round(s1 / nb, 6) AS mean,
+       round(sqrt(greatest(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)), 6) AS stddev,
+       CASE WHEN sqrt(greatest(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)) > 0 THEN
+         round((cnt - s1 / nb)
+               / sqrt(greatest(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)), 6)
+       END AS zscore,
+       coalesce(abs(CASE WHEN sqrt(greatest(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)) > 0 THEN
+         round((cnt - s1 / nb)
+               / sqrt(greatest(s2 / nb - (s1 / nb) * (s1 / nb), 0.0)), 6)
+       END) > 3.0, false) AS anomalous
+FROM f CROSS JOIN st
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4298,6 +4396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_user_skew": event_user_skew,
         "doc_concentration_profile": doc_concentration_profile,
         "event_value_benford": event_value_benford,
+        "event_freshness": event_freshness,
+        "event_volume_anomalies": event_volume_anomalies,
     }
 
 
@@ -4395,4 +4495,6 @@ def oracle_sql() -> dict[str, str]:
         "event_user_skew": _SKEW_ORACLE,
         "doc_concentration_profile": _concentration_oracle_sql(),
         "event_value_benford": _BENFORD_ORACLE,
+        "event_freshness": _FRESHNESS_ORACLE,
+        "event_volume_anomalies": _VOLUME_ORACLE,
     }

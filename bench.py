@@ -162,6 +162,8 @@ def main():
         "event_value_psi_drift",
         "event_value_outliers",
         "event_value_benford",
+        "event_freshness",
+        "event_volume_anomalies",
         "doc_k_anonymity",
         "doc_k_suppression",
         "doc_markup_removal",
