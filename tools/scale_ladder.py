@@ -147,13 +147,20 @@ def main() -> None:
         "--queries", nargs="+", default=None,
         help="ladder only these queries (default: the full QUERIES list)",
     )
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="override spark.sql.shuffle.partitions (attribution runs: a "
+        "super-linear step blamed on fixed partition count should flatten "
+        "when partitions scale with the data)",
+    )
     args = ap.parse_args()
     queries = args.queries or QUERIES
     unknown = [q for q in queries if q not in QUERIES]
     if unknown:
         ap.error(f"not ladder queries: {unknown} (choose from {QUERIES})")
 
-    spark = get_spark("scale_ladder", cpus=args.cpus)
+    spark = get_spark("scale_ladder", cpus=args.cpus,
+                      shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     tmp = tempfile.mkdtemp(prefix="ladder_")
