@@ -4302,6 +4302,64 @@ FROM f CROSS JOIN st
 """
 
 
+
+def media_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over quantized energy-envelope shingles
+    (operators/audio_fp.py): 200 closed-form WAVs + 60 PLANTED truncated
+    re-encodes of ids 0..59 (same samples, one frame shorter, distinct
+    media_ref).  The oracle never decodes a byte — it rebuilds every
+    frame energy from the synth sample formula, quantizes with the same
+    integer division, shingles with the same k=4 window, and replays the
+    distinct-gram join; variants of audios shorter than 6 frames fall
+    below min_shared by construction (non-vacuous negative branch)."""
+    from schemasaurus_spark.operators.audio_fp import audio_near_dups
+    from schemasaurus_spark.operators.media import synth_wav_media_table
+
+    base = synth_wav_media_table(spark, 200, seed=42)
+    variants = synth_wav_media_table(
+        spark, 60, seed=42, trunc=16, ref_prefix="media://wav/v"
+    )
+    return audio_near_dups(
+        base.unionByName(variants), frame_len=16, k=4, min_shared=2
+    )
+
+
+_AUDIO_NEAR_DUPS_ORACLE = """
+WITH dims AS (
+  SELECT 'media://wav/' || CAST(t.i AS VARCHAR) AS ref,
+         t.i AS id, t.i % 256 + 64 AS n, t.i % 2 + 1 AS ch
+  FROM generate_series(0, 199) AS t(i)
+  UNION ALL
+  SELECT 'media://wav/v' || CAST(t.i AS VARCHAR) AS ref,
+         t.i, t.i % 256 + 48, t.i % 2 + 1
+  FROM generate_series(0, 59) AS t(i)
+),
+en AS (
+  SELECT d.ref, t.v // 16 AS f,
+         CAST(sum(((d.id*31 + t.v*17 + c.v*7 + 42) % 65536 - 32768)
+                  * ((d.id*31 + t.v*17 + c.v*7 + 42) % 65536 - 32768))
+              AS BIGINT) AS energy
+  FROM dims d
+  JOIN generate_series(0, 319) AS t(v) ON t.v < (d.n // 16) * 16
+  JOIN generate_series(0, 1) AS c(v) ON c.v < d.ch
+  GROUP BY d.ref, t.v // 16
+),
+qs AS (
+  SELECT ref, array_agg(energy // 16777216 ORDER BY f) AS q
+  FROM en GROUP BY ref
+),
+grams AS (
+  SELECT DISTINCT ref, array_to_string(q[u.i:u.i+3], ',') AS gram
+  FROM qs JOIN generate_series(1, 512) AS u(i) ON u.i <= len(q) - 3
+)
+SELECT a.ref AS ref_a, b.ref AS ref_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.ref < b.ref
+GROUP BY a.ref, b.ref
+HAVING count(*) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4398,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_benford": event_value_benford,
         "event_freshness": event_freshness,
         "event_volume_anomalies": event_volume_anomalies,
+        "media_audio_near_dups": media_audio_near_dups,
     }
 
 
@@ -4497,4 +4556,5 @@ def oracle_sql() -> dict[str, str]:
         "event_value_benford": _BENFORD_ORACLE,
         "event_freshness": _FRESHNESS_ORACLE,
         "event_volume_anomalies": _VOLUME_ORACLE,
+        "media_audio_near_dups": _AUDIO_NEAR_DUPS_ORACLE,
     }

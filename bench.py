@@ -175,6 +175,7 @@ def main():
         "media_image_features",
         "media_png_features",
         "media_wav_features",
+        "media_audio_near_dups",
         "media_jpeg_features",
         "media_mjpeg_frames",
         "media_phash_near_dups",

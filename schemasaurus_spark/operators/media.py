@@ -187,7 +187,13 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, PNG_FEATURES_SCHEMA)
 
 
-def synth_wav_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
+def synth_wav_media_table(
+    spark,
+    n: int = 100,
+    seed: int = 42,
+    trunc: int = 0,
+    ref_prefix: str = "media://wav/",
+) -> DataFrame:
     """Media table whose payloads are REAL RIFF/WAVE bytes (16-bit PCM).
 
     Samples are a deterministic closed-form sequence so downstream decoded
@@ -199,7 +205,12 @@ def synth_wav_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
         rate = 8000 + (id % 4) * 4000
 
     Encoding runs executor-side inside mapInPandas (no driver bytes) —
-    same shape as ``synth_png_media_table``."""
+    same shape as ``synth_png_media_table``.
+
+    ``trunc``/``ref_prefix`` exist for the audio near-dup plant
+    (operators/audio_fp.py): the same closed-form samples cut ``trunc``
+    frames-worth short under a distinct media_ref — a truncated
+    re-encode of the base audio, still oracle-recomputable."""
     from typing import Iterator as _It
 
     parts = max(1, min(spark.sparkContext.defaultParallelism, n // 256 + 1))
@@ -215,7 +226,7 @@ def synth_wav_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
             rows = []
             for id_ in pdf["id"]:
                 id_ = int(id_)
-                n_samp = id_ % 256 + 64
+                n_samp = id_ % 256 + 64 - trunc
                 ch = id_ % 2 + 1
                 rate = 8000 + (id_ % 4) * 4000
                 t = np.arange(n_samp)[:, None]
@@ -225,7 +236,7 @@ def synth_wav_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 )
                 rows.append(
                     (
-                        f"media://wav/{id_}",
+                        f"{ref_prefix}{id_}",
                         "audio",
                         encode_wav(s, rate),
                         {"codec": "pcm16", "rate": str(rate), "ch": str(ch)},
