@@ -76,6 +76,27 @@ def freshness_profile(
     )
 
 
+def bucket_counts_filled(df: DataFrame, ts_col: str, bucket: str = "hour") -> DataFrame:
+    """Zero-filled ``(bucket_ts, cnt)`` over the frame's own time span —
+    the shared primitive of batch ``volume_anomalies`` and the streaming
+    volume monitor.  One map-side-combined groupBy on the truncated
+    timestamp plus one sequence() explode of a 1-row min/max aggregate."""
+    counts = (
+        df.select(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rng = counts.agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+    spine = rng.select(
+        F.explode(F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")).alias(
+            "bucket_ts"
+        )
+    )
+    return spine.join(counts, "bucket_ts", "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    )
+
+
 def volume_anomalies(
     df: DataFrame,
     ts_col: str,
@@ -97,20 +118,7 @@ def volume_anomalies(
     mean/stddev fold exact integer sums (S1, S2) over the bucket table
     (metadata-sized).  The corpus is scanned exactly once.
     """
-    counts = (
-        df.select(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
-        .groupBy("bucket_ts")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    rng = counts.agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
-    spine = rng.select(
-        F.explode(F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")).alias(
-            "bucket_ts"
-        )
-    )
-    filled = spine.join(counts, "bucket_ts", "left").withColumn(
-        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
-    )
+    filled = bucket_counts_filled(df, ts_col, bucket)
     stats = filled.agg(
         F.count(F.lit(1)).alias("_nb"),
         F.sum("cnt").alias("_s1"),
