@@ -38,27 +38,37 @@ def volume_baseline(df: DataFrame, ts_col: str, bucket: str = "hour") -> DataFra
     return volume_anomalies(df, ts_col, bucket).select("mean", "stddev").limit(1)
 
 
+def volume_report(
+    df: DataFrame, ts_col: str, bucket: str, baseline: dict, z: float
+) -> DataFrame:
+    """Zero-filled bucket volumes of ``df`` z-scored against a persisted
+    baseline: ``(bucket_ts, cnt, zscore, anomalous)``.  Shared by the
+    streaming sink and the batch monitoring CLI (jobs/monitor_submit.py).
+    ``baseline`` is the one baseline row as a plain dict
+    ``{"mean": m, "stddev": s}`` — driver-side constants folded into the
+    plan as literals."""
+    mean, std = float(baseline["mean"]), float(baseline["stddev"])
+    counts = bucket_counts_filled(df, ts_col, bucket)
+    zscore = F.when(
+        F.lit(std) > 0, F.round((F.col("cnt") - F.lit(mean)) / F.lit(std), 6)
+    )
+    return counts.select(
+        "bucket_ts",
+        "cnt",
+        zscore.alias("zscore"),
+        F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("anomalous"),
+    )
+
+
 def make_volume_sink(
     baseline: dict, bucket: str, z: float, out_dir: str, ts_col: str
 ):
     """Per-micro-batch sink, exposed for direct testing (call with a
-    repeated batch_id to prove replay idempotence).  ``baseline`` is the
-    one baseline row as a plain dict ``{"mean": m, "stddev": s}`` —
-    driver-side constants folded into the plan as literals."""
-    mean, std = float(baseline["mean"]), float(baseline["stddev"])
+    repeated batch_id to prove replay idempotence)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        counts = bucket_counts_filled(batch_df, ts_col, bucket)
-        zscore = (
-            F.when(F.lit(std) > 0, F.round((F.col("cnt") - F.lit(mean)) / F.lit(std), 6))
-        )
         (
-            counts.select(
-                "bucket_ts",
-                "cnt",
-                zscore.alias("zscore"),
-                F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("anomalous"),
-            )
+            volume_report(batch_df, ts_col, bucket, baseline, z)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
