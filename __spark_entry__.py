@@ -4360,6 +4360,95 @@ HAVING count(*) >= 2
 """
 
 
+
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level pre-fetch dedup (operators/urls.py): raw URL spellings
+    constructed in-plan from doc_id — four messy variants per page id
+    (www + tracking param, clean, SHOUTING host + default port + trailing
+    slash + utm, ref param + fragment) plus a unique tail — collapse to
+    1,000 canonical groups of 4 at sf0.01.  The oracle replays the entire
+    regex/split/filter/sort canonicalization chain with DuckDB's RE2 +
+    list functions (all patterns lookaround-free and single-occurrence,
+    so replace-first vs replace-all semantics agree)."""
+    from schemasaurus_spark.operators.urls import url_dup_groups
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        """CASE doc_id % 5
+             WHEN 0 THEN 'https://www.Example.com/p/'
+                  || CAST(doc_id - doc_id % 5 AS STRING) || '?utm_source=feed&x=1'
+             WHEN 1 THEN 'https://example.com/p/'
+                  || CAST(doc_id - doc_id % 5 AS STRING) || '?x=1'
+             WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/'
+                  || CAST(doc_id - doc_id % 5 AS STRING) || '/?x=1&utm_campaign=a'
+             WHEN 3 THEN 'https://example.com/p/'
+                  || CAST(doc_id - doc_id % 5 AS STRING) || '?x=1&ref=home#sec'
+             ELSE 'https://example.com/solo/' || CAST(doc_id AS STRING)
+           END AS url"""
+    )
+    return url_dup_groups(docs, "url")
+
+
+_URL_DEDUP_ORACLE = r"""
+WITH raw AS (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'https://www.Example.com/p/'
+                || CAST(doc_id - doc_id % 5 AS VARCHAR) || '?utm_source=feed&x=1'
+           WHEN 1 THEN 'https://example.com/p/'
+                || CAST(doc_id - doc_id % 5 AS VARCHAR) || '?x=1'
+           WHEN 2 THEN 'HTTPS://EXAMPLE.COM:443/p/'
+                || CAST(doc_id - doc_id % 5 AS VARCHAR) || '/?x=1&utm_campaign=a'
+           WHEN 3 THEN 'https://example.com/p/'
+                || CAST(doc_id - doc_id % 5 AS VARCHAR) || '?x=1&ref=home#sec'
+           ELSE 'https://example.com/solo/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+),
+s1 AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS no_frag FROM raw
+),
+s2 AS (
+  SELECT url,
+         regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+         CASE WHEN contains(no_frag, '?')
+              THEN regexp_extract(no_frag, '\?(.*)$', 1) ELSE '' END AS query
+  FROM s1
+),
+s3 AS (
+  SELECT url, query,
+         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s2
+),
+s4 AS (
+  SELECT url, query, scheme,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(rest, '^([^/]*)', 1)), '^www\.', ''),
+             ':(80|443)$', '') AS host,
+         regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/+$', '') AS path
+  FROM s3
+),
+s5 AS (
+  SELECT url, scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS q2
+  FROM s4
+),
+c AS (
+  SELECT url,
+         CASE WHEN scheme = '' THEN url
+              ELSE scheme || '://' || host || path
+                   || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+         END AS canonical_url
+  FROM s5
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+FROM c GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4457,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_freshness": event_freshness,
         "event_volume_anomalies": event_volume_anomalies,
         "media_audio_near_dups": media_audio_near_dups,
+        "doc_url_dedup": doc_url_dedup,
     }
 
 
@@ -4557,4 +4647,5 @@ def oracle_sql() -> dict[str, str]:
         "event_freshness": _FRESHNESS_ORACLE,
         "event_volume_anomalies": _VOLUME_ORACLE,
         "media_audio_near_dups": _AUDIO_NEAR_DUPS_ORACLE,
+        "doc_url_dedup": _URL_DEDUP_ORACLE,
     }

@@ -167,6 +167,7 @@ def main():
         "doc_k_anonymity",
         "doc_k_suppression",
         "doc_markup_removal",
+        "doc_url_dedup",
         "event_user_skew",
         "event_windowed_counts",
         "event_sessionization",
