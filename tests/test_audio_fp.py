@@ -66,3 +66,30 @@ def test_large_perturbation_breaks_the_pair(spark):
     ).collect()
     # grams containing frame 0 differ; only 2 of 3 grams survive < min_shared=3
     assert pairs == []
+
+
+def test_audio_pairs_compose_with_connected_components(spark):
+    """The multimodal dedup families share one clustering backend: audio
+    near-dup PAIRS feed dedup.connected_components unchanged, so a chain
+    a~b, b~d collapses to one component even when a~d itself was not
+    emitted (here it is — assert the full triangle clusters together,
+    isolated c stays out)."""
+    from schemasaurus_spark.operators.dedup import connected_components
+
+    a = _const_frames(BASE)
+    b = a.copy()
+    b[3] += 1
+    d = _const_frames(BASE[:-1])
+    c = _const_frames(BASE[::-1])
+    pairs = audio_near_dups(
+        _media(spark, [("a", a), ("b", b), ("c", c), ("d", d)]),
+        frame_len=FL, k=4, min_shared=2,
+    )
+    labels = {
+        r["id"]: r["comp_id"]
+        for r in connected_components(pairs, "ref_a", "ref_b").collect()
+    }
+    assert labels == {"a": "a", "b": "a", "d": "a"}, (
+        "the a/b/d near-dup cluster shares one component keyed by its "
+        "minimum member; c (no pairs) is absent"
+    )
