@@ -4449,6 +4449,57 @@ FROM c GROUP BY canonical_url HAVING count(*) > 1
 """
 
 
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift profile (drift.embedding_centroid_profile)
+    — the SEMANTIC member of the drift family: per-dimension centroid
+    shift between two corpus halves (vec_id parity), with a +0.25 shift
+    PLANTED on dimension 0 of the current side.  Floats never fold across
+    rows: each component quantizes to floor((x+shift)*2^20) and the
+    centroid is one exact-integer division + round-6 per dimension — the
+    whole 64-row table hash-matches by construction (cross-dimension
+    cosine/L2 live in embedding_centroid_summary, numpy-pytested)."""
+    from schemasaurus_spark.operators.drift import embedding_centroid_profile
+
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 2 = 0").select("embedding")
+    cur = emb.where("vec_id % 2 = 1").select(
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) + "
+            "CASE WHEN i = 0 THEN 0.25 ELSE CAST(0 AS DOUBLE) END)"
+        ).alias("embedding")
+    )
+    return embedding_centroid_profile(base, cur, "embedding")
+
+
+_EMB_CENTROID_ORACLE = """
+WITH b AS (
+  SELECT u.i - 1 AS pos,
+         sum(floor(CAST(embedding[u.i] AS DOUBLE) * 1048576)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings, generate_series(1, 64) AS u(i)
+  WHERE vec_id % 2 = 0
+  GROUP BY u.i
+), c AS (
+  SELECT u.i - 1 AS pos,
+         sum(floor((CAST(embedding[u.i] AS DOUBLE)
+                    + CASE WHEN u.i = 1 THEN 0.25 ELSE 0 END) * 1048576)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings, generate_series(1, 64) AS u(i)
+  WHERE vec_id % 2 = 1
+  GROUP BY u.i
+)
+SELECT b.pos,
+       b.n AS n_base,
+       c.n AS n_cur,
+       round(b.s / (b.n * 1048576.0), 6) AS centroid_base,
+       round(c.s / (c.n * 1048576.0), 6) AS centroid_cur,
+       round(round(c.s / (c.n * 1048576.0), 6)
+             - round(b.s / (b.n * 1048576.0), 6), 6) AS delta
+FROM b JOIN c ON b.pos = c.pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4547,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_volume_anomalies": event_volume_anomalies,
         "media_audio_near_dups": media_audio_near_dups,
         "doc_url_dedup": doc_url_dedup,
+        "embedding_centroid_drift": embedding_centroid_drift,
     }
 
 
@@ -4648,4 +4700,5 @@ def oracle_sql() -> dict[str, str]:
         "event_volume_anomalies": _VOLUME_ORACLE,
         "media_audio_near_dups": _AUDIO_NEAR_DUPS_ORACLE,
         "doc_url_dedup": _URL_DEDUP_ORACLE,
+        "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
     }

@@ -152,6 +152,7 @@ def main():
         "embedding_decontamination",
         "embedding_ivf_topk",
         "embedding_int8_topk",
+        "embedding_centroid_drift",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",

@@ -285,3 +285,106 @@ def chi_square_drift(base_df: DataFrame, cur_df: DataFrame, col: str, alpha: flo
     stat, dof = chi_square_from_counts(base, cur)
     p = chi_square_pvalue(stat, dof)
     return {"statistic": stat, "dof": dof, "p_value": p, "drifted": p < alpha}
+
+
+def embedding_centroid_sums(
+    df: DataFrame, vec_col: str, scale_bits: int = 20
+) -> DataFrame:
+    """Exact, order-invariant centroid sufficient statistics of an
+    embedding column: per dimension ``(pos, s, n)`` where
+    ``s = SUM(floor(x * 2^scale_bits))`` as decimal(38,0).
+
+    Floats sum order-dependently (a 10^12-row float centroid is
+    unverifiable at the ulp level); quantizing each component FIRST —
+    float32→double cast is exact, the power-of-two multiply is exact,
+    floor is exact — makes every partial sum an integer, so runs,
+    partitionings, and engines agree bit-for-bit.  2^20 keeps quantization
+    error at ~1e-6 per component, below the engine-parity rounding
+    already applied downstream.  Bound: |s| < 2^(21+scale_bits) · n_rows
+    — decimal(38,0) holds 10^12 rows with >10^10 headroom.
+
+    Scale shape: posexplode + groupBy(pos) — a BOUNDED key domain (the
+    embedding dimension), so map-side combine collapses each partition
+    to dim rows and the shuffle moves partitions x dim thin rows."""
+    return (
+        df.select(F.posexplode(vec_col).alias("pos", "_x"))
+        .select(
+            "pos",
+            F.floor(F.col("_x").cast("double") * (1 << scale_bits))
+            .cast("decimal(38,0)")
+            .alias("_q"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def embedding_centroid_profile(
+    base_df: DataFrame,
+    cur_df: DataFrame,
+    vec_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-dimension centroid drift between two corpora:
+    ``(pos, n_base, n_cur, centroid_base, centroid_cur, delta)`` — the
+    EMBEDDING member of the drift family (values: KS/chi²/PSI; shape:
+    schema profile; volume: bucket counts; semantics: this).  A corpus
+    whose topic mix moved shows up here before any single column does.
+
+    Parity discipline: every float is produced per-dimension by a single
+    IEEE chain over the exact integer sums (divide, round-6; delta =
+    round(cur − base, 6)) — there is deliberately NO cross-dimension
+    float fold in this output, so the whole table hash-matches across
+    engines.  Cross-dimension scalars (cosine, L2) live in
+    ``embedding_centroid_summary`` with a deterministic ordered fold,
+    pytest-checked against numpy rather than oracle-hashed."""
+    b = embedding_centroid_sums(base_df, vec_col, scale_bits).alias("b")
+    c = embedding_centroid_sums(cur_df, vec_col, scale_bits).alias("c")
+    denom = float(1 << scale_bits)
+    cb = F.round(F.col("b.s").cast("double") / (F.col("b.n") * denom), 6)
+    cc = F.round(F.col("c.s").cast("double") / (F.col("c.n") * denom), 6)
+    return (
+        b.join(c, F.col("b.pos") == F.col("c.pos"), "full")
+        .select(
+            F.coalesce(F.col("b.pos"), F.col("c.pos")).alias("pos"),
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("c.n"), F.lit(0)).alias("n_cur"),
+            cb.alias("centroid_base"),
+            cc.alias("centroid_cur"),
+            F.round(cc - cb, 6).alias("delta"),
+        )
+    )
+
+
+def embedding_centroid_summary(profile: DataFrame) -> DataFrame:
+    """One-row reduction of ``embedding_centroid_profile``:
+    ``(dims, cosine, l2, max_abs_delta, max_delta_pos)``.  The dot/norm
+    folds run over an array SORTED by pos (deterministic left-to-right
+    IEEE order — a plain float aggregate would be partition-order
+    dependent); cosine is NULL when either centroid is the zero vector."""
+    arr = F.sort_array(
+        F.collect_list(F.struct("pos", "centroid_base", "centroid_cur", "delta"))
+    )
+    folded = profile.agg(
+        F.count(F.lit(1)).alias("dims"),
+        arr.alias("_a"),
+        F.max_by("pos", F.abs("delta")).alias("max_delta_pos"),
+        F.round(F.max(F.abs("delta")), 6).alias("max_abs_delta"),
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(_a, s -> CAST({expr} AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    dot = fold("s.centroid_base * s.centroid_cur")
+    nb = F.sqrt(fold("s.centroid_base * s.centroid_base"))
+    nc = F.sqrt(fold("s.centroid_cur * s.centroid_cur"))
+    return folded.select(
+        "dims",
+        F.when((nb > 0) & (nc > 0), F.round(dot / (nb * nc), 6)).alias("cosine"),
+        F.round(F.sqrt(fold("s.delta * s.delta")), 6).alias("l2"),
+        "max_abs_delta",
+        "max_delta_pos",
+    )
