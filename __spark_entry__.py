@@ -4500,6 +4500,66 @@ FROM b JOIN c ON b.pos = c.pos
 """
 
 
+_HOST_EDGE_SQL = """
+  SELECT source || '-h' || CAST(doc_id % 13 AS {st}) AS src,
+         source || '-h' || CAST((doc_id {div} 13) % 13 AS {st}) AS dst
+  FROM {tbl} WHERE source IS NOT NULL
+  UNION ALL
+  SELECT source || '-h' || CAST(doc_id % 13 AS {st}) AS src,
+         'hub-' || CAST(doc_id % 3 AS {st}) AS dst
+  FROM {tbl} WHERE source IS NOT NULL
+"""
+
+
+def host_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic host link graph
+    (operators/rank.py): each doc contributes one within-source edge
+    (residue buckets of doc_id) and one edge into a shared 3-node 'hub'
+    tier (dangling sinks — they absorb mass but emit none, exercising
+    the leak-at-sinks variant).  10 iterations of the damped recurrence
+    entirely in int64 fixed-point (SCALE 10^9, integer DIV) so the
+    shuffled partial sums are order-invariant and the oracle — the same
+    10 steps unrolled as chained CTEs — hash-matches bit-for-bit."""
+    from schemasaurus_spark.operators.rank import pagerank_fixed_point
+
+    edges = spark.sql(
+        _HOST_EDGE_SQL.format(
+            st="STRING", div="DIV", tbl=f"parquet.`{sf_dir}/documents.parquet`"
+        )
+    )
+    return pagerank_fixed_point(edges, n_iter=10)
+
+
+def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_fp // o.out_degree) AS in_mass
+    FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) m ON m.node = n.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH e_raw AS ({_HOST_EDGE_SQL.format(st="VARCHAR", div="//", tbl="documents")}),
+edges AS (SELECT DISTINCT src, dst FROM e_raw
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree
+           FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+{chain}
+SELECT r.node, r.rank_fp, COALESCE(o.out_degree, CAST(0 AS BIGINT)) AS out_degree
+FROM r{n_iter} r LEFT JOIN outdeg o ON o.src = r.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4599,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_near_dups": media_audio_near_dups,
         "doc_url_dedup": doc_url_dedup,
         "embedding_centroid_drift": embedding_centroid_drift,
+        "host_authority_rank": host_authority_rank,
     }
 
 
@@ -4701,4 +4762,5 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_near_dups": _AUDIO_NEAR_DUPS_ORACLE,
         "doc_url_dedup": _URL_DEDUP_ORACLE,
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
+        "host_authority_rank": _pagerank_oracle_sql(10),
     }

@@ -153,6 +153,7 @@ def main():
         "embedding_ivf_topk",
         "embedding_int8_topk",
         "embedding_centroid_drift",
+        "host_authority_rank",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",
