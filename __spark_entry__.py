@@ -4560,6 +4560,60 @@ FROM r{n_iter} r LEFT JOIN outdeg o ON o.src = r.node
 """
 
 
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
+    rounds learned from the documents corpus via the word-frequency
+    formulation — one corpus scan builds the word table, then every
+    round is a map-side-combined pair-count groupBy + TakeOrdered(1)
+    argmax + a map-only array-fold merge.  Counts are integer sums and
+    the greedy fold order is defined by the token sequence, so the
+    oracle — each round unrolled as pair-count CTE + argmax CTE +
+    recursive-CTE fold over token positions — reproduces the merge
+    table (step, lft, rgt, cnt) bit-for-bit."""
+    from schemasaurus_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), "text", n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    stages = []
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f"""p{i} AS (SELECT z[1] AS lft, z[2] AS rgt, SUM(freq) AS cnt
+       FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z, freq FROM v{i - 1})
+       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT lft, rgt, CAST(cnt AS BIGINT) AS cnt FROM p{i}
+       WHERE cnt >= 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+rec{i} AS (
+  SELECT word, freq, toks, 2 AS i, [toks[1]] AS acc FROM v{i - 1}
+  UNION ALL
+  SELECT r.word, r.freq, r.toks, r.i + 1,
+    CASE WHEN r.acc[-1] = b.lft AND r.toks[r.i] = b.rgt
+      THEN list_append(r.acc[1:len(r.acc)-1], b.lft || b.rgt)
+      ELSE list_append(r.acc, r.toks[r.i]) END
+  FROM rec{i} r, b{i} b WHERE r.i <= len(r.toks)
+),
+v{i} AS MATERIALIZED (SELECT word, freq, acc AS toks FROM rec{i}
+       WHERE i = len(toks) + 1)"""
+        )
+    merged = ",\n".join(stages)
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, lft, rgt, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH RECURSIVE
+wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+             FROM documents WHERE text IS NOT NULL)
+       WHERE w <> '' AND len(w) <= 24 GROUP BY w),
+v0 AS MATERIALIZED (SELECT word, freq,
+       list_append(string_split(word, ''), '_') AS toks FROM wf),
+{merged}
+{final}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4660,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": doc_url_dedup,
         "embedding_centroid_drift": embedding_centroid_drift,
         "host_authority_rank": host_authority_rank,
+        "doc_bpe_merges": doc_bpe_merges,
     }
 
 
@@ -4763,4 +4818,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_dedup": _URL_DEDUP_ORACLE,
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
         "host_authority_rank": _pagerank_oracle_sql(10),
+        "doc_bpe_merges": _bpe_oracle_sql(8),
     }

@@ -154,6 +154,7 @@ def main():
         "embedding_int8_topk",
         "embedding_centroid_drift",
         "host_authority_rank",
+        "doc_bpe_merges",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",
