@@ -4614,6 +4614,47 @@ v0 AS MATERIALIZED (SELECT word, freq,
 """
 
 
+_COMPACT_TARGET = 4 * 1024 * 1024
+
+
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/compaction.py) over a
+    deterministic file manifest derived from orders (partition =
+    order priority, file = order key, size = floor(total price) + 1 KiB):
+    cumulative-offset binning to 4 MiB output files — the Iceberg
+    bin-pack rewrite planning shape with a defined order.  One window
+    per table partition (manifests are metadata-sized); integer DIV
+    binning so the oracle's window replay agrees bit-for-bit."""
+    from schemasaurus_spark.operators.compaction import compaction_plan
+
+    manifest = _table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS part",
+        "o_orderkey AS file_id",
+        "CAST(FLOOR(o_totalprice) AS BIGINT) + 1024 AS size_bytes",
+    )
+    return compaction_plan(manifest, _COMPACT_TARGET)
+
+
+_COMPACTION_ORACLE = f"""
+WITH manifest AS (
+  SELECT o_orderpriority AS part, o_orderkey AS file_id,
+         CAST(FLOOR(o_totalprice) AS BIGINT) + 1024 AS size_bytes
+  FROM orders),
+binned AS (
+  SELECT part, file_id, size_bytes,
+         (SUM(size_bytes) OVER (PARTITION BY part ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
+           // {_COMPACT_TARGET} AS bin_id
+  FROM manifest)
+SELECT part, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+       (count(*) > 1 OR SUM(size_bytes) < {_COMPACT_TARGET}) AS needs_rewrite
+FROM binned GROUP BY part, bin_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4715,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_drift": embedding_centroid_drift,
         "host_authority_rank": host_authority_rank,
         "doc_bpe_merges": doc_bpe_merges,
+        "table_compaction_plan": table_compaction_plan,
     }
 
 
@@ -4819,4 +4861,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
         "host_authority_rank": _pagerank_oracle_sql(10),
         "doc_bpe_merges": _bpe_oracle_sql(8),
+        "table_compaction_plan": _COMPACTION_ORACLE,
     }

@@ -155,6 +155,7 @@ def main():
         "embedding_centroid_drift",
         "host_authority_rank",
         "doc_bpe_merges",
+        "table_compaction_plan",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",
