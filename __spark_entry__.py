@@ -4655,6 +4655,43 @@ FROM binned GROUP BY part, bin_id
 """
 
 
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix (operators/overlap.py): distinct
+    5-token-window sharing between every source pair — the dedup
+    diagnostic that localizes duplication to source pairs before any
+    doc-level dedup runs.  The engine groups window hashes once and
+    explodes the bounded per-hash source set (never a corpus self-join);
+    the oracle self-joins RAW window strings, independently confirming
+    the xxhash64 engine."""
+    from schemasaurus_spark.operators.overlap import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir), window=5)
+
+
+_SOURCE_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT source AS src, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> '' AND source IS NOT NULL
+),
+wins AS (
+  SELECT DISTINCT src,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+                i -> array_to_string(t[i:i+4], ' '))) AS w
+  FROM toks WHERE len(t) >= 5
+),
+ns AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM wins GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_windows
+  FROM wins a JOIN wins b ON a.w = b.w AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared_windows, na.n AS windows_a, nb.n AS windows_b,
+       round(shared_windows / (na.n + nb.n - shared_windows), 6) AS jaccard
+FROM shared JOIN ns na ON na.src = source_a JOIN ns nb ON nb.src = source_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4757,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_authority_rank": host_authority_rank,
         "doc_bpe_merges": doc_bpe_merges,
         "table_compaction_plan": table_compaction_plan,
+        "doc_source_overlap": doc_source_overlap,
     }
 
 
@@ -4862,4 +4900,5 @@ def oracle_sql() -> dict[str, str]:
         "host_authority_rank": _pagerank_oracle_sql(10),
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "table_compaction_plan": _COMPACTION_ORACLE,
+        "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,
     }

@@ -156,6 +156,7 @@ def main():
         "host_authority_rank",
         "doc_bpe_merges",
         "table_compaction_plan",
+        "doc_source_overlap",
         "event_props_validation",
         "event_props_normalization",
         "event_props_schema_profile",
