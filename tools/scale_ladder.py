@@ -94,6 +94,21 @@ QUERIES = [
     # only: tf/topk rows stay constant while the tokenize+filter scan (the
     # dominant cost) grows k-fold; wall should track the scan, not the k
     "doc_bm25_search",
+    # round 4 session 8: BPE induction — cipher copies keep word namespaces
+    # disjoint, so the word-frequency table and every round's pair counts
+    # grow ~k-fold (per-copy pair structure preserved under the bijection):
+    # ideal work linear; the merge table itself changes (copies now compete
+    # in the argmax) — wall is the measured quantity, rows are reported
+    "doc_bpe_merges",
+    # host-authority PageRank — copies keep source/doc_id-residue structure,
+    # so the host-node domain is CONSTANT in k and edge distinctness
+    # saturates: iteration work is constant, only the edge-derivation scan
+    # grows k-fold; wall should track the scan, not k
+    "host_authority_rank",
+    # source-overlap matrix — windows are cipher-disjoint per copy while
+    # sources repeat, so each source's window set and each pair's shared
+    # count grow ~k-fold: distinct + group-by-hash rows k-fold, linear
+    "doc_source_overlap",
 ]
 
 
