@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from schemasaurus_spark.operators.dedup import _pin
 from schemasaurus_spark.operators.tokenize import tokens_expr
 
 __all__ = ["source_overlap_matrix"]
@@ -51,7 +52,11 @@ def source_overlap_matrix(
         & (F.trim(F.col(text_col)) != "")
         & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("src"), tokens_expr(text_col).alias("_toks"))
-    wins = (
+    # pinned: the distinct feeds three consumers (group-by-hash, and the
+    # two per-source denominators) — unpinned, Spark re-scans and
+    # re-hashes the corpus once per consumer (measured: 3 FileScans, no
+    # exchange reuse across the alias-renamed subplans)
+    wins = _pin(
         base.where(F.size("_toks") >= window)
         .select(
             "src",
@@ -64,7 +69,7 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    per_source = wins.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("n"))
+    per_source = _pin(wins.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("n")))
     pairs = (
         wins.groupBy("h")
         .agg(F.sort_array(F.collect_set("src")).alias("ss"))
