@@ -4692,6 +4692,59 @@ FROM shared JOIN ns na ON na.src = source_a JOIN ns nb ON nb.src = source_b
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_HORIZON = 7 * 24 * 3600
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (operators/funnel.py): view -> click ->
+    purchase with strict per-user ordering and a 7-day horizon from the
+    first step.  Earliest-completion semantics = a chain of user-keyed
+    mins (no per-user event collection, no state machine): each step is
+    a filtered scan + map-side-combined min + a join against the
+    shrinking reached set.  Ratios round in-engine (HALF_UP parity)."""
+    from schemasaurus_spark.operators.funnel import funnel
+
+    return funnel(
+        _table(spark, sf_dir, "events"),
+        _FUNNEL_STEPS,
+        horizon_seconds=_FUNNEL_HORIZON,
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_HORIZON} SECONDS
+       GROUP BY 1, 2),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t1 + INTERVAL {_FUNNEL_HORIZON} SECONDS
+       GROUP BY 1),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS conv_from_prev,
+       CASE WHEN n1 > 0 THEN round(n1 / n1, 6) END AS conv_from_first
+FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END,
+       CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END
+FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CASE WHEN n2 > 0 THEN round(n3 / n2, 6) END,
+       CASE WHEN n1 > 0 THEN round(n3 / n1, 6) END
+FROM n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4795,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": doc_bpe_merges,
         "table_compaction_plan": table_compaction_plan,
         "doc_source_overlap": doc_source_overlap,
+        "event_funnel": event_funnel,
     }
 
 
@@ -4901,4 +4955,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "table_compaction_plan": _COMPACTION_ORACLE,
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "event_funnel": _FUNNEL_ORACLE,
     }

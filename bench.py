@@ -168,6 +168,7 @@ def main():
         "event_value_outliers",
         "event_value_benford",
         "event_freshness",
+        "event_funnel",
         "event_volume_anomalies",
         "doc_k_anonymity",
         "doc_k_suppression",
