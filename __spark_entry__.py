@@ -4745,6 +4745,30 @@ FROM n
 """
 
 
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution join (streaming/join_stream.attribution_join
+    run in batch mode — the identical expression drives the watermarked
+    stream-stream join, whose bounded-state/late-drop behavior is
+    pytest-covered): every (view, purchase) pair of the same user with
+    the purchase inside 30 minutes after the view."""
+    from schemasaurus_spark.streaming.join_stream import attribution_join
+
+    ev = _table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where("event_type = 'view'"), ev.where("event_type = 'purchase'")
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS latency_seconds
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4849,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_compaction_plan": table_compaction_plan,
         "doc_source_overlap": doc_source_overlap,
         "event_funnel": event_funnel,
+        "event_attribution": event_attribution,
     }
 
 
@@ -4956,4 +4981,5 @@ def oracle_sql() -> dict[str, str]:
         "table_compaction_plan": _COMPACTION_ORACLE,
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "event_funnel": _FUNNEL_ORACLE,
+        "event_attribution": _ATTRIBUTION_ORACLE,
     }

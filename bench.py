@@ -169,6 +169,7 @@ def main():
         "event_value_benford",
         "event_freshness",
         "event_funnel",
+        "event_attribution",
         "event_volume_anomalies",
         "doc_k_anonymity",
         "doc_k_suppression",
