@@ -4769,6 +4769,34 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (operators/retention.py): users bucketed
+    by first-activity week, distinct-active counts k weeks later, ratio
+    vs cohort size.  Monday week-truncation and day-diff DIV 7 are
+    engine-identical; counts are exact int64, ratio rounds in-engine."""
+    from schemasaurus_spark.operators.retention import retention_cohorts
+
+    return retention_cohorts(_table(spark, sf_dir, "events"))
+
+
+_RETENTION_ORACLE = """
+WITH first AS (SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+active AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week
+           FROM events WHERE user_id IS NOT NULL),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY 1),
+cells AS (SELECT f.cohort_week,
+                 CAST(datediff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+                   AS weeks_since,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM active a JOIN first f ON a.u = f.u GROUP BY 1, 2)
+SELECT c.cohort_week, c.weeks_since, c.n_active, s.cohort_size,
+       round(c.n_active / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4874,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_overlap": doc_source_overlap,
         "event_funnel": event_funnel,
         "event_attribution": event_attribution,
+        "event_retention": event_retention,
     }
 
 
@@ -4982,4 +5011,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,
         "event_funnel": _FUNNEL_ORACLE,
         "event_attribution": _ATTRIBUTION_ORACLE,
+        "event_retention": _RETENTION_ORACLE,
     }

@@ -170,6 +170,7 @@ def main():
         "event_freshness",
         "event_funnel",
         "event_attribution",
+        "event_retention",
         "event_volume_anomalies",
         "doc_k_anonymity",
         "doc_k_suppression",
