@@ -4797,6 +4797,47 @@ FROM cells c JOIN sizes s USING (cohort_week)
 """
 
 
+_COLLOC_K = 20
+
+
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-pair collocations with PMI (operators/collocation
+    .py): one tokenize scan feeds pair counts, unigram counts and the
+    scalar totals; TakeOrdered selection; the PMI double expression is
+    written identically in the oracle (round-6 absorbs libm ln ulps)."""
+    from schemasaurus_spark.operators.collocation import collocation_topk
+
+    return collocation_topk(_docs(spark, sf_dir), k=_COLLOC_K)
+
+
+_COLLOC_ORACLE = rf"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+pairs AS (
+  SELECT z[1] AS lft, z[2] AS rgt, CAST(count(*) AS BIGINT) AS n_pair
+  FROM (SELECT unnest(list_zip(t, t[2:])) AS z FROM toks WHERE len(t) >= 2)
+  WHERE z[2] IS NOT NULL GROUP BY 1, 2
+),
+top AS (SELECT * FROM pairs ORDER BY n_pair DESC, lft, rgt LIMIT {_COLLOC_K}),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END) AS BIGINT)
+           AS p_total
+  FROM toks
+)
+SELECT t.lft, t.rgt, t.n_pair, lu.n_tok AS n_left, ru.n_tok AS n_right,
+       round(ln((CAST(t.n_pair AS DOUBLE) * n_total * n_total)
+                / (CAST(p_total AS DOUBLE) * lu.n_tok * ru.n_tok)), 6) AS pmi
+FROM top t JOIN uni lu ON lu.tok = t.lft JOIN uni ru ON ru.tok = t.rgt, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4903,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": event_funnel,
         "event_attribution": event_attribution,
         "event_retention": event_retention,
+        "doc_collocations": doc_collocations,
     }
 
 
@@ -5012,4 +5054,5 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _FUNNEL_ORACLE,
         "event_attribution": _ATTRIBUTION_ORACLE,
         "event_retention": _RETENTION_ORACLE,
+        "doc_collocations": _COLLOC_ORACLE,
     }

@@ -131,6 +131,7 @@ def main():
         "doc_dataset_checksum",
         "doc_source_mix",
         "doc_token_topk",
+        "doc_collocations",
         "doc_novelty_profile",
         "doc_heavy_tokens",
         "doc_lm_score",
