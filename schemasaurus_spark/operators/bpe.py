@@ -1,7 +1,8 @@
 """Distributed BPE tokenizer induction: learn a byte-pair-encoding merge
 table from the corpus — the vocabulary-learning step every training-data
 pipeline runs before tokenizing, and the engine's third iterative
-operator (after connected components and PageRank).
+operator (after connected components and PageRank).  No reference counterpart —
+§2E training-data family; the algorithm is the public BPE construction.
 
 Algorithm (Sennrich et al. ACL 2016, the word-frequency formulation):
 words are char sequences plus an end-of-word marker ``_``; each round

@@ -3,7 +3,8 @@ frequency, scored with pointwise mutual information — the corpus
 analysis that separates real multi-word units ("new york") from pairs
 that are merely frequent because their words are ("of the"), and the
 standard diagnostic for template/boilerplate phrases that dedup should
-see (a PMI-low but count-high pair is machinery text).
+see (a PMI-low but count-high pair is machinery text).  No reference
+counterpart — §2E text-analysis family.
 
 PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) = c_ab / P (P = total
 adjacent pairs) and p(x) = c_x / N (N = total tokens).  The engine and

@@ -2,7 +2,8 @@
 strictly after their step 1, then step 3 strictly after their step 2 —
 the conversion query behind every ingest/engagement dashboard, and the
 pipeline-health view of multi-stage event flows (e.g. ingest → validate
-→ publish per producer).
+→ publish per producer).  No reference counterpart (schemasaurus has no
+event analytics) — §2E training-data/pipeline-family mandate.
 
 Semantics (deterministic): per user, ``t_1 = min ts`` of step 1;
 ``t_k = min ts`` of a step-k event with ``ts > t_{k-1}`` (strict order,

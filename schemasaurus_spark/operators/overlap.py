@@ -2,7 +2,8 @@
 much verbatim content they share — the dedup DIAGNOSTIC that tells a
 curation pipeline *where* its duplication comes from (mirror sites,
 syndicated feeds, re-crawls) before any pairwise doc dedup runs, and
-the measurement behind per-source dedup budgets.
+the measurement behind per-source dedup budgets.  No reference
+counterpart — §2E dedup family.
 
 Method: every ``window``-token window of every document (the shared
 tokenization, operators/tokenize.py) keyed by ``xxhash64``; per source,

@@ -2,7 +2,8 @@
 tracked by how many are still active k weeks later — the longitudinal
 health view of any event flow (user engagement; equally producer
 retention in an ingest pipeline: which onboarding cohort of data
-producers still delivers k weeks on).
+producers still delivers k weeks on).  No reference counterpart — §2E
+pipeline-observability family.
 
 Semantics (deterministic): cohort(u) = Monday-truncated week of the
 user's first event; a user is active in week w if they have ANY event

@@ -1,7 +1,8 @@
 """Watermarked stream-stream interval join — the last Structured
 Streaming join shape the engine lacked (the others covered: stream x
 static broadcast in incremental_stream, stateful dedup, windowed/session
-aggregation, per-batch monitors).
+aggregation, per-batch monitors).  No reference counterpart — §2E streaming family
+(the reference is a single-process schema walker with no event time).
 
 Use case here: ATTRIBUTION between two live event flows — each 'view'
 joined to the same user's 'purchase' arriving within ``max_delay``
