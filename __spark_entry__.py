@@ -773,6 +773,82 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-compression tier of
+    the ANN ladder (64-dim float64 → 8 one-byte codes per vector; query
+    scores candidates with 8 LUT adds, never touching raw vectors).
+
+    Codebooks are the deterministic md5-ordered ks-vector sample SLICED
+    per subspace (shared-sample init, 0 Lloyd iterations — zero float
+    math in selection), so the oracle rebuilds the identical codebooks,
+    codes, and LUTs in SQL.  Lloyd refinement and the IVFADC composition
+    are pytest-covered (float averaging is not bit-portable)."""
+    from schemasaurus_spark.operators.pq import build_pq_codebook, pq_topk
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    cb = build_pq_codebook(emb, dim=64, m=8, ks=16)
+    return pq_topk(emb, probes, cb, k=5)
+
+
+_PQ_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+),
+-- deterministic md5-ordered sample = the Spark codebook's source vectors
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code, v
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+-- sliced per subspace: codeword (mi, code) with its |c|^2/2 constant
+cw AS (
+  SELECT mi, code, v[mi*8+1 : mi*8+8] AS c,
+         list_dot_product(v[mi*8+1 : mi*8+8], v[mi*8+1 : mi*8+8]) / 2 AS cchalf
+  FROM cents, (SELECT unnest(range(8)) AS mi)
+),
+-- encode: per (vector, subspace) the argmax of dot(x_mi, c) - |c|^2/2
+-- (= argmin squared L2), ties to the smallest code
+enc AS (
+  SELECT e.vec_id, w.mi, w.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, w.mi
+           ORDER BY list_dot_product(e.v[w.mi*8+1 : w.mi*8+8], w.c) - w.cchalf DESC,
+                    w.code ASC) AS rn
+  FROM emb e, cw w
+),
+codes AS (SELECT vec_id, mi, code FROM enc WHERE rn = 1),
+-- per-probe LUT: dot of each probe subvector with each codeword
+lut AS (
+  SELECT p.vec_id AS probe_id, w.mi, w.code,
+         list_dot_product(p.v[w.mi*8+1 : w.mi*8+8], w.c) AS dp
+  FROM emb p, cw w
+  WHERE p.vec_id < 8
+),
+-- ADC score: the m-term sum of LUT lookups along the candidate's codes
+scored AS (
+  SELECT l.probe_id, c.vec_id AS neighbor_id,
+         list_sum(list(l.dp ORDER BY l.mi)) AS score
+  FROM codes c JOIN lut l ON l.mi = c.mi AND l.code = c.code
+  WHERE l.probe_id <> c.vec_id
+  GROUP BY l.probe_id, c.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(score, 6) AS adc_score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
     (corpus-size-derived plane count, 2 independent tables, exact-vector
@@ -4888,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixed_corpus": doc_mixed_corpus,
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
+        "embedding_pq_topk": embedding_pq_topk,
         "event_windowed_counts": event_windowed_counts,
         "event_sessionization": event_sessionization,
         "event_asof_join": event_asof_join,
@@ -5003,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixed_corpus": _mixed_corpus_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
+        "embedding_pq_topk": _PQ_ORACLE,
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "event_sessionization": _SESSIONIZATION_ORACLE,
         "event_asof_join": _ASOF_ORACLE,

@@ -153,6 +153,7 @@ def main():
         "embedding_decontamination",
         "embedding_ivf_topk",
         "embedding_int8_topk",
+        "embedding_pq_topk",
         "embedding_centroid_drift",
         "host_authority_rank",
         "doc_bpe_merges",
