@@ -4914,6 +4914,229 @@ FROM top t JOIN uni lu ON lu.tok = t.lft JOIN uni ru ON ru.tok = t.rgt, tot
 """
 
 
+_NB_TRAIN_FRACTION = 0.7
+_NB_SEED = 0
+_NB_MAX_VOCAB = 100_000
+
+
+def doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification, trained and
+    scored in-plan (operators/classify.py): md5-split the corpus 70/30,
+    fit token likelihoods with add-one smoothing on train, predict each
+    test document's ``lang`` — the fastText-style classifier stage of a
+    curation pipeline.  Every model parameter is quantized to an int64
+    ln·1e6 grid at build time, so per-document scores are exact integer
+    sums (shuffle-order-proof) and the oracle replays the full train +
+    score + argmax chain."""
+    from schemasaurus_spark.operators.classify import nb_train_classify
+
+    return nb_train_classify(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"),
+        label_col="lang",
+        train_fraction=_NB_TRAIN_FRACTION,
+        seed=_NB_SEED,
+        max_vocab=_NB_MAX_VOCAB,
+    )
+
+
+def _nb_en_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared engine chain for the NB evaluation queries: the trained
+    model's 'en' log-posterior per test doc + the is_en ground truth."""
+    from schemasaurus_spark.operators.classify import nb_bucket, nb_scores, nb_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    thr = int(round(_NB_TRAIN_FRACTION * 65536))
+    b = nb_bucket("doc_id", _NB_SEED)
+    train = docs.where(b < F.lit(thr))
+    test = docs.where(b >= F.lit(thr)).where(F.col("lang").isNotNull())
+    model = nb_train(train, label_col="lang", max_vocab=_NB_MAX_VOCAB)
+    en = nb_scores(model, test).where(F.col("label") == "en")
+    return en.join(
+        test.select("doc_id", (F.col("lang") == "en").alias("is_en")), on="doc_id"
+    )
+
+
+def doc_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the NB classifier's en-vs-rest score
+    (operators/evaluate.pr_curve composed over operators/classify): one
+    row per achieved integer score with exact confusion counts and
+    round-6 precision/recall/F1 — the 'where should the filter threshold
+    sit' evaluation stage, its entire train+score+sweep chain replayed
+    in SQL."""
+    from schemasaurus_spark.operators.evaluate import pr_curve
+
+    return pr_curve(_nb_en_scores(spark, sf_dir), "score", "is_en")
+
+
+def doc_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney AUC of the NB en-vs-rest score
+    (operators/evaluate.auc_exact): doubled average ranks keep ties
+    integer, so the statistic is one IEEE division over exact int64
+    sums."""
+    from schemasaurus_spark.operators.evaluate import auc_exact
+
+    return auc_exact(_nb_en_scores(spark, sf_dir), "score", "is_en")
+
+
+def _nb_oracle_prefix() -> str:
+    """Shared CTE chain replaying the full NB train+score pipeline
+    (classify.nb_train / nb_scores): split → vocab → fixed-point weights
+    → per-(doc, class) integer scores.  The classify / PR-curve / AUC
+    oracles append different tails."""
+    thr = int(round(_NB_TRAIN_FRACTION * 65536))
+    return rf"""
+WITH split AS (
+  SELECT doc_id, text, lang,
+         CAST(('0x' || substr(md5(doc_id || ':nb:{_NB_SEED}'), 1, 4)) AS INTEGER) AS b
+  FROM documents
+),
+train AS (
+  SELECT * FROM split
+  WHERE b < {thr} AND lang IS NOT NULL AND text IS NOT NULL AND trim(text) <> ''
+),
+test AS (
+  SELECT * FROM split
+  WHERE b >= {thr} AND lang IS NOT NULL AND text IS NOT NULL AND trim(text) <> ''
+),
+ttoks AS (
+  SELECT doc_id, lang AS label,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM train
+),
+vocab AS (
+  SELECT token FROM (SELECT token, count(*) AS c FROM ttoks GROUP BY token)
+  ORDER BY c DESC, token ASC LIMIT {_NB_MAX_VOCAB}
+),
+vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+counts AS (
+  SELECT token, label, count(*) AS cnt
+  FROM ttoks JOIN vocab USING (token) GROUP BY token, label
+),
+totals AS (SELECT label, sum(cnt) AS total FROM counts GROUP BY label),
+ndocs AS (SELECT lang AS label, count(*) AS n FROM train GROUP BY lang),
+ntrain AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM ndocs),
+classes AS (
+  SELECT d.label,
+         CAST(floor(ln(CAST(d.n AS DOUBLE) / t.nt) * 1000000.0 + 0.5) AS BIGINT)
+           AS prior_fp,
+         CAST(floor(ln(1.0 / (CAST(coalesce(tt.total, 0) AS DOUBLE) + v.v))
+                    * 1000000.0 + 0.5) AS BIGINT) AS w0_fp
+  FROM ndocs d LEFT JOIN totals tt USING (label), ntrain t, vsize v
+),
+weights AS (
+  SELECT c.token, c.label,
+         CAST(floor(ln((CAST(c.cnt AS DOUBLE) + 1.0)
+                       / (CAST(t.total AS DOUBLE) + v.v))
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_fp
+  FROM counts c JOIN totals t USING (label), vsize v
+),
+stoks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM test
+),
+occ AS (
+  SELECT doc_id, token, count(*) AS occ
+  FROM stoks JOIN vocab USING (token) GROUP BY doc_id, token
+),
+contrib AS (
+  SELECT o.doc_id, c.label, sum(o.occ * coalesce(w.w_fp, c.w0_fp)) AS tok_fp
+  FROM occ o CROSS JOIN classes c
+  LEFT JOIN weights w ON w.token = o.token AND w.label = c.label
+  GROUP BY o.doc_id, c.label
+),
+scored AS (
+  SELECT s.doc_id, c.label, c.prior_fp + coalesce(ct.tok_fp, 0) AS score
+  FROM (SELECT DISTINCT doc_id FROM test) s CROSS JOIN classes c
+  LEFT JOIN contrib ct ON ct.doc_id = s.doc_id AND ct.label = c.label
+)"""
+
+
+def _nb_classify_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + """,
+best AS (
+  SELECT doc_id, label AS predicted, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id, t.lang AS label, b.predicted, CAST(b.score AS BIGINT) AS score
+FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1
+"""
+    )
+
+
+_NB_EVAL_PER_SCORE = """,
+en AS (
+  SELECT s.doc_id, s.score, (t.lang = 'en') AS is_en
+  FROM scored s JOIN test t USING (doc_id) WHERE s.label = 'en'
+),
+per AS (
+  SELECT score, sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos,
+         count(*) AS n_tot
+  FROM en GROUP BY score
+)"""
+
+
+def _nb_pr_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + _NB_EVAL_PER_SCORE
+        + """,
+tot AS (SELECT sum(n_pos) AS p FROM per),
+cum AS (
+  SELECT score AS threshold,
+         sum(n_pos) OVER (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(n_tot) OVER (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sum(n_pos) OVER (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM per
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(t.p - tp AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       round(CASE WHEN t.p > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                     + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)) > 0
+                  THEN (2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                            * (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
+                       / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                          + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE))) END, 6) AS f1
+FROM cum, tot t
+"""
+    )
+
+
+def _nb_auc_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + _NB_EVAL_PER_SCORE
+        + """,
+ranked AS (
+  SELECT n_pos, n_tot,
+         coalesce(sum(n_tot) OVER (ORDER BY score ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per
+),
+agg AS (
+  SELECT sum(n_pos * (2 * below + n_tot + 1)) AS two_r,
+         sum(n_pos) AS p, sum(n_tot) - sum(n_pos) AS n
+  FROM ranked
+)
+SELECT round(CASE WHEN p > 0 AND n > 0
+                  THEN CAST(two_r - p * (p + 1) AS DOUBLE)
+                       / CAST(2 * p * n AS DOUBLE) END, 6) AS auc,
+       CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+FROM agg
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -4936,6 +5159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_profile": doc_text_profile,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
+        "doc_nb_classify": doc_nb_classify,
+        "doc_nb_pr_curve": doc_nb_pr_curve,
+        "doc_nb_auc": doc_nb_auc,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_split_assignment": doc_split_assignment,
         "doc_quota_cap": doc_quota_cap,
@@ -5047,6 +5273,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_profile": _TEXT_PROFILE_ORACLE,
         "doc_quality": _QUALITY_ORACLE,
         "doc_lang_id": _LANG_ID_ORACLE,
+        "doc_nb_classify": _nb_classify_oracle_sql(),
+        "doc_nb_pr_curve": _nb_pr_oracle_sql(),
+        "doc_nb_auc": _nb_auc_oracle_sql(),
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_split_assignment": _split_assignment_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,

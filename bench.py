@@ -108,6 +108,9 @@ def main():
         "doc_text_profile",
         "doc_quality",
         "doc_lang_id",
+        "doc_nb_classify",
+        "doc_nb_pr_curve",
+        "doc_nb_auc",
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
         "doc_passage_removal",

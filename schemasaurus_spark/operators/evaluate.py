@@ -1,0 +1,119 @@
+"""Binary-score evaluation harness: threshold sweep (precision/recall/F1
+per achieved score) and exact tie-corrected ROC AUC.
+
+Every curation filter is a scorer + a threshold (quality gates, the NB
+classifier, LM perplexity, near-dup similarity); this module answers
+"how good is the scorer and where should the threshold sit" against any
+ground-truth boolean — the model-evaluation stage of the training-data
+pipeline (no reference counterpart; the formulas are the textbook
+PR/ROC definitions, AUC via the Mann-Whitney rank statistic with the
+standard average-rank tie correction).
+
+Exactness: both operators reduce the corpus to ONE per-distinct-score
+aggregate (score, n_pos, n_tot) — all counting, map-side combined.  From
+there the sweep is integer window cumsums (tp/fp/fn are exact int64) and
+the only floats are the output ratios, computed as one identically-
+parenthesized division chain and rounded to 6 in-engine (house
+discipline).  AUC works on DOUBLED average ranks so ties stay integer:
+2·R_pos = Σ_s n_pos(s)·(2·below(s) + n_tot(s) + 1), and
+AUC = (2·R_pos − P·(P+1)) / (2·P·N) — exact int64 numerator/denominator,
+one IEEE division, round-6.
+
+Scale shape: the per-score aggregate is the only corpus-sized pass; the
+sweep then runs over DISTINCT scores, so quantize continuous scorers
+upstream (the int64 fixed-point scores of operators/classify.py are
+already discrete; for raw doubles round to a grid first) — the
+post-aggregate window is a single ordered pass over that bounded table
+(fine for the ≤10^6 distinct thresholds anyone plots; it is
+metadata-sized, not corpus-sized).  Int64 bounds: P·(P+1) and 2·P·N
+overflow past ~2·10^9 positives — at that scale evaluate on a
+deterministic sample (operators/sampling.py), which is statistically
+what a curve is for anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _per_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """(score, n_pos, n_tot) per distinct score — the one corpus pass.
+    NULL scores/labels are excluded (no ground truth, no rank)."""
+    return (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.count(F.lit(1)).alias("n_tot"),
+        )
+    )
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Threshold sweep: one row per distinct achieved score t with the
+    confusion counts and ratios of the rule ``predict positive iff
+    score >= t`` — (threshold, tp, fp, fn, precision, recall, f1),
+    ratios round-6, F1 NULL when precision+recall is 0, recall NULL when
+    there are no positives."""
+    per = _per_score(df, score_col, label_col)
+    totals = per.agg(
+        F.sum("n_pos").alias("_p"), F.sum("n_tot").alias("_n_all")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w).alias("tp"),
+        (F.sum("n_tot").over(w) - F.sum("n_pos").over(w)).alias("fp"),
+    ).crossJoin(broadcast(totals))
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.when(
+        F.col("_p") > 0, F.col("tp").cast("double") / F.col("_p").cast("double")
+    )
+    f1 = F.when(
+        prec + rec > 0, (2.0 * prec * rec) / (prec + rec)
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("_p") - F.col("tp")).alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One row: (auc, n_pos, n_neg) — exact tie-corrected Mann-Whitney
+    AUC (probability a random positive outscores a random negative, ties
+    counting half).  NULL auc when either class is empty."""
+    per = _per_score(df, score_col, label_col)
+    w_below = Window.orderBy(F.col("score").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per.select(
+        "n_pos",
+        "n_tot",
+        F.coalesce(F.sum("n_tot").over(w_below), F.lit(0)).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("n_pos") * (2 * F.col("below") + F.col("n_tot") + 1)
+        ).alias("two_r_pos"),
+        F.sum("n_pos").alias("p"),
+        (F.sum("n_tot") - F.sum("n_pos")).alias("n"),
+    )
+    auc = F.when(
+        (F.col("p") > 0) & (F.col("n") > 0),
+        (F.col("two_r_pos") - F.col("p") * (F.col("p") + 1)).cast("double")
+        / (2 * F.col("p") * F.col("n")).cast("double"),
+    )
+    return agg.select(
+        F.round(auc, 6).alias("auc"),
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+    )
