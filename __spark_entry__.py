@@ -4939,6 +4939,40 @@ def doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the held-out NB predictions: (label,
+    predicted, n, share_of_label) — C² domain-bounded rows; the recall
+    share is the round-6 in-engine ratio the house parity discipline
+    requires."""
+    from schemasaurus_spark.operators.classify import confusion_matrix
+
+    return confusion_matrix(doc_nb_classify(spark, sf_dir))
+
+
+def _nb_confusion_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + """,
+best AS (
+  SELECT doc_id, label AS predicted, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+),
+preds AS (
+  SELECT t.lang AS label, b.predicted
+  FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1
+),
+cells AS (SELECT label, predicted, count(*) AS n FROM preds GROUP BY 1, 2)
+SELECT label, predicted, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+         AS share_of_label
+FROM cells
+"""
+    )
+
+
 def _nb_en_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared engine chain for the NB evaluation queries: the trained
     model's 'en' log-posterior per test doc + the is_en ground truth."""
@@ -5162,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_classify": doc_nb_classify,
         "doc_nb_pr_curve": doc_nb_pr_curve,
         "doc_nb_auc": doc_nb_auc,
+        "doc_nb_confusion": doc_nb_confusion,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_split_assignment": doc_split_assignment,
         "doc_quota_cap": doc_quota_cap,
@@ -5276,6 +5311,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_nb_classify": _nb_classify_oracle_sql(),
         "doc_nb_pr_curve": _nb_pr_oracle_sql(),
         "doc_nb_auc": _nb_auc_oracle_sql(),
+        "doc_nb_confusion": _nb_confusion_oracle_sql(),
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_split_assignment": _split_assignment_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,

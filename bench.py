@@ -111,6 +111,7 @@ def main():
         "doc_nb_classify",
         "doc_nb_pr_curve",
         "doc_nb_auc",
+        "doc_nb_confusion",
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
         "doc_passage_removal",

@@ -50,7 +50,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -241,6 +241,27 @@ def nb_classify(
         )
     )
     return best
+
+
+def confusion_matrix(
+    preds: DataFrame, label_col: str = "label", pred_col: str = "predicted"
+) -> DataFrame:
+    """(label, predicted, n) cell counts plus per-TRUE-class round-6
+    recall share — the C²-row summary of any classifier output (one
+    map-side-combined groupBy over prediction rows; C² is domain-
+    bounded, so everything after the aggregate is metadata-sized)."""
+    cells = preds.groupBy(label_col, pred_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = F.sum("n").over(Window.partitionBy(label_col))
+    return cells.select(
+        F.col(label_col).alias("label"),
+        F.col(pred_col).alias("predicted"),
+        "n",
+        F.round(F.col("n").cast("double") / w_tot.cast("double"), 6).alias(
+            "share_of_label"
+        ),
+    )
 
 
 def nb_train_classify(

@@ -158,3 +158,21 @@ def test_bucket_matches_python(spark):
     got = {r.doc_id: r.b for r in df.select("doc_id", nb_bucket("doc_id").alias("b")).collect()}
     for i in range(50):
         assert got[i] == _bucket(i)
+
+
+def test_confusion_matrix_closed_form(spark):
+    from schemasaurus_spark.operators.classify import confusion_matrix
+
+    preds = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")],
+        "label string, predicted string",
+    )
+    got = {
+        (r.label, r.predicted): (r.n, r.share_of_label)
+        for r in confusion_matrix(preds).collect()
+    }
+    assert got == {
+        ("a", "a"): (2, round(2 / 3, 6)),
+        ("a", "b"): (1, round(1 / 3, 6)),
+        ("b", "b"): (1, 1.0),
+    }
