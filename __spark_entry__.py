@@ -4587,6 +4587,74 @@ _HOST_EDGE_SQL = """
 """
 
 
+def doc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from document text (operators/links.py):
+    absolute URLs regex-extracted (one lookaround-free pattern both
+    engines run byte-identically), destinations collapsed to canonical
+    hosts (lowercase, www./default-port stripped), one map-side-combined
+    (src, dst) groupBy.  The corpus text carries no URLs, so links are
+    PLANTED deterministically from doc_id — mixed case, www., :443 and
+    tracking params included so the canonicalization rules are all
+    non-vacuous; the oracle replays the plant and the extraction."""
+    from schemasaurus_spark.operators.links import host_link_graph
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" see http://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" HTTPS://WWW.H"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".Example:443/q"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return host_link_graph(planted)
+
+
+_LINK_GRAPH_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id, source,
+         coalesce(text, '') || ' see http://h' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' HTTPS://WWW.H' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.Example:443/q'
+                   ELSE '' END AS text
+  FROM documents
+),
+links AS (
+  SELECT source AS src,
+         unnest(regexp_extract_all(text, '[Hh][Tt][Tt][Pp][Ss]?://[^\s"<>]+'))
+           AS url
+  FROM planted WHERE text IS NOT NULL AND source IS NOT NULL
+),
+hosts AS (
+  SELECT src,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             '^www\.', ''),
+           ':(80|443)$', '') AS dst
+  FROM links
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+FROM hosts WHERE dst <> '' GROUP BY src, dst
+"""
+
+
 def host_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over a deterministic host link graph
     (operators/rank.py): each doc contributes one within-source edge
@@ -5276,6 +5344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": doc_url_dedup,
         "embedding_centroid_drift": embedding_centroid_drift,
         "host_authority_rank": host_authority_rank,
+        "doc_link_graph": doc_link_graph,
         "doc_bpe_merges": doc_bpe_merges,
         "table_compaction_plan": table_compaction_plan,
         "doc_source_overlap": doc_source_overlap,
@@ -5391,6 +5460,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_dedup": _URL_DEDUP_ORACLE,
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
         "host_authority_rank": _pagerank_oracle_sql(10),
+        "doc_link_graph": _LINK_GRAPH_ORACLE,
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "table_compaction_plan": _COMPACTION_ORACLE,
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,

@@ -160,6 +160,7 @@ def main():
         "embedding_pq_topk",
         "embedding_centroid_drift",
         "host_authority_rank",
+        "doc_link_graph",
         "doc_bpe_merges",
         "table_compaction_plan",
         "doc_source_overlap",

@@ -66,6 +66,25 @@ def canonical_url(col) -> Column:
     return F.when(scheme == "", u).otherwise(canon)
 
 
+def url_host(col) -> Column:
+    """Canonical HOST of an absolute URL (the grouping key of the link
+    graph): lowercased authority with leading ``www.`` and default
+    ``:80``/``:443`` dropped — the same rules ``canonical_url`` applies,
+    exposed standalone.  Empty string for non-absolute inputs."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+            ),
+            r"^www\.",
+            "",
+        ),
+        ":(80|443)$",
+        "",
+    )
+
+
 def url_dup_groups(df: DataFrame, url_col: str) -> DataFrame:
     """Canonical-URL groups covering more than one raw spelling:
     ``(canonical_url, n_urls, n_raw)`` — n_urls rows collapse into this

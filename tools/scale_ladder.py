@@ -109,6 +109,18 @@ QUERIES = [
     # sources repeat, so each source's window set and each pair's shared
     # count grow ~k-fold: distinct + group-by-hash rows k-fold, linear
     "doc_source_overlap",
+    # round 4 session 9: NB classifier — cipher copies keep token
+    # namespaces disjoint, so vocabulary / weight-table / occurrence rows
+    # all grow ~k-fold while classes stay domain-bounded: ideal work
+    # linear (the model itself changes — copies' tokens dilute each
+    # class's totals — so wall is the measured quantity, rows ~k-fold)
+    "doc_nb_classify",
+    # PQ ADC top-k — embedding copies are per-copy sign-flip bijections
+    # (within-copy geometry preserved exactly, copies pushed into other
+    # orthants); probes stay the 8 copy-0 ids, the md5 codebook sample
+    # re-derives over the k-fold corpus at constant ks, so encode + ADC
+    # scan work is linear while result rows stay constant (40)
+    "embedding_pq_topk",
 ]
 
 
@@ -150,6 +162,31 @@ def build_corpus(spark, sf_dir: str, factor: int, out_dir: str) -> str:
         corpus = corpus.unionByName(p)
     path = os.path.join(out_dir, f"x{factor}")
     corpus.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    # embeddings ladder: copy k applies a deterministic per-copy SIGN-FLIP
+    # bijection per dimension — norms and every within-copy cosine are
+    # preserved exactly while copies land in different orthants; vec_ids
+    # shift so the fixed probe set (vec_id < 8) stays copy-0 only
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    eparts = [emb]
+    emax = emb.agg(F.max("vec_id")).first()[0] + 1
+    for k in range(1, factor):
+        flips = [(-1.0 if ((j * (k + 1) + 13 * k) % 5) < 2 else 1.0) for j in range(dim)]
+        flipped = emb.select(
+            (F.col("vec_id") + k * emax).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(f) for f in flips]),
+                lambda a, b: (a * b).cast("float"),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        eparts.append(flipped.select(emb.columns))
+    ecorpus = eparts[0]
+    for p in eparts[1:]:
+        ecorpus = ecorpus.unionByName(p)
+    ecorpus.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
     return path
 
 
