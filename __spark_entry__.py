@@ -849,6 +849,105 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the standard billion-scale ANN shape, oracled end to end:
+    the IVF coarse quantizer prunes each probe to its 4 nearest inverted
+    lists and PQ codes score the survivors (n_probe·n/n_list candidates
+    at m one-byte-code adds each; raw vectors never read at query time).
+    Both index constructions are the deterministic md5-ordered sample,
+    so ONE SQL query rebuilds the coarse centroids, the list assignment,
+    the codebooks, the codes, the probe LUTs and the ADC ranking."""
+    from schemasaurus_spark.operators.pq import build_pq_codebook, ivfpq_topk
+    from schemasaurus_spark.operators.similarity import build_ivf_index
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    index = build_ivf_index(emb, dim=64)
+    cb = build_pq_codebook(emb, dim=64, m=8, ks=16)
+    return ivfpq_topk(emb, probes, index, cb, k=5, n_probe=4)
+
+
+def _ivfpq_oracle_sql() -> str:
+    from schemasaurus_spark.operators.similarity import derive_n_list
+
+    n_list = derive_n_list(_oracle_embedding_count())
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+),
+ordered AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pos, v
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+),
+-- IVF coarse centroids: first n_list of the md5-ordered sample
+cents AS (SELECT pos AS list_id, v FROM ordered WHERE pos < {n_list}),
+-- PQ codebook sources: first 16 of the SAME ordered sample
+pqsrc AS (SELECT pos AS code, v FROM ordered WHERE pos < 16),
+cw AS (
+  SELECT mi, code, v[mi*8+1 : mi*8+8] AS c,
+         list_dot_product(v[mi*8+1 : mi*8+8], v[mi*8+1 : mi*8+8]) / 2 AS cchalf
+  FROM pqsrc, (SELECT unnest(range(8)) AS mi)
+),
+-- coarse assignment (ties to the smallest list id)
+assigned AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list_id ASC) AS rn
+  FROM emb e, cents c
+),
+corpus AS (SELECT vec_id, v, list_id FROM assigned WHERE rn = 1),
+-- PQ encode every corpus vector
+enc AS (
+  SELECT e.vec_id, w.mi, w.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, w.mi
+           ORDER BY list_dot_product(e.v[w.mi*8+1 : w.mi*8+8], w.c) - w.cchalf DESC,
+                    w.code ASC) AS rn
+  FROM emb e, cw w
+),
+codes AS (SELECT vec_id, mi, code FROM enc WHERE rn = 1),
+-- each probe's 4 nearest lists
+probe_lists AS (
+  SELECT e.vec_id AS probe_id, e.v AS pv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list_id ASC) AS rn
+  FROM emb e, cents c
+  WHERE e.vec_id < 8
+),
+-- per-probe ADC LUT
+lut AS (
+  SELECT p.vec_id AS probe_id, w.mi, w.code,
+         list_dot_product(p.v[w.mi*8+1 : w.mi*8+8], w.c) AS dp
+  FROM emb p, cw w
+  WHERE p.vec_id < 8
+),
+-- candidates: corpus rows in the probed lists, scored from codes alone
+scored AS (
+  SELECT pl.probe_id, x.vec_id AS neighbor_id,
+         list_sum(list(l.dp ORDER BY l.mi)) AS score
+  FROM (SELECT * FROM probe_lists WHERE rn <= 4) pl
+  JOIN corpus x USING (list_id)
+  JOIN codes c ON c.vec_id = x.vec_id
+  JOIN lut l ON l.probe_id = pl.probe_id AND l.mi = c.mi AND l.code = c.code
+  WHERE pl.probe_id <> x.vec_id
+  GROUP BY pl.probe_id, x.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(score, 6) AS adc_score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH
     (corpus-size-derived plane count, 2 independent tables, exact-vector
@@ -5294,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_pq_topk": embedding_pq_topk,
+        "embedding_ivfpq_topk": embedding_ivfpq_topk,
         "event_windowed_counts": event_windowed_counts,
         "event_sessionization": event_sessionization,
         "event_asof_join": event_asof_join,
@@ -5415,6 +5515,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle_sql(),
         "embedding_ivf_topk": _ivf_oracle_sql(),
         "embedding_pq_topk": _PQ_ORACLE,
+        "embedding_ivfpq_topk": _ivfpq_oracle_sql(),
         "event_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "event_sessionization": _SESSIONIZATION_ORACLE,
         "event_asof_join": _ASOF_ORACLE,

@@ -158,6 +158,7 @@ def main():
         "embedding_ivf_topk",
         "embedding_int8_topk",
         "embedding_pq_topk",
+        "embedding_ivfpq_topk",
         "embedding_centroid_drift",
         "host_authority_rank",
         "doc_link_graph",

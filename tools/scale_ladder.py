@@ -121,6 +121,9 @@ QUERIES = [
     # re-derives over the k-fold corpus at constant ks, so encode + ADC
     # scan work is linear while result rows stay constant (40)
     "embedding_pq_topk",
+    # IVFADC: same embedding ladder; n_list = sqrt(n) grows with the
+    # corpus so per-probe candidate work is ~n_probe·sqrt(n) — sublinear
+    "embedding_ivfpq_topk",
 ]
 
 
