@@ -4686,6 +4686,35 @@ _HOST_EDGE_SQL = """
 """
 
 
+def event_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour RANGE-frame stats per user
+    (operators/rolling.py): event count, exact fixed-point value sum and
+    round-6 mean over the user's last hour — the velocity feature pass.
+    Values quantized to the int64 1e-6 grid before the sliding sum, so
+    window-evaluator association order cannot change a bit; timestamps
+    leave as integer microsecond epochs."""
+    from schemasaurus_spark.operators.rolling import trailing_stats
+
+    return trailing_stats(_table(spark, sf_dir, "events"), window_seconds=3600)
+
+
+_TRAILING_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vfp
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT event_id, user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_events,
+       round(CAST(sum(vfp) OVER w AS DOUBLE) / 1000000.0, 6) AS sum_value,
+       round(CAST(sum(vfp) OVER w AS DOUBLE)
+             / CAST(count(vfp) OVER w AS DOUBLE) / 1000000.0, 6) AS avg_value
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def doc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph from document text (operators/links.py):
     absolute URLs regex-extracted (one lookaround-free pattern both
@@ -5445,6 +5474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_drift": embedding_centroid_drift,
         "host_authority_rank": host_authority_rank,
         "doc_link_graph": doc_link_graph,
+        "event_trailing_stats": event_trailing_stats,
         "doc_bpe_merges": doc_bpe_merges,
         "table_compaction_plan": table_compaction_plan,
         "doc_source_overlap": doc_source_overlap,
@@ -5562,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
         "host_authority_rank": _pagerank_oracle_sql(10),
         "doc_link_graph": _LINK_GRAPH_ORACLE,
+        "event_trailing_stats": _TRAILING_ORACLE,
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "table_compaction_plan": _COMPACTION_ORACLE,
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,

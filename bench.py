@@ -187,6 +187,7 @@ def main():
         "event_user_skew",
         "event_windowed_counts",
         "event_sessionization",
+        "event_trailing_stats",
         "event_asof_join",
         "event_range_join",
         "media_image_features",
