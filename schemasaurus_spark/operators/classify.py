@@ -131,6 +131,11 @@ def nb_train(
     }
     v = vocab.count()
     n_train = sum(doc_counts.values())
+    if n_train == 0 or v == 0:
+        raise ValueError(
+            "nb_train: no labeled, tokenized training documents "
+            f"(docs={n_train}, vocab={v})"
+        )
     classes = []
     for label in sorted(doc_counts):
         total = int(totals.get(label, 0))

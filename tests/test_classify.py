@@ -176,3 +176,15 @@ def test_confusion_matrix_closed_form(spark):
         ("a", "b"): (1, round(1 / 3, 6)),
         ("b", "b"): (1, 1.0),
     }
+
+
+def test_nb_train_empty_input_raises(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "  ", "a"), (3, "words here", None)],
+        "doc_id bigint, text string, lang string",
+    )
+    try:
+        nb_train(df, label_col="lang")
+        raise AssertionError("expected ValueError on empty training signal")
+    except ValueError as ex:
+        assert "no labeled" in str(ex)
