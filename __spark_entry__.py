@@ -1238,6 +1238,54 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def doc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the same synthetic changelog as
+    doc_latest_revision (operators/cdc.py scd2_intervals): every upsert
+    revision becomes a validity interval [valid_from, valid_to) closed by
+    the key's NEXT revision — deletes close the interval before them but
+    emit no row (tombstones), so a key whose final op is a delete has no
+    current row.  ONE window (hash exchange on doc_id + partition-local
+    sort, lead(1) streams without buffering history); the oracle states
+    the identical lead-window semantics."""
+    from schemasaurus_spark.operators.cdc import scd2_intervals
+
+    docs = _docs(spark, sf_dir)
+    changelog = docs.selectExpr(
+        "doc_id",
+        "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS rev",
+        "text",
+    ).selectExpr(
+        "doc_id",
+        "rev",
+        "CASE WHEN (doc_id + rev) % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op",
+        "concat(text, ' [rev ', CAST(rev AS STRING), ']') AS text",
+    )
+    return scd2_intervals(changelog, op_col="op").select(
+        "doc_id", "valid_from", "valid_to", "is_current", "text"
+    )
+
+
+_SCD2_HISTORY_ORACLE = """
+WITH revs AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS rev, text
+  FROM documents
+),
+changelog AS (
+  SELECT doc_id, rev,
+         CASE WHEN (doc_id + rev) % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         text || ' [rev ' || CAST(rev AS VARCHAR) || ']' AS text
+  FROM revs
+),
+intervals AS (
+  SELECT doc_id, op, text, rev AS valid_from,
+         lead(rev) OVER (PARTITION BY doc_id ORDER BY rev) AS valid_to
+  FROM changelog
+)
+SELECT doc_id, valid_from, valid_to, (valid_to IS NULL) AS is_current, text
+FROM intervals WHERE op <> 'delete'
+"""
+
+
 def doc_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota capping (bound any one domain's share of the
     corpus): deterministically the 10 smallest-hash docs of each source.
@@ -5397,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assignment": doc_split_assignment,
         "doc_quota_cap": doc_quota_cap,
         "doc_latest_revision": doc_latest_revision,
+        "doc_scd2_history": doc_scd2_history,
         "doc_quality_cube": doc_quality_cube,
         "doc_corpus_diff": doc_corpus_diff,
         "doc_source_mix": doc_source_mix,
@@ -5515,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assignment": _split_assignment_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,
         "doc_latest_revision": _LATEST_REVISION_ORACLE,
+        "doc_scd2_history": _SCD2_HISTORY_ORACLE,
         "doc_quality_cube": _QUALITY_CUBE_ORACLE,
         "doc_corpus_diff": _CORPUS_DIFF_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),

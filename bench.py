@@ -124,6 +124,7 @@ def main():
         "doc_zorder_layout",
         "doc_quota_cap",
         "doc_latest_revision",
+        "doc_scd2_history",
         "doc_quality_cube",
         "doc_quality_gate",
         "doc_constraint_suggestions",

@@ -86,3 +86,44 @@ def apply_changelog(
     drop_cols = [c for c in ((op_col,) if op_col else ()) if c is not None]
     upserts = survivors.drop(*drop_cols).select(*base.columns)
     return base.join(touched, key_col, "left_anti").unionByName(upserts)
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_col: str = "doc_id",
+    version_col: str = "rev",
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Expand a changelog into SCD type-2 validity intervals: one output
+    row per UPSERT revision carrying ``valid_from`` (its own version),
+    ``valid_to`` (the key's next revision's version — NULL while open)
+    and ``is_current`` (open-ended AND not closed by a delete).
+
+    Semantics: every revision — including deletes — closes the interval
+    before it; delete revisions emit no row of their own (tombstones),
+    so a key whose final op is a delete has all intervals closed and no
+    current row, while a later upsert resurrects the key with a fresh
+    open interval.  This is the dimension-table shape every warehouse
+    keeps for as-of joins over entity history.
+
+    Scale shape: ONE window over (key, version) — a single hash exchange
+    on the key and a partition-local sort; ``lead(1)`` is an offset
+    frame, so WindowExec streams each key's history without buffering it
+    (unlike rank-based dedup).  Versions must totally order each key's
+    revisions; output is input-columns + (valid_from, valid_to,
+    is_current), with ``version_col`` replaced by the interval bounds."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    nxt = F.lead(F.col(version_col)).over(w)
+    out = changelog.select(
+        *[c for c in changelog.columns if c != version_col],
+        F.col(version_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+    )
+    if op_col is not None:
+        # the lead window above saw the delete rows (they CLOSE the
+        # interval before them); only now are the tombstones dropped
+        out = out.where(F.col(op_col).isNull() | (F.col(op_col) != delete_op))
+    return out.withColumn("is_current", F.col("valid_to").isNull())
