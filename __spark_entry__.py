@@ -3605,6 +3605,54 @@ def _fd_oracle_sql() -> str:
     )
 
 
+def doc_skipping_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping evaluation (operators/skipping.py): per-file
+    min/max/count stats for TWO candidate layouts — ingestion order
+    (doc_id DIV 64) vs value-clustered (n_chars DIV 32) — plus the
+    metadata pruning verdict and the exact matching-row count for the
+    predicate n_chars BETWEEN 200 AND 300, all from ONE scan (each row
+    explodes into every layout's file before the map-side-combined
+    groupBy; the exchange is files-sized, never data-sized).  The output
+    reads the layout decision directly: the clustered layout's kept
+    files are exactly the buckets intersecting the range, while the
+    ingest layout keeps nearly every file for the same predicate."""
+    from schemasaurus_spark.operators.skipping import range_skipping_profile
+
+    docs = _docs(spark, sf_dir)
+    return range_skipping_profile(
+        docs,
+        {
+            "ingest": F.expr("doc_id DIV 64"),
+            "clustered": F.expr("n_chars DIV 32"),
+        },
+        "n_chars",
+        200,
+        300,
+    )
+
+
+_SKIPPING_PROFILE_ORACLE = """
+WITH tagged AS (
+  SELECT 'ingest' AS layout, doc_id // 64 AS file_id, n_chars AS v
+  FROM documents
+  UNION ALL
+  SELECT 'clustered' AS layout, n_chars // 32 AS file_id, n_chars AS v
+  FROM documents
+),
+maps AS (
+  SELECT layout, file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(v) AS min_v, max(v) AS max_v,
+         CAST(coalesce(sum(CASE WHEN v BETWEEN 200 AND 300 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_matching
+  FROM tagged GROUP BY layout, file_id
+)
+SELECT layout, file_id, n_rows, min_v, max_v, n_matching,
+       (min_v IS NULL OR max_v < 200 OR min_v > 300) AS prunable
+FROM maps
+"""
+
+
 def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering layout (operators/zorder.py): Morton-interleaved
     (doc_id, n_chars) at 8 bits/dim into 16 fixed-width buckets, reporting
@@ -5501,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_schema_drift": event_props_schema_drift,
         "doc_fd_profile": doc_fd_profile,
         "doc_zorder_layout": doc_zorder_layout,
+        "doc_skipping_profile": doc_skipping_profile,
         "doc_heavy_tokens": doc_heavy_tokens,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dataset_checksum": doc_dataset_checksum,
@@ -5620,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_schema_drift": _SCHEMA_DRIFT_ORACLE,
         "doc_fd_profile": _fd_oracle_sql(),
         "doc_zorder_layout": _zorder_oracle_sql(),
+        "doc_skipping_profile": _SKIPPING_PROFILE_ORACLE,
         "doc_heavy_tokens": _HEAVY_ORACLE,
         "doc_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "doc_dataset_checksum": _CHECKSUM_ORACLE,

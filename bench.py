@@ -122,6 +122,7 @@ def main():
         "doc_split_assignment",
         "doc_weighted_sample",
         "doc_zorder_layout",
+        "doc_skipping_profile",
         "doc_quota_cap",
         "doc_latest_revision",
         "doc_scd2_history",
