@@ -4782,6 +4782,63 @@ _HOST_EDGE_SQL = """
 """
 
 
+def event_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with forward fill (operators/resample.py):
+    each user's 'view' value series regularized to 6-hour buckets — one
+    row per bucket from the user's first observation to its last, gaps
+    carried forward (last observation at-or-before the bucket, ties on
+    equal ts broken by event_id).  The corpus is scanned once into a
+    map-side-combined (user, bucket) aggregate; the grid explodes from
+    that aggregate's per-user span (grid-sized, never event-sized), and
+    the values are copied verbatim — zero float arithmetic, so the
+    oracle hash-matches bit-for-bit."""
+    from schemasaurus_spark.operators.resample import resample_ffill
+
+    views = _table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    )
+    return resample_ffill(views, step_us=21_600_000_000)
+
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, ts, event_id, value
+  FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+last_obs AS (
+  SELECT user_id, bucket, value AS v_last FROM (
+    SELECT user_id, bucket, value,
+           row_number() OVER (PARTITION BY user_id, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM obs) q
+  WHERE rn = 1
+),
+per_bucket AS (
+  SELECT o.user_id, o.bucket, CAST(count(*) AS BIGINT) AS n_obs, min(l.v_last) AS v_last
+  FROM obs o JOIN last_obs l ON o.user_id = l.user_id AND o.bucket = l.bucket
+  GROUP BY o.user_id, o.bucket
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+  FROM per_bucket GROUP BY user_id
+),
+joined AS (
+  SELECT g.user_id, g.bucket,
+         coalesce(p.n_obs, 0) AS n_obs, p.v_last
+  FROM grid g LEFT JOIN per_bucket p
+    ON g.user_id = p.user_id AND g.bucket = p.bucket
+)
+SELECT user_id, bucket, n_obs,
+       last_value(v_last IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_ffill
+FROM joined
+"""
+
+
 def event_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing 1-hour RANGE-frame stats per user
     (operators/rolling.py): event count, exact fixed-point value sum and
@@ -4845,6 +4902,90 @@ def doc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return host_link_graph(planted)
+
+
+def doc_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 inlink anchor-text tokens per target host
+    (operators/links.py anchor_text_summary): anchors planted
+    deterministically from doc_id — every doc links one lowercase host
+    with a per-doc token + a shared token, even docs add a second
+    mixed-case/www./:443 link so host canonicalization is non-vacuous.
+    One corpus scan, anchor-vocabulary-sized exchange (map-side-combined
+    (host, token) counts), WindowGroupLimit top-k on the aggregated
+    table; ties break lexicographically so both engines total-order."""
+    from schemasaurus_spark.operators.links import anchor_text_summary
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(' <a href="http://h'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">tok'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" common</a>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(' <a href="HTTPS://WWW.H'),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit('.Example:443/q">tok'),
+                    (F.col("doc_id") % 11).cast("string"),
+                    F.lit(" Extra</a>"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return anchor_text_summary(planted, k=3)
+
+
+_ANCHOR_TEXT_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || ' <a href="http://h' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR)
+           || '">tok' || CAST(doc_id % 5 AS VARCHAR) || ' common</a>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' <a href="HTTPS://WWW.H' || CAST(doc_id % 3 AS VARCHAR)
+                        || '.Example:443/q">tok' || CAST(doc_id % 11 AS VARCHAR)
+                        || ' Extra</a>'
+                   ELSE '' END AS text
+  FROM documents
+),
+tags AS (
+  SELECT unnest(regexp_extract_all(text, '<a href="[^"]+"[^>]*>[^<]*</a>'))
+           AS tag
+  FROM planted WHERE text IS NOT NULL
+),
+anchors AS (
+  SELECT regexp_extract(tag, 'href="([^"]+)"', 1) AS url,
+         regexp_extract(tag, '>([^<]*)<', 1) AS anchor
+  FROM tags
+),
+toks AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             '^www\.', ''),
+           ':(80|443)$', '') AS host,
+         unnest(string_split(lower(anchor), ' ')) AS token
+  FROM anchors
+),
+counts AS (
+  SELECT host, token, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE host <> '' AND token <> ''
+  GROUP BY host, token
+)
+SELECT host, token, n, rnk FROM (
+  SELECT host, token, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, token) AS rnk
+  FROM counts) q
+WHERE rnk <= 3
+"""
 
 
 _LINK_GRAPH_ORACLE = r"""
@@ -5572,7 +5713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_drift": embedding_centroid_drift,
         "host_authority_rank": host_authority_rank,
         "doc_link_graph": doc_link_graph,
+        "doc_anchor_text": doc_anchor_text,
         "event_trailing_stats": event_trailing_stats,
+        "event_resample": event_resample,
         "doc_bpe_merges": doc_bpe_merges,
         "table_compaction_plan": table_compaction_plan,
         "doc_source_overlap": doc_source_overlap,
@@ -5692,7 +5835,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroid_drift": _EMB_CENTROID_ORACLE,
         "host_authority_rank": _pagerank_oracle_sql(10),
         "doc_link_graph": _LINK_GRAPH_ORACLE,
+        "doc_anchor_text": _ANCHOR_TEXT_ORACLE,
         "event_trailing_stats": _TRAILING_ORACLE,
+        "event_resample": _RESAMPLE_ORACLE,
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "table_compaction_plan": _COMPACTION_ORACLE,
         "doc_source_overlap": _SOURCE_OVERLAP_ORACLE,

@@ -164,6 +164,7 @@ def main():
         "embedding_centroid_drift",
         "host_authority_rank",
         "doc_link_graph",
+        "doc_anchor_text",
         "doc_bpe_merges",
         "table_compaction_plan",
         "doc_source_overlap",
@@ -190,6 +191,7 @@ def main():
         "event_windowed_counts",
         "event_sessionization",
         "event_trailing_stats",
+        "event_resample",
         "event_asof_join",
         "event_range_join",
         "media_image_features",

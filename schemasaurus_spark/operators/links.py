@@ -73,3 +73,65 @@ def host_link_graph(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+# one well-formed anchor tag; both Java regex and RE2 run it identically
+# (no lookarounds, no backreferences)
+ANCHOR_RE = r'<a href="[^"]+"[^>]*>[^<]*</a>'
+
+
+def extract_anchors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, url, anchor) — one row per well-formed ``<a href>`` tag in
+    the text.  Map-only projection + explode, zero UDFs: the tag list
+    comes from one regexp_extract_all pass, href/anchor from two group
+    extractions over the (short) tag string, never the document."""
+    tags = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_RE), 0)
+        ).alias("tag"),
+    )
+    return tags.select(
+        id_col,
+        F.regexp_extract("tag", r'href="([^"]+)"', 1).alias("url"),
+        F.regexp_extract("tag", r">([^<]*)<", 1).alias("anchor"),
+    )
+
+
+def anchor_text_summary(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k anchor-text tokens per target host: (host, token, n, rnk).
+
+    Inlink anchor text is the classic external description of a page —
+    web-scale curation uses it both as a retrieval field (anchors often
+    describe the target better than its own boilerplate) and as a spam
+    signal (one token dominating a host's inlinks).  Scale shape: the
+    corpus is touched once (extract + explode projections); the single
+    exchange carries (host, token) partial counts already combined
+    map-side, so it is anchor-vocabulary-sized; the top-k window runs on
+    that aggregated table and Catalyst plans it as WindowGroupLimit —
+    per-partition heaps of k, no full per-host sort materialization.
+    Tokens are lowercased and split on single spaces (anchor text is
+    short and already display-formatted); empty anchors contribute
+    nothing.  Ties break lexicographically so results are total-ordered
+    and engine-invariant."""
+    from pyspark.sql import Window
+
+    anchors = extract_anchors(df, text_col=text_col, id_col=id_col)
+    toks = anchors.select(
+        url_host(F.col("url")).alias("host"),
+        F.explode(F.split(F.lower("anchor"), " ")).alias("token"),
+    ).where((F.col("host") != "") & (F.col("token") != ""))
+    counts = toks.groupBy("host", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
