@@ -5604,6 +5604,109 @@ FROM agg
     )
 
 
+_DSIR_SEED = 7
+_DSIR_BUCKETS = 4096
+_DSIR_K = 100
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared engine chain for the DSIR queries: hashed-n-gram importance
+    model fit with target = English documents, raw = the whole corpus,
+    scored over the whole corpus (operators/dsir.py)."""
+    from schemasaurus_spark.operators.dsir import dsir_fit, dsir_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    model = dsir_fit(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    return dsir_scores(model, docs)
+
+
+def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score (quantized int64 log-weight
+    Σ fp(ln p_en) − fp(ln p_raw) over hashed unigram+bigram buckets) —
+    the data-selection signal pulling a raw corpus toward the English
+    target distribution."""
+    return _dsir_scored(spark, sf_dir)
+
+
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resample of the DSIR-scored corpus: the
+    deterministic (md5-Gumbel) weighted sample a curation pipeline would
+    feed to training — selection key and membership engine-invariant."""
+    from schemasaurus_spark.operators.dsir import dsir_resample
+
+    return dsir_resample(
+        _dsir_scored(spark, sf_dir), k=_DSIR_K, seed=_DSIR_SEED
+    )
+
+
+def _dsir_oracle_prefix() -> str:
+    """Shared CTE chain replaying dsir_fit + dsir_scores: tokenize →
+    unigram+bigram md5 buckets → Laplace-smoothed quantized log-ratio
+    weights → per-doc integer scores."""
+    b = _DSIR_BUCKETS
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+feats AS (
+  SELECT doc_id, lang,
+         unnest(l || list_transform(range(1, length(l)),
+                                    i -> l[i] || ' ' || l[i+1])) AS f
+  FROM toks
+),
+fb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM feats
+),
+tcnt AS (SELECT bucket, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+ttot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tcnt),
+rtot AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rcnt),
+w AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         CAST(floor(ln((CAST(coalesce(t.tc, 0) AS DOUBLE) + 1.0)
+                       / (tt.tt + {b}.0)) * 1000000.0 + 0.5) AS BIGINT)
+         - CAST(floor(ln((CAST(coalesce(r.rc, 0) AS DOUBLE) + 1.0)
+                         / (rt.rt + {b}.0)) * 1000000.0 + 0.5) AS BIGINT) AS w_fp
+  FROM tcnt t FULL JOIN rcnt r ON t.bucket = r.bucket, ttot tt, rtot rt
+),
+occ AS (SELECT doc_id, bucket, count(*) AS occ FROM fb GROUP BY doc_id, bucket),
+scores AS (
+  SELECT o.doc_id, sum(o.occ * w.w_fp) AS score_fp
+  FROM occ o JOIN w USING (bucket) GROUP BY o.doc_id
+)"""
+
+
+def _dsir_scores_oracle_sql() -> str:
+    return (
+        _dsir_oracle_prefix()
+        + """
+SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp FROM scores
+"""
+    )
+
+
+def _dsir_sample_oracle_sql() -> str:
+    return (
+        _dsir_oracle_prefix()
+        + f""",
+keyed AS (
+  SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp,
+         CAST(score_fp AS BIGINT)
+         + CAST(floor((-ln(-ln((CAST(('0x' || substr(md5(doc_id || ':dsir:{_DSIR_SEED}'), 1, 8)) AS BIGINT) + 0.5)
+                               / 4294967296.0))) * 1000000.0 + 0.5) AS BIGINT) AS key_fp
+  FROM scores
+)
+SELECT doc_id, score_fp, key_fp
+FROM keyed ORDER BY key_fp DESC, doc_id ASC LIMIT {_DSIR_K}
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -5723,6 +5826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_attribution": event_attribution,
         "event_retention": event_retention,
         "doc_collocations": doc_collocations,
+        "doc_dsir_scores": doc_dsir_scores,
+        "doc_dsir_sample": doc_dsir_sample,
     }
 
 
@@ -5845,4 +5950,6 @@ def oracle_sql() -> dict[str, str]:
         "event_attribution": _ATTRIBUTION_ORACLE,
         "event_retention": _RETENTION_ORACLE,
         "doc_collocations": _COLLOC_ORACLE,
+        "doc_dsir_scores": _dsir_scores_oracle_sql(),
+        "doc_dsir_sample": _dsir_sample_oracle_sql(),
     }
