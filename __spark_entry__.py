@@ -2809,6 +2809,67 @@ def northrule_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_profile(_northrule_docs(spark))
 
 
+def northrule_caption_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-span caption-candidate mining (operators/captions.py):
+    nearest preceding/following text span + the deterministic pick
+    (following wins ties) — the multimodal pair-extraction stage.  ZERO
+    shuffles engine-side (in-array nearest-text search + one generator);
+    the oracle replays with rn-partitioned windows (per PHYSICAL row —
+    duplicate doc_ids, interleave_profile's documented trap)."""
+    from schemasaurus_spark.operators.captions import caption_contexts
+
+    return caption_contexts(_northrule_docs(spark))
+
+
+def _caption_oracle_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+ex AS (
+  SELECT rn, doc_id, unnest(spans) AS s, generate_subscripts(spans, 1) - 1 AS i
+  FROM docs
+),
+sp AS (
+  SELECT rn, doc_id, CAST(i AS INTEGER) AS i, s.kind AS kind, s.text AS text,
+         s.media_ref AS media_ref
+  FROM ex
+),
+ctx AS (
+  SELECT *,
+         max(CASE WHEN kind = 'text' THEN i END)
+           OVER (PARTITION BY rn ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ti,
+         min(CASE WHEN kind = 'text' THEN i END)
+           OVER (PARTITION BY rn ORDER BY i
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ti
+  FROM sp
+),
+media AS (
+  SELECT *,
+         CASE WHEN next_ti IS NOT NULL
+                   AND (prev_ti IS NULL OR (next_ti - i) <= (i - prev_ti))
+              THEN 'next'
+              WHEN prev_ti IS NOT NULL THEN 'prev'
+         END AS caption_src
+  FROM ctx
+  WHERE kind IN ('image', 'audio') AND media_ref IS NOT NULL
+)
+SELECT m.doc_id, m.i AS span_idx, m.kind, m.media_ref,
+       CAST(m.prev_ti AS INTEGER) AS prev_text_idx,
+       CAST(m.next_ti AS INTEGER) AS next_text_idx,
+       m.caption_src,
+       t.text AS caption,
+       CAST(coalesce(length(t.text), 0) AS BIGINT) AS caption_len
+FROM media m
+LEFT JOIN sp t
+  ON t.rn = m.rn
+ AND t.i = CASE WHEN m.caption_src = 'next' THEN m.next_ti
+                WHEN m.caption_src = 'prev' THEN m.prev_ti END
+"""
+
+
 def _interleave_oracle_sql() -> str:
     return f"""
 WITH docs AS (
@@ -5780,6 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_dangling_media": northrule_dangling_media,
         "northrule_span_integrity": northrule_span_integrity,
         "northrule_interleave_profile": northrule_interleave_profile,
+        "northrule_caption_contexts": northrule_caption_contexts,
         "event_value_quartiles": event_value_quartiles,
         "event_props_validation": event_props_validation,
         "event_props_normalization": event_props_normalization,
@@ -5909,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,
         "northrule_span_integrity": _SI_ORACLE,
         "northrule_interleave_profile": _interleave_oracle_sql(),
+        "northrule_caption_contexts": _caption_oracle_sql(),
         "event_type_chi2_drift": _CHI2_ORACLE,
         "event_value_psi_drift": _PSI_ORACLE,
         "event_value_ks_drift": _KS_ORACLE,
