@@ -2870,6 +2870,60 @@ LEFT JOIN sp t
 """
 
 
+def northrule_span_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-aware multimodal packing (packing.pack_spans): interleaved
+    docs packed into 2048-token sequences with fixed media costs
+    (image 576 / audio 128 / ref 1) plus whitespace text tokens — the
+    batch-prep stage for multimodal pretraining.  Cost is one in-array
+    fold; the only shuffle is the per-shard window cumsum; duplicate
+    doc_ids stay deterministic via the (md5, cost) order key."""
+    from schemasaurus_spark.operators.packing import pack_spans
+
+    return pack_spans(_northrule_docs(spark), budget=2048, n_shards=8, seed=0)
+
+
+def _span_packing_oracle_sql() -> str:
+    return rf"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+ex AS (SELECT rn, doc_id, unnest(spans) AS s FROM docs),
+cost AS (
+  SELECT rn, any_value(doc_id) AS doc_id,
+         sum(CASE WHEN s.kind = 'text' THEN
+               CASE WHEN s.text IS NULL OR trim(s.text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(s.text), '\s+')) END
+             ELSE 0 END) AS n_text_tokens,
+         sum(CASE s.kind WHEN 'image' THEN 576 WHEN 'audio' THEN 128
+                         WHEN 'ref' THEN 1 ELSE 0 END) AS n_media_tokens
+  FROM ex GROUP BY rn
+),
+base AS (
+  SELECT doc_id, n_text_tokens + n_media_tokens AS n_tokens,
+         n_text_tokens, n_media_tokens,
+         md5(doc_id || ':sp:0') AS k,
+         CAST(('0x' || substr(md5(doc_id || '#sp#0'), 1, 4)) AS INTEGER) % 8
+           AS shard
+  FROM cost WHERE n_text_tokens + n_media_tokens > 0
+),
+w AS (
+  SELECT doc_id, n_tokens, n_text_tokens, n_media_tokens, shard,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY k, n_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_text_tokens AS BIGINT) AS n_text_tokens,
+       CAST(n_media_tokens AS BIGINT) AS n_media_tokens,
+       CAST(shard AS INTEGER) AS shard,
+       CAST(floor(strt / 2048) AS BIGINT) AS seq_id,
+       CAST(strt % 2048 AS BIGINT) AS seq_offset
+FROM w
+"""
+
+
 def _interleave_oracle_sql() -> str:
     return f"""
 WITH docs AS (
@@ -5890,6 +5944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": doc_collocations,
         "doc_dsir_scores": doc_dsir_scores,
         "doc_dsir_sample": doc_dsir_sample,
+        "northrule_span_packing": northrule_span_packing,
     }
 
 
@@ -6015,4 +6070,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_collocations": _COLLOC_ORACLE,
         "doc_dsir_scores": _dsir_scores_oracle_sql(),
         "doc_dsir_sample": _dsir_sample_oracle_sql(),
+        "northrule_span_packing": _span_packing_oracle_sql(),
     }

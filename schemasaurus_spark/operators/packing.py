@@ -85,6 +85,103 @@ def pack_documents(
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 8,
+    seed: int = 0,
+    image_tokens: int = 576,
+    audio_tokens: int = 128,
+    ref_tokens: int = 1,
+) -> DataFrame:
+    """Span-aware packing of interleaved text+media documents: a media
+    span consumes a FIXED token cost (image patches / audio frames — the
+    LLaVA-style 576-tokens-per-image accounting), text spans their
+    whitespace token count, and the document packs as one unsplittable
+    run of ``n_tokens = n_text_tokens + n_media_tokens``.
+
+    Same two-level scale shape as :func:`pack_documents` (md5 shard +
+    per-shard window cumsum, the only shuffle), with two differences:
+
+    * the cost is an in-array fold over ``spans`` — zero extra scans;
+    * the per-shard order key is ``(md5, n_tokens)`` — duplicate doc_ids
+      (real in span corpora) collide on the md5 alone, and two tied rows
+      with DIFFERENT costs would make the cumsum order-dependent; adding
+      the cost to the key makes the output multiset deterministic (tied
+      rows with equal cost are interchangeable).
+
+    Documents with NULL/empty spans or zero total cost carry no
+    trainable content and are excluded (the oracle mirrors)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    spans = F.coalesce(F.col(spans_col), F.array())
+
+    def fold_cost(text_side: bool):
+        def merge(acc, s):
+            text_c = token_count(s["text"]).cast("long")
+            media_c = (
+                F.when(s["kind"] == "image", F.lit(image_tokens))
+                .when(s["kind"] == "audio", F.lit(audio_tokens))
+                .when(s["kind"] == "ref", F.lit(ref_tokens))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            inc = (
+                F.when(s["kind"] == "text", text_c).otherwise(F.lit(0).cast("long"))
+                if text_side
+                else F.when(s["kind"] == "text", F.lit(0).cast("long")).otherwise(
+                    media_c
+                )
+            )
+            return acc + inc
+
+        return F.aggregate(spans, F.lit(0).cast("long"), merge)
+
+    key = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit("sp"), F.lit(str(seed)))
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col(id_col).cast("string"), F.lit("sp"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % n_shards
+    )
+    base = df.select(
+        F.col(id_col),
+        fold_cost(True).alias("n_text_tokens"),
+        fold_cost(False).alias("n_media_tokens"),
+        key.alias("_key"),
+        shard.cast("int").alias("shard"),
+    ).withColumn("n_tokens", F.col("n_text_tokens") + F.col("n_media_tokens"))
+    base = base.where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("_key", "n_tokens")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_text_tokens",
+        "n_media_tokens",
+        "shard",
+        F.floor(start / budget).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("seq_offset"),
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int = 256) -> DataFrame:
     """Per-shard fill report: sequences used, total tokens, mean fill
     fraction — the number a pipeline watches to size ``budget``."""
