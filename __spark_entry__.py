@@ -5822,6 +5822,139 @@ FROM keyed ORDER BY key_fp DESC, doc_id ASC LIMIT {_DSIR_K}
     )
 
 
+def _boilerplate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line plant over documents (corpus text carries
+    no newlines): a per-source nav line in EVERY doc (case + whitespace
+    variants that normalize equal), a cookie banner in ~2/3 of docs
+    (above the 50% bar), a subscribe line in ~1/3 (repeated but UNDER
+    the bar — the negative case), a unique body line, and trailing
+    blank lines in every 5th doc (empty-line skipping non-vacuous)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    nl = F.lit("\n")
+    nav = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("NAV  "), F.upper("source"), F.lit(" | HOME")),
+    ).otherwise(F.concat(F.lit("nav "), F.col("source"), F.lit(" | home")))
+    body = F.concat(
+        nl,
+        F.lit("b"),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.coalesce("text", F.lit("")),
+    )
+    cookie = F.when(
+        F.col("doc_id") % 3 != 0, F.concat(nl, F.lit("We  use Cookies"))
+    ).otherwise(F.lit(""))
+    subscribe = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(nl, F.lit("SUBSCRIBE now"))
+    ).otherwise(F.lit(""))
+    blanks = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(nl, F.lit("  "), nl)
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(nav, body, cookie, subscribe, blanks).alias("text"),
+    )
+
+
+def doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate line profile (operators/boilerplate.py):
+    normalized lines in >=2 distinct docs AND >=50% of the source's
+    line-contributing docs.  One posexplode projection + two distinct
+    aggregates (both map-side partial-distinct); output is bounded by
+    the boilerplate vocabulary — metadata-sized."""
+    from schemasaurus_spark.operators.boilerplate import boilerplate_lines
+
+    return boilerplate_lines(_boilerplate_planted(spark, sf_dir))
+
+
+def doc_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal applied (operators/boilerplate.py): per doc
+    the non-empty line count, surviving count, and the '\\n'-rejoined
+    surviving raw lines in original order.  The boilerplate set is tiny
+    (that's what makes it boilerplate) so AQE broadcasts the tag join;
+    reassembly is one doc-keyed groupBy of bounded-size documents."""
+    from schemasaurus_spark.operators.boilerplate import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(_boilerplate_planted(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "clean_text",
+    )
+
+
+_BOILERPLATE_ORACLE_PREFIX = r"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0 THEN 'NAV  ' || upper(source) || ' | HOME'
+              ELSE 'nav ' || source || ' | home' END
+         || chr(10) || 'b' || CAST(doc_id AS VARCHAR) || ' ' || coalesce(text, '')
+         || CASE WHEN doc_id % 3 <> 0 THEN chr(10) || 'We  use Cookies' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SUBSCRIBE now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '  ' || chr(10) ELSE '' END
+           AS text
+  FROM documents
+),
+rawlines AS (
+  SELECT doc_id, source,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM planted WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, source, pos, line,
+         lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS norm
+  FROM rawlines
+  WHERE lower(regexp_replace(trim(line), '\s+', ' ', 'g')) <> ''
+),
+src_docs AS (
+  SELECT source, count(DISTINCT doc_id) AS n_source_docs FROM lines GROUP BY source
+),
+freq AS (
+  SELECT source, norm, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY source, norm
+),
+bp AS (
+  SELECT f.source, f.norm, f.n_docs, s.n_source_docs
+  FROM freq f JOIN src_docs s ON f.source = s.source
+  WHERE f.n_docs >= 2 AND f.n_docs * 100 >= 50 * s.n_source_docs
+)"""
+
+
+_BOILERPLATE_LINES_ORACLE = (
+    _BOILERPLATE_ORACLE_PREFIX
+    + """
+SELECT source, norm AS line_norm, n_docs, n_source_docs FROM bp
+"""
+)
+
+
+_BOILERPLATE_CLEAN_ORACLE = (
+    _BOILERPLATE_ORACLE_PREFIX
+    + """,
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line, (b.norm IS NULL) AS keep
+  FROM lines l LEFT JOIN bp b ON l.source = b.source AND l.norm = b.norm
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+           AS clean_text
+  FROM tagged GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM planted WHERE text IS NOT NULL) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -5945,6 +6078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_scores": doc_dsir_scores,
         "doc_dsir_sample": doc_dsir_sample,
         "northrule_span_packing": northrule_span_packing,
+        "doc_boilerplate_lines": doc_boilerplate_lines,
+        "doc_boilerplate_clean": doc_boilerplate_clean,
     }
 
 
@@ -6071,4 +6206,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_scores": _dsir_scores_oracle_sql(),
         "doc_dsir_sample": _dsir_sample_oracle_sql(),
         "northrule_span_packing": _span_packing_oracle_sql(),
+        "doc_boilerplate_lines": _BOILERPLATE_LINES_ORACLE,
+        "doc_boilerplate_clean": _BOILERPLATE_CLEAN_ORACLE,
     }
