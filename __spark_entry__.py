@@ -5822,6 +5822,82 @@ FROM keyed ORDER BY key_fp DESC, doc_id ASC LIMIT {_DSIR_K}
     )
 
 
+def embedding_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means cells (the IVF coarse
+    quantizer's deterministic md5-ordered sample, ceil(n/64) cells so
+    expected cell size is constant in n), within-cell cosine pairs,
+    connected components, keep = the member LEAST similar to its
+    centroid (round-6, id tie-break).  The oracle rebuilds the identical
+    index in SQL (same sample, same argmax assignment), replays the
+    within-cell pair join and nests it under the recursive-CTE
+    reachability, then re-derives the keep rank."""
+    from schemasaurus_spark.operators.semdedup import semantic_dup_members
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dup_members(emb, dim=64, threshold=0.3)
+
+
+def _semdedup_oracle_sql() -> str:
+    from schemasaurus_spark.operators.semdedup import derive_semdedup_n_list
+
+    n_list = derive_semdedup_n_list(_oracle_embedding_count())
+    return f"""
+WITH RECURSIVE
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id, v
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_list}
+),
+assigned AS (
+  SELECT vec_id, v, list_id, centroid_sim FROM (
+    SELECT e.vec_id, e.v, c.list_id,
+           list_cosine_similarity(e.v, c.v) AS centroid_sim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                       c.list_id ASC) AS rn
+    FROM emb e, cents c) q
+  WHERE rn = 1
+),
+-- cells over the list_cap (5000) would be excluded here; none are at
+-- this scale, and the predicate replays the engine's rule exactly
+sizes AS (SELECT list_id, count(*) AS n FROM assigned GROUP BY list_id),
+paired AS (
+  SELECT a.* FROM assigned a JOIN sizes s ON a.list_id = s.list_id
+  WHERE s.n <= 5000
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM paired a JOIN paired b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+),
+comp AS (SELECT id AS vec_id, min(r) AS comp_id FROM reach GROUP BY id)
+SELECT c.vec_id, c.comp_id,
+       round(a.centroid_sim, 6) AS centroid_sim,
+       (row_number() OVER (PARTITION BY c.comp_id
+                           ORDER BY round(a.centroid_sim, 6) ASC,
+                                    c.vec_id ASC) = 1) AS keep
+FROM comp c JOIN assigned a ON c.vec_id = a.vec_id
+"""
+
+
 def _boilerplate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-line plant over documents (corpus text carries
     no newlines): a per-source nav line in EVERY doc (case + whitespace
@@ -6080,6 +6156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_packing": northrule_span_packing,
         "doc_boilerplate_lines": doc_boilerplate_lines,
         "doc_boilerplate_clean": doc_boilerplate_clean,
+        "embedding_semantic_dups": embedding_semantic_dups,
     }
 
 
@@ -6208,4 +6285,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_packing": _span_packing_oracle_sql(),
         "doc_boilerplate_lines": _BOILERPLATE_LINES_ORACLE,
         "doc_boilerplate_clean": _BOILERPLATE_CLEAN_ORACLE,
+        "embedding_semantic_dups": _semdedup_oracle_sql(),
     }

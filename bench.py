@@ -201,6 +201,14 @@ def main():
         "media_jpeg_features",
         "media_mjpeg_frames",
         "media_phash_near_dups",
+        "doc_chunking",
+        "doc_dsir_scores",
+        "doc_dsir_sample",
+        "doc_boilerplate_lines",
+        "doc_boilerplate_clean",
+        "northrule_span_packing",
+        "northrule_caption_contexts",
+        "embedding_semantic_dups",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
