@@ -5822,6 +5822,40 @@ FROM keyed ORDER BY key_fp DESC, doc_id ASC LIMIT {_DSIR_K}
     )
 
 
+def doc_context_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss profile (operators/packing.py
+    context_length_profile): token-survival share at 5 candidate context
+    lengths in ONE scan + a K-row map-side-combined aggregate.  All
+    integer arithmetic (basis points via DIV), so the oracle replays it
+    exactly.  Candidate lengths sized to the corpus's ~60-token docs so
+    truncation is non-vacuous at test scale."""
+    from schemasaurus_spark.operators.packing import context_length_profile
+
+    return context_length_profile(_docs(spark, sf_dir), lengths=(8, 16, 32, 64, 128))
+
+
+_CONTEXT_PROFILE_ORACLE = r"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+fanned AS (
+  SELECT unnest([8, 16, 32, 64, 128]) AS context_len, n_tok FROM toks
+)
+SELECT context_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_tok > context_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_truncated,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(least(n_tok, context_len)) AS BIGINT) AS tokens_kept,
+       CASE WHEN sum(n_tok) > 0
+            THEN CAST((sum(least(n_tok, context_len)) * 10000) // sum(n_tok) AS BIGINT)
+       END AS kept_bp
+FROM fanned GROUP BY context_len
+"""
+
+
 def embedding_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): k-means cells (the IVF coarse
     quantizer's deterministic md5-ordered sample, ceil(n/64) cells so
@@ -6157,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_lines": doc_boilerplate_lines,
         "doc_boilerplate_clean": doc_boilerplate_clean,
         "embedding_semantic_dups": embedding_semantic_dups,
+        "doc_context_profile": doc_context_profile,
     }
 
 
@@ -6286,4 +6321,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_lines": _BOILERPLATE_LINES_ORACLE,
         "doc_boilerplate_clean": _BOILERPLATE_CLEAN_ORACLE,
         "embedding_semantic_dups": _semdedup_oracle_sql(),
+        "doc_context_profile": _CONTEXT_PROFILE_ORACLE,
     }

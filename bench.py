@@ -209,6 +209,7 @@ def main():
         "northrule_span_packing",
         "northrule_caption_contexts",
         "embedding_semantic_dups",
+        "doc_context_profile",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

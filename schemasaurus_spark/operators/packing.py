@@ -182,6 +182,59 @@ def pack_spans(
     )
 
 
+def context_length_profile(
+    df: DataFrame,
+    lengths: tuple = (512, 1024, 2048, 4096, 8192),
+    text_col: str = "text",
+) -> DataFrame:
+    """Truncation-loss profile over K candidate context lengths: for each
+    ``context_len`` L, how many documents exceed it and what share of
+    corpus tokens survives hard truncation at L — the measurement that
+    sizes a pretraining context window BEFORE paying for packing runs.
+
+    Output (one row per candidate length, all integers — exact in any
+    engine): ``(context_len, n_docs, n_docs_truncated, tokens_total,
+    tokens_kept, kept_bp)`` where ``kept_bp`` is basis points of tokens
+    kept, ``tokens_kept * 10000 DIV tokens_total`` (integer division;
+    NULL for an empty corpus).  NULL-text documents are excluded (they
+    carry no tokens to lose).
+
+    Scale shape: ONE corpus scan projects each doc to its token count
+    (the same ``token_count`` expression the text profile uses), a
+    K-element generator explode fans the count-sized frame to K rows per
+    doc, and the groupBy collapses map-side to K rows total — shuffle
+    traffic is K rows per task, output is metadata-sized.  int64 bound:
+    ``tokens_total * 10000`` overflows past ~9·10^14 corpus tokens;
+    ANSI mode raises (never wraps) — past that, derive the ratio
+    downstream from the two sum columns instead."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        token_count(F.col(text_col)).alias("n_tok")
+    )
+    fanned = toks.select(
+        F.explode(
+            F.array(*[F.lit(int(L)).alias(f"_l{i}") for i, L in enumerate(lengths)])
+        ).alias("context_len"),
+        "n_tok",
+    )
+    agg = fanned.groupBy("context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_tok") > F.col("context_len"), 1).otherwise(0)
+        ).alias("n_docs_truncated"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.least(F.col("n_tok"), F.col("context_len").cast("long"))).alias(
+            "tokens_kept"
+        ),
+    )
+    return agg.withColumn(
+        "kept_bp",
+        F.when(
+            F.col("tokens_total") > 0,
+            F.expr("(tokens_kept * 10000) DIV tokens_total"),
+        ),
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int = 256) -> DataFrame:
     """Per-shard fill report: sequences used, total tokens, mean fill
     fraction — the number a pipeline watches to size ``budget``."""

@@ -598,3 +598,45 @@ def test_component_splits_eliminate_leakage_and_preserve_singletons(spark):
     for i in range(200):
         if i not in clustered:
             assert by_id[i] == plain[i], i
+
+
+def test_context_length_profile_closed_form(spark):
+    from schemasaurus_spark.operators.packing import context_length_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "one two three four five"),
+            (3, "x"),
+            (4, None),  # excluded entirely
+            (5, "   "),  # 0 tokens but still a document
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["context_len"]: r
+        for r in context_length_profile(docs, lengths=(2, 4)).collect()
+    }
+    assert set(got) == {2, 4}
+    for L in (2, 4):
+        assert got[L]["n_docs"] == 4
+        assert got[L]["tokens_total"] == 9
+    assert got[2]["n_docs_truncated"] == 2
+    assert got[2]["tokens_kept"] == 5  # 2+2+1+0
+    assert got[2]["kept_bp"] == 5555  # 50000 DIV 9
+    assert got[4]["n_docs_truncated"] == 1
+    assert got[4]["tokens_kept"] == 8
+    assert got[4]["kept_bp"] == 8888
+
+
+def test_context_length_profile_zero_token_corpus(spark):
+    from schemasaurus_spark.operators.packing import context_length_profile
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    rows = context_length_profile(docs, lengths=(8,)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["tokens_total"], r["tokens_kept"]) == (2, 0, 0)
+    assert r["kept_bp"] is None  # no division by zero, NULL not a crash
