@@ -5184,6 +5184,63 @@ FROM r{n_iter} r LEFT JOIN outdeg o ON o.src = r.node
 """
 
 
+def host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host communities via synchronous weighted label propagation
+    (operators/rank.py label_propagation) over the same deterministic
+    host link graph PageRank uses — 4 fixed rounds, per-row edge weight
+    accumulation, weight-1 self-vote, lexicographic tie-break.  Every
+    round is integer weight sums + a deterministic argmax, so the
+    oracle unrolls the rounds as chained CTEs and hash-matches.
+
+    The shared 3-node hub tier is excluded: hubs touch every source, so
+    labels flood across them into 2 giant communities — dropping them
+    leaves the 20 disjoint per-source subgraphs, where the community
+    structure (and the test) is non-trivial."""
+    from schemasaurus_spark.operators.rank import label_propagation
+
+    edges = spark.sql(
+        _HOST_EDGE_SQL.format(
+            st="STRING", div="DIV", tbl=f"parquet.`{sf_dir}/documents.parquet`"
+        )
+    ).where(~F.col("dst").startswith("hub-"))
+    return label_propagation(edges, n_iter=4)
+
+
+def _lpa_oracle_sql(n_iter: int = 4) -> str:
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM (
+      SELECT node, lbl, SUM(w) AS cnt FROM (
+        SELECT a.u AS node, l.lbl AS lbl, a.w FROM adj a JOIN l{i - 1} l ON l.node = a.v
+        UNION ALL
+        SELECT node, lbl, CAST(1 AS BIGINT) AS w FROM l{i - 1}
+      ) GROUP BY node, lbl
+    ) v
+  ) q WHERE rn = 1
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH e_raw AS ({_HOST_EDGE_SQL.format(st="VARCHAR", div="//", tbl="documents")}),
+base AS (SELECT src AS u, dst AS v FROM e_raw
+         WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+           AND dst NOT LIKE 'hub-%'),
+adj AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT u, v FROM base UNION ALL SELECT v AS u, u AS v FROM base
+  ) GROUP BY u, v
+),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+{chain}
+SELECT node, lbl AS label FROM l{n_iter}
+"""
+
+
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer induction (operators/bpe.py): 8 merge
     rounds learned from the documents corpus via the word-frequency
@@ -6192,6 +6249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_clean": doc_boilerplate_clean,
         "embedding_semantic_dups": embedding_semantic_dups,
         "doc_context_profile": doc_context_profile,
+        "host_communities": host_communities,
     }
 
 
@@ -6322,4 +6380,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_clean": _BOILERPLATE_CLEAN_ORACLE,
         "embedding_semantic_dups": _semdedup_oracle_sql(),
         "doc_context_profile": _CONTEXT_PROFILE_ORACLE,
+        "host_communities": _lpa_oracle_sql(),
     }

@@ -210,6 +210,7 @@ def main():
         "northrule_caption_contexts",
         "embedding_semantic_dups",
         "doc_context_profile",
+        "host_communities",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

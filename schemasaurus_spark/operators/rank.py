@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "PAGERANK_SCALE"]
+__all__ = ["pagerank_fixed_point", "label_propagation", "PAGERANK_SCALE"]
 
 PAGERANK_SCALE = 1_000_000_000  # fixed-point: rank 1.0 == 10^9
 
@@ -131,3 +131,88 @@ def pagerank_fixed_point(
     e_w.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Community detection via SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007) over the undirected view of ``edges`` —
+    PageRank's companion: rank says which hosts matter, communities say
+    which hosts move TOGETHER (mirror farms, syndication rings, topic
+    islands) — the domain-level grouping a curation pipeline feeds into
+    source-mix and quota decisions.
+
+    Returns ``(node, label)`` after exactly ``n_iter`` rounds; labels
+    are node ids, every node starts as its own label.  Each round every
+    node adopts the label with the greatest incident edge weight among
+    its neighbors' PREVIOUS-round labels, plus its own current label at
+    weight 1 (the self-vote: damps the 2-cycle oscillation synchronous
+    LPA is known for and makes isolated pairs converge in one round).
+    Ties break to the lexicographically smallest label.  Fixed round
+    count, synchronous updates, integer weights, deterministic
+    tie-break: the result is a pure function of the edge multiset, so a
+    SQL engine replays it bit-for-bit (asynchronous/randomized LPA — the
+    usual formulation — is irreproducible by construction, useless to a
+    validation contract).
+
+    ``weight=None`` counts each edge row as 1 (parallel rows
+    accumulate); pass a column name for pre-aggregated weights.
+    Self-loops are dropped (the self-vote replaces them).
+
+    Scale shape: the symmetrized adjacency is built ONCE (one
+    groupBy(u, v) collapse) and persisted; each round is one join of the
+    adjacency (partitioned by ``v``, exchange reused every round)
+    against the node-sized label frame, a map-side-combined
+    ``groupBy(node, label)`` weight sum, and an argmax groupBy — no
+    neighbor lists ever collect on a reducer.  Labels are
+    ``localCheckpoint``-ed per round (the connected-components /
+    PageRank lineage idiom).  Rounds are a constant, not data-driven:
+    LPA is an anytime algorithm and n_iter bounds both cost and the
+    label-spread radius."""
+    if n_iter < 0:
+        raise ValueError(f"label_propagation: n_iter must be >= 0, got {n_iter}")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+    adj = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .repartition("v")
+        .persist()
+    )
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        nbr = adj.join(labels, adj["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "label", "w"
+        )
+        votes = nbr.unionByName(
+            labels.select("node", "label", F.lit(1).cast("long").alias("w"))
+        )
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.sum("w").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels
