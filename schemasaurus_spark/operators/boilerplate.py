@@ -55,6 +55,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from schemasaurus_spark.operators.dedup import _pin
+
+
+def _raw_line_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(id, source, pos, line, norm) for every split line, INCLUDING
+    empty-normalizing ones (every non-NULL text yields >= 1 row, so the
+    frame also carries the document universe).
+
+    ``pos`` is the 0-based line index in the ORIGINAL split, so
+    surviving-line order is the document's true line order."""
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("line")), r"\s+", " "))
+    return lines.withColumn("norm", norm)
+
 
 def _line_frame(
     df: DataFrame,
@@ -62,36 +85,18 @@ def _line_frame(
     id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
-    """(id, source, pos, line, norm) for every non-empty normalized line.
-
-    ``pos`` is the 0-based line index in the ORIGINAL split (empty lines
-    consume positions but emit no row), so surviving-line order is the
-    document's true line order."""
-    lines = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(source_col).alias("source"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    """Non-empty normalized lines only (the comparison universe)."""
+    return _raw_line_frame(df, text_col, id_col, source_col).where(
+        F.col("norm") != ""
     )
-    norm = F.lower(F.regexp_replace(F.trim(F.col("line")), r"\s+", " "))
-    return lines.withColumn("norm", norm).where(F.col("norm") != "")
 
 
-def boilerplate_lines(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    source_col: str = "source",
-    min_docs: int = 2,
-    min_pct: int = 50,
+def _profile_from_lines(
+    lines: DataFrame, id_col: str, min_docs: int, min_pct: int
 ) -> DataFrame:
-    """Per-source boilerplate line profile.
-
-    Returns ``(source, line_norm, n_docs, n_source_docs)`` for every
-    normalized line present in >= ``min_docs`` distinct documents AND in
-    >= ``min_pct`` percent of the source's line-contributing documents
-    (exact integer compare, see module doc).  This is the audit view —
-    what WOULD be removed and how widespread it is."""
-    lines = _line_frame(df, text_col, id_col, source_col)
+    """Boilerplate profile from a prebuilt non-empty line frame — shared
+    by the audit view and the removal pass so the removal can feed both
+    consumers from ONE pinned scan."""
     src_docs = lines.groupBy("source").agg(
         F.countDistinct(id_col).alias("n_source_docs")
     )
@@ -110,6 +115,26 @@ def boilerplate_lines(
             "n_docs",
             "n_source_docs",
         )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_docs: int = 2,
+    min_pct: int = 50,
+) -> DataFrame:
+    """Per-source boilerplate line profile.
+
+    Returns ``(source, line_norm, n_docs, n_source_docs)`` for every
+    normalized line present in >= ``min_docs`` distinct documents AND in
+    >= ``min_pct`` percent of the source's line-contributing documents
+    (exact integer compare, see module doc).  This is the audit view —
+    what WOULD be removed and how widespread it is."""
+    return _profile_from_lines(
+        _line_frame(df, text_col, id_col, source_col), id_col, min_docs, min_pct
     )
 
 
@@ -133,11 +158,17 @@ def remove_boilerplate_lines(
     (small, AQE-broadcast) boilerplate set on (source, norm), then a
     single groupBy on the document id rebuilds the text — the
     conditional ``collect_list(when(keep, struct(pos, line)))`` skips
-    NULLs, so kept lines and counts come out of the same aggregate."""
-    bp = boilerplate_lines(
-        df, text_col, id_col, source_col, min_docs, min_pct
-    ).select("source", F.col("line_norm").alias("norm"), F.lit(True).alias("_bp"))
-    lines = _line_frame(df, text_col, id_col, source_col)
+    NULLs, so kept lines and counts come out of the same aggregate.
+
+    The raw line frame is pinned (dedup._pin LRU) and feeds all four
+    consumers — profile frequency, per-source doc counts, the tag join,
+    and the document universe — so the corpus is scanned ONCE, not 4x
+    (plan audit: 4 FileScans -> 1 before/after)."""
+    raw = _pin(_raw_line_frame(df, text_col, id_col, source_col))
+    lines = raw.where(F.col("norm") != "")
+    bp = _profile_from_lines(lines, id_col, min_docs, min_pct).select(
+        "source", F.col("line_norm").alias("norm"), F.lit(True).alias("_bp")
+    )
     tagged = lines.join(bp, ["source", "norm"], "left").withColumn(
         "_keep", F.col("_bp").isNull()
     )
@@ -156,7 +187,9 @@ def remove_boilerplate_lines(
             "\n", F.transform("_kept", lambda s: s["l"])
         ).alias("clean_text"),
     )
-    base = df.where(F.col(text_col).isNotNull()).select(F.col(id_col)).distinct()
+    # every non-NULL text yields >= 1 raw line row, so the pinned frame
+    # already carries the full document universe — no second corpus scan
+    base = raw.select(F.col(id_col)).distinct()
     return base.join(out, id_col, "left").select(
         id_col,
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
