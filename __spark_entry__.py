@@ -5718,6 +5718,42 @@ per AS (
 )"""
 
 
+def doc_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mass reliability table of the NB en-vs-rest score
+    (operators/evaluate.calibration_table): 10 rank-binned rows of
+    exact integer counts + basis-point positive rates — whether the
+    score LEVEL is trustworthy where PR/AUC only grade the ranking.
+    Distinct-score bin assignment + integer DIV make the whole table
+    engine-exact; the oracle replays train+score+binning in SQL."""
+    from schemasaurus_spark.operators.evaluate import calibration_table
+
+    return calibration_table(_nb_en_scores(spark, sf_dir), "score", "is_en", n_bins=10)
+
+
+def _nb_calibration_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + _NB_EVAL_PER_SCORE
+        + """,
+tot AS (SELECT sum(n_tot) AS n_all FROM per),
+binned AS (
+  SELECT (coalesce(sum(n_tot) OVER (ORDER BY score ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+           // t.n_all AS bin,
+         score, n_pos, n_tot
+  FROM per, tot t
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(sum(n_tot) AS BIGINT) AS n,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(min(score) AS BIGINT) AS score_min,
+       CAST(max(score) AS BIGINT) AS score_max,
+       CAST((sum(n_pos) * 10000) // sum(n_tot) AS BIGINT) AS pos_rate_bp
+FROM binned GROUP BY bin
+"""
+    )
+
+
 def _nb_pr_oracle_sql() -> str:
     return (
         _nb_oracle_prefix()
@@ -6250,6 +6286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_dups": embedding_semantic_dups,
         "doc_context_profile": doc_context_profile,
         "host_communities": host_communities,
+        "doc_nb_calibration": doc_nb_calibration,
     }
 
 
@@ -6381,4 +6418,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semantic_dups": _semdedup_oracle_sql(),
         "doc_context_profile": _CONTEXT_PROFILE_ORACLE,
         "host_communities": _lpa_oracle_sql(),
+        "doc_nb_calibration": _nb_calibration_oracle_sql(),
     }

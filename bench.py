@@ -211,6 +211,7 @@ def main():
         "embedding_semantic_dups",
         "doc_context_profile",
         "host_communities",
+        "doc_nb_calibration",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -117,3 +117,65 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
     )
+
+
+def calibration_table(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equal-mass reliability (calibration) table: ``n_bins`` rows of
+    ``(bin, n, n_pos, score_min, score_max, pos_rate_bp)`` — the curve a
+    reliability diagram plots, and the evaluation PR/AUC cannot give:
+    AUC says the scorer RANKS well, the calibration table says whether
+    the score LEVEL means what a threshold-picker assumes (a gate at
+    "score >= t keeps ~90% positives" is only as real as pos_rate in
+    t's bin).
+
+    Bins are equal-MASS (by rank, lowest scores = bin 0), not
+    equal-width: fixed-width bins over heavy-tailed scores put almost
+    everything in one bin.  The bin of a distinct-score group is
+    ``(rows_below * n_bins) DIV n_all`` — assigned at distinct-score
+    granularity, so a tie group never splits across bins (bins wobble
+    slightly from n/n_bins; deterministic and engine-exact, unlike
+    per-row ranks over ties).  ``pos_rate_bp`` is basis points,
+    ``n_pos * 10000 DIV n`` — everything int64, zero float math.
+
+    Scale shape: same as the PR sweep — ONE map-side-combined
+    per-distinct-score aggregate over the corpus, then window cumsums
+    on the distinct-score table (metadata-sized for quantized scorers);
+    output is <= n_bins rows."""
+    if n_bins < 1:
+        raise ValueError(f"calibration_table: n_bins must be >= 1, got {n_bins}")
+    per = _per_score(df, score_col, label_col)
+    totals = per.agg(F.sum("n_tot").alias("_n_all"))
+    w_below = Window.orderBy(F.col("score").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = per.select(
+        "score",
+        "n_pos",
+        "n_tot",
+        F.coalesce(F.sum("n_tot").over(w_below), F.lit(0)).alias("_below"),
+    ).crossJoin(broadcast(totals))
+    agg = (
+        binned.select(
+            F.expr(f"(_below * {int(n_bins)}) DIV _n_all").alias("bin"),
+            "score",
+            "n_pos",
+            "n_tot",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("n_tot").alias("n"),
+            F.sum("n_pos").alias("n_pos"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        "score_min",
+        "score_max",
+        F.expr("(n_pos * 10000) DIV n").alias("pos_rate_bp"),
+    )

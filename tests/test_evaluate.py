@@ -71,3 +71,51 @@ def test_null_rows_excluded(spark):
     assert r.n_pos == 1 and r.n_neg == 1 and r.auc == 1.0
     sweep = pr_curve(_df(spark, rows), "score", "label").collect()
     assert {x.threshold for x in sweep} == {8, 2}
+
+
+def test_calibration_table_closed_form(spark):
+    from schemasaurus_spark.operators.evaluate import calibration_table
+
+    df = spark.createDataFrame(
+        [(10, True), (20, False), (30, True), (40, True), (50, False), (60, True)],
+        "score long, label boolean",
+    )
+    got = {
+        r["bin"]: r for r in calibration_table(df, "score", "label", n_bins=3).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n"], got[0]["n_pos"], got[0]["pos_rate_bp"]) == (2, 1, 5000)
+    assert (got[0]["score_min"], got[0]["score_max"]) == (10, 20)
+    assert (got[1]["n"], got[1]["n_pos"], got[1]["pos_rate_bp"]) == (2, 2, 10000)
+    assert (got[2]["n"], got[2]["n_pos"], got[2]["pos_rate_bp"]) == (2, 1, 5000)
+
+
+def test_calibration_tie_group_never_splits(spark):
+    from schemasaurus_spark.operators.evaluate import calibration_table
+
+    df = spark.createDataFrame(
+        [(1, True), (1, False), (1, True), (2, False)],
+        "score long, label boolean",
+    )
+    got = {
+        r["bin"]: r for r in calibration_table(df, "score", "label", n_bins=2).collect()
+    }
+    # the 3-row tie group at score 1 stays whole in bin 0
+    assert (got[0]["n"], got[0]["n_pos"]) == (3, 2)
+    assert (got[1]["n"], got[1]["n_pos"]) == (1, 0)
+    assert got[0]["pos_rate_bp"] == 6666  # 20000 DIV 3
+
+
+def test_calibration_null_exclusion_and_validation(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.evaluate import calibration_table
+
+    df = spark.createDataFrame(
+        [(1, True), (None, True), (2, None)],
+        "score long, label boolean",
+    )
+    rows = calibration_table(df, "score", "label", n_bins=1).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1
+    with _pytest.raises(ValueError):
+        calibration_table(df, "score", "label", n_bins=0)

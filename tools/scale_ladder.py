@@ -124,6 +124,24 @@ QUERIES = [
     # IVFADC: same embedding ladder; n_list = sqrt(n) grows with the
     # corpus so per-probe candidate work is ~n_probe·sqrt(n) — sublinear
     "embedding_ivfpq_topk",
+    # round 4 session 10: SemDeDup — cells = ceil(n/64) grow k-fold so
+    # cell size is constant and within-cell pairs are LINEAR in k; the
+    # flat nearest-centroid assignment however is rows x cells = ~k^2
+    # below the 2^16 centroid cap (the documented flat-assignment
+    # regime; hierarchical assignment is the extreme-scale path), so the
+    # expected wall exponent sits between 1 and 2 here, NOT at 1 — rows
+    # reported for the linear-pairs sanity check
+    "embedding_semantic_dups",
+    # boilerplate removal — lines/planted-nav structure k-fold under the
+    # cipher (plant derives from doc_id/source, body lines stay unique),
+    # per-source doc counts k-fold: ideal work linear
+    "doc_boilerplate_clean",
+    # LPA communities — like PageRank the host-node domain is CONSTANT
+    # in k (source x residue hosts); only the edge-derivation scan grows
+    # k-fold, so wall should track the scan, not k
+    "host_communities",
+    # context-length profile — one scan + K-row aggregate: linear
+    "doc_context_profile",
 ]
 
 
