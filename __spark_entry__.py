@@ -6025,6 +6025,181 @@ FROM comp c JOIN assigned a ON c.vec_id = a.vec_id
 """
 
 
+def _nr_damaged_docs(spark: SparkSession) -> DataFrame:
+    """The generated interleaved corpus with DETERMINISTIC damage planted
+    on span index 1, keyed by the doc_id's last digit: bad offsets
+    (regressed / NULL / negative), bad kind, stray text on media spans,
+    NULLed text on text spans, NULLed media_ref, and a kind that
+    contradicts its ref — every repair rule made non-vacuous.  The
+    oracle replays the plant from the same parquet."""
+    docs = _northrule_docs(spark)
+    d = F.expr("CAST(right(doc_id, 1) AS INT)")
+
+    def mutate(s, i):
+        is1 = i == F.lit(1)
+        kind = (
+            F.when(is1 & d.isin(1, 4), F.lit("video"))
+            .when(
+                is1 & (d == 6) & s["media_ref"].startswith("media://img/"),
+                F.lit("audio"),
+            )
+            .otherwise(s["kind"])
+        )
+        text = (
+            F.when(is1 & (d == 2) & (s["kind"] != "text"), F.lit("stray"))
+            .when(is1 & (d == 9) & (s["kind"] == "text"), F.lit(None).cast("string"))
+            .otherwise(s["text"])
+        )
+        ref = F.when(is1 & (d == 5), F.lit(None).cast("string")).otherwise(
+            s["media_ref"]
+        )
+        off = (
+            F.when(is1 & d.isin(0, 3), F.lit(3))
+            .when(is1 & (d == 7), F.lit(None).cast("int"))
+            .when(is1 & (d == 8), F.lit(-7))
+            .otherwise(s["offset"])
+        )
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    return docs.select("doc_id", F.transform("spans", mutate).alias("spans"))
+
+
+def northrule_span_repair_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span repair audit rows (operators/repair.py) over the damaged
+    corpus: (doc_id, span_idx, code, detail) for every kindFromRef /
+    textDropped / spanDropped / offsetRepaired action.  The whole pass
+    is in-array column expressions — one projection scan, ZERO shuffles;
+    the oracle replays plant + rules + the closed-form offset recurrence
+    (prefix-sum + running-max windows per physical row)."""
+    from schemasaurus_spark.operators.repair import repair_spans
+
+    return repair_spans(_nr_damaged_docs(spark)).select(
+        "doc_id", F.explode("repairs").alias("r")
+    ).select("doc_id", "r.span_idx", "r.code", "r.detail")
+
+
+def northrule_repaired_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repaired spans flattened to (doc_id, pos, kind, text,
+    media_ref, offset) — the output-side proof: surviving spans in
+    order, offsets canonicalized (strict order, no text overlap; a
+    pytest re-validates the repaired table against span_integrity)."""
+    from schemasaurus_spark.operators.repair import repair_spans
+
+    rep = repair_spans(_nr_damaged_docs(spark))
+    return rep.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _repair_oracle_prefix() -> str:
+    return f"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+flat AS (
+  SELECT rn, doc_id, CAST(right(doc_id, 1) AS INT) AS d,
+         unnest(spans) AS s, generate_subscripts(spans, 1) - 1 AS i
+  FROM docs
+),
+planted AS (
+  SELECT rn, doc_id, CAST(i AS INT) AS idx,
+         CASE WHEN i = 1 AND d IN (1, 4) THEN 'video'
+              WHEN i = 1 AND d = 6 AND s.media_ref LIKE 'media://img/%' THEN 'audio'
+              ELSE s.kind END AS kind0,
+         CASE WHEN i = 1 AND d = 2 AND s.kind <> 'text' THEN 'stray'
+              WHEN i = 1 AND d = 9 AND s.kind = 'text' THEN NULL
+              ELSE s.text END AS text0,
+         CASE WHEN i = 1 AND d = 5 THEN NULL ELSE s.media_ref END AS media_ref,
+         CASE WHEN i = 1 AND d IN (0, 3) THEN 3
+              WHEN i = 1 AND d = 7 THEN NULL
+              WHEN i = 1 AND d = 8 THEN -7
+              ELSE s."offset" END AS off0
+  FROM flat
+),
+staged AS (
+  SELECT rn, doc_id, idx, kind0, text0, media_ref, off0,
+         CASE WHEN kind0 = 'image' AND media_ref LIKE 'media://aud/%' THEN 'audio'
+              WHEN kind0 = 'audio' AND media_ref LIKE 'media://img/%' THEN 'image'
+              ELSE kind0 END AS kind,
+         (text0 IS NOT NULL) AS had_text
+  FROM planted
+),
+staged2 AS (
+  SELECT *, CASE WHEN kind = 'text' THEN text0 END AS text,
+         CASE WHEN kind IS NULL OR kind NOT IN ('text','image','audio','ref')
+                THEN 'badKind'
+              WHEN kind = 'text' AND text0 IS NULL THEN 'textMissing'
+              WHEN kind IN ('image','audio') AND media_ref IS NULL THEN 'refMissing'
+         END AS drop_reason
+  FROM staged
+),
+survivors AS (
+  SELECT *,
+         CASE WHEN kind = 'text' THEN greatest(length(text), 1) ELSE 1 END AS ext
+  FROM staged2 WHERE drop_reason IS NULL
+),
+offs AS (
+  SELECT rn, doc_id, idx, kind, text, media_ref, off0,
+         CAST(cume + greatest(coalesce(
+               max(off0 - cume) OVER (PARTITION BY rn ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 0)
+           AS INT) AS off
+  FROM (
+    SELECT *, coalesce(sum(ext) OVER (PARTITION BY rn ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
+    FROM survivors
+  )
+)"""
+
+
+def _repair_log_oracle_sql() -> str:
+    return (
+        _repair_oracle_prefix()
+        + """
+SELECT doc_id, span_idx, code, detail FROM (
+  SELECT doc_id, idx AS span_idx, 'kindFromRef' AS code,
+         kind0 || '->' || kind AS detail
+  FROM staged2 WHERE kind <> kind0
+  UNION ALL
+  SELECT doc_id, idx, 'textDropped', kind
+  FROM staged2 WHERE had_text AND kind IS NOT NULL AND kind <> 'text'
+  UNION ALL
+  SELECT doc_id, idx, 'spanDropped', drop_reason
+  FROM staged2 WHERE drop_reason IS NOT NULL
+  UNION ALL
+  SELECT doc_id, idx, 'offsetRepaired',
+         coalesce(CAST(off0 AS VARCHAR), 'NULL') || '->' || CAST(off AS VARCHAR)
+  FROM offs WHERE off0 IS NULL OR off0 <> off
+)
+"""
+    )
+
+
+def _repaired_sequence_oracle_sql() -> str:
+    return (
+        _repair_oracle_prefix()
+        + """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY rn ORDER BY idx) - 1 AS INT) AS pos,
+       kind, text, media_ref, off AS "offset"
+FROM offs
+"""
+    )
+
+
 def _boilerplate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multi-line plant over documents (corpus text carries
     no newlines): a per-source nav line in EVERY doc (case + whitespace
@@ -6287,6 +6462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_context_profile": doc_context_profile,
         "host_communities": host_communities,
         "doc_nb_calibration": doc_nb_calibration,
+        "northrule_span_repair_log": northrule_span_repair_log,
+        "northrule_repaired_sequence": northrule_repaired_sequence,
     }
 
 
@@ -6419,4 +6596,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_context_profile": _CONTEXT_PROFILE_ORACLE,
         "host_communities": _lpa_oracle_sql(),
         "doc_nb_calibration": _nb_calibration_oracle_sql(),
+        "northrule_span_repair_log": _repair_log_oracle_sql(),
+        "northrule_repaired_sequence": _repaired_sequence_oracle_sql(),
     }

@@ -212,6 +212,8 @@ def main():
         "doc_context_profile",
         "host_communities",
         "doc_nb_calibration",
+        "northrule_span_repair_log",
+        "northrule_repaired_sequence",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
