@@ -2184,6 +2184,50 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_png_features(synth_png_media_table(spark, 200, seed=42))
 
 
+def media_png_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE path (operators/media.py resize_png_thumbnails):
+    decode the synthetic PNGs with the production kernel, box-average
+    4x-downsample in exact integer arithmetic (block sum DIV 16), emit
+    per-image thumbnail luma sums.  The oracle never decodes — it
+    enumerates every (thumb pixel, block offset) of the closed-form
+    gradient in SQL and replays the same floor division, so a resize bug
+    (block alignment, crop edge, channel order) hash-mismatches."""
+    from schemasaurus_spark.operators.media import (
+        resize_png_thumbnails,
+        synth_png_media_table,
+    )
+
+    return resize_png_thumbnails(
+        synth_png_media_table(spark, 200, seed=42), factor=4
+    )
+
+
+_MEDIA_PNG_THUMB_ORACLE = """
+WITH dims AS (
+  SELECT i AS id, CAST(i % 24 + 16 AS INT) AS w, CAST(i % 16 + 16 AS INT) AS h
+  FROM range(0, 200) t(i)
+),
+d2 AS (SELECT id, w, h, w // 4 AS tw, h // 4 AS th FROM dims),
+blocks AS (
+  SELECT d.id, d.w, d.h, d.tw, d.th, y.y, x.x, c.c,
+         SUM((d.id * 7 + (y.y * 4 + di.di) * 5 + (x.x * 4 + dj.dj) * 3
+              + c.c * 11 + 42) % 256) // 16 AS tv
+  FROM d2 d
+  JOIN range(0, 8) y(y) ON y.y < d.th
+  JOIN range(0, 10) x(x) ON x.x < d.tw
+  JOIN range(0, 3) c(c) ON TRUE
+  JOIN range(0, 4) di(di) ON TRUE
+  JOIN range(0, 4) dj(dj) ON TRUE
+  GROUP BY d.id, d.w, d.h, d.tw, d.th, y.y, x.x, c.c
+)
+SELECT 'media://png/' || CAST(id AS VARCHAR) AS media_ref,
+       w AS width, h AS height, CAST(4 AS INT) AS factor,
+       CAST(tw AS INT) AS thumb_w, CAST(th AS INT) AS thumb_h,
+       CAST(SUM(tv) AS BIGINT) AS thumb_luma_sum
+FROM blocks GROUP BY id, w, h, tw, th
+"""
+
+
 # pixel(id,i,j,c) = (id*7 + i*5 + j*3 + c*11 + 42) % 256 over h=id%16+16
 # rows, w=id%24+16 cols, 3 channels — enumerated and summed in SQL
 _MEDIA_PNG_ORACLE = """
@@ -6464,6 +6508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_calibration": doc_nb_calibration,
         "northrule_span_repair_log": northrule_span_repair_log,
         "northrule_repaired_sequence": northrule_repaired_sequence,
+        "media_png_thumbnails": media_png_thumbnails,
     }
 
 
@@ -6598,4 +6643,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_nb_calibration": _nb_calibration_oracle_sql(),
         "northrule_span_repair_log": _repair_log_oracle_sql(),
         "northrule_repaired_sequence": _repaired_sequence_oracle_sql(),
+        "media_png_thumbnails": _MEDIA_PNG_THUMB_ORACLE,
     }

@@ -214,6 +214,7 @@ def main():
         "doc_nb_calibration",
         "northrule_span_repair_log",
         "northrule_repaired_sequence",
+        "media_png_thumbnails",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -187,6 +187,84 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, PNG_FEATURES_SCHEMA)
 
 
+PNG_THUMB_SCHEMA = (
+    "media_ref string, width int, height int, factor int, "
+    "thumb_w int, thumb_h int, thumb_luma_sum bigint"
+)
+PNG_THUMB_PAYLOAD_SCHEMA = PNG_THUMB_SCHEMA + ", thumb_png binary"
+
+
+def resize_png_thumbnails(
+    media: DataFrame, factor: int = 4, with_payload: bool = False
+) -> DataFrame:
+    """REAL image RESIZE: decode the PNG payload, box-average downsample
+    by an integer ``factor`` (each output pixel = the exact int64 block
+    sum ``DIV factor^2`` — floor, zero float math, so the thumbnail is
+    bit-identical in any engine and the oracle recomputes it from the
+    closed-form pixel formula in pure SQL), and emit dimensions + the
+    exact thumbnail luma sum; ``with_payload=True`` additionally
+    re-encodes the thumbnail as PNG bytes (the thumbnail-sink pipeline
+    shape — payloads can't be SQL-oracled, so the contract query uses
+    the feature form and pytest round-trips the bytes).
+
+    Edges not covering a full block are cropped (``thumb_w = w DIV f``,
+    ``thumb_h = h DIV f`` — the standard deterministic choice); images
+    smaller than one block yield a 0x0 thumbnail with sum 0, kept so the
+    caller sees every input accounted for.
+
+    Scale shape: one Arrow-batched mapInPandas pass — decode, one
+    vectorized reshape-sum per image, optional re-encode; no shuffle, no
+    driver bytes.  Matches the reference-parity discipline of
+    extract_png_features (same kernel, operators/png.py)."""
+    if factor < 1:
+        raise ValueError(f"resize_png_thumbnails: factor must be >= 1, got {factor}")
+    from typing import Iterator as _It
+
+    def batches(it: _It) -> _It:
+        import numpy as np
+        import pandas as pd
+
+        from schemasaurus_spark.operators.png import decode_png, encode_png
+
+        f = int(factor)
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr = decode_png(bytes(payload))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, ch = arr.shape
+                th, tw = h // f, w // f
+                if th and tw:
+                    blocks = (
+                        arr[: th * f, : tw * f]
+                        .astype(np.int64)
+                        .reshape(th, f, tw, f, ch)
+                        .sum(axis=(1, 3))
+                    )
+                    thumb = blocks // (f * f)
+                    total = int(thumb.sum())
+                else:
+                    thumb = np.zeros((0, 0, ch), dtype=np.int64)
+                    total = 0
+                row = (ref, w, h, f, tw, th, total)
+                if with_payload:
+                    row = row + (
+                        encode_png(thumb.astype(np.uint8)) if th and tw else None,
+                    )
+                rows.append(row)
+            cols = [
+                "media_ref", "width", "height", "factor",
+                "thumb_w", "thumb_h", "thumb_luma_sum",
+            ]
+            if with_payload:
+                cols.append("thumb_png")
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = PNG_THUMB_PAYLOAD_SCHEMA if with_payload else PNG_THUMB_SCHEMA
+    return media.mapInPandas(batches, schema)
+
+
 def synth_wav_media_table(
     spark,
     n: int = 100,

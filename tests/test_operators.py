@@ -1312,3 +1312,58 @@ def test_strip_markup(spark):
     assert got[2].clean_text == "plain text, no markup" and got[2].n_tags == 0
     assert got[3].clean_text == "a &lt; b"
     assert got[4].clean_text is None and got[4].n_tags == 0
+
+
+def test_resize_png_thumbnails_closed_form_and_roundtrip(spark):
+    import numpy as np
+
+    from schemasaurus_spark.operators.media import (
+        resize_png_thumbnails,
+        synth_png_media_table,
+    )
+    from schemasaurus_spark.operators.png import decode_png
+
+    media = synth_png_media_table(spark, 6, seed=42)
+    got = {
+        r["media_ref"]: r
+        for r in resize_png_thumbnails(media, factor=4, with_payload=True).collect()
+    }
+    assert len(got) == 6
+    for id_ in range(6):
+        r = got[f"media://png/{id_}"]
+        w, h = id_ % 24 + 16, id_ % 16 + 16
+        i = np.arange(h)[:, None, None]
+        j = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        px = ((id_ * 7 + i * 5 + j * 3 + c * 11 + 42) % 256).astype(np.int64)
+        th, tw = h // 4, w // 4
+        expect = px[: th * 4, : tw * 4].reshape(th, 4, tw, 4, 3).sum(axis=(1, 3)) // 16
+        assert (r["width"], r["height"], r["thumb_w"], r["thumb_h"]) == (w, h, tw, th)
+        assert r["thumb_luma_sum"] == int(expect.sum())
+        # payload round-trip: re-decoded thumbnail == the exact block math
+        back = decode_png(bytes(r["thumb_png"]))
+        assert back.shape == (th, tw, 3)
+        assert (back.astype(np.int64) == expect).all()
+
+
+def test_resize_png_thumbnails_factor1_and_degenerate(spark):
+    from schemasaurus_spark.operators.media import (
+        extract_png_features,
+        resize_png_thumbnails,
+        synth_png_media_table,
+    )
+
+    media = synth_png_media_table(spark, 4, seed=42)
+    # factor 1 is the identity: thumbnail sum == full luma sum
+    sums = {
+        r["media_ref"]: r["thumb_luma_sum"]
+        for r in resize_png_thumbnails(media, factor=1).collect()
+    }
+    full = {
+        r["media_ref"]: r["luma_sum"] for r in extract_png_features(media).collect()
+    }
+    assert sums == full
+    # factor larger than the image: 0x0 thumbnail, sum 0, NULL payload
+    r = resize_png_thumbnails(media, factor=1000, with_payload=True).collect()[0]
+    assert (r["thumb_w"], r["thumb_h"], r["thumb_luma_sum"]) == (0, 0, 0)
+    assert r["thumb_png"] is None
