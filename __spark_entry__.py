@@ -6069,6 +6069,85 @@ FROM comp c JOIN assigned a ON c.vec_id = a.vec_id
 """
 
 
+def doc_fused_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation score fusion (operators/fuse.py): three incomparable
+    signals — n_chars (NULL-bearing), whitespace token count, punctuation
+    mass — midrank-normalized to basis points and fused by a weighted
+    integer mean (NULL signals reweight instead of poisoning).  Per
+    signal: one map-side-combined value aggregate + window cumsums on the
+    distinct-value table + one join back; all arithmetic int64."""
+    from schemasaurus_spark.operators.fuse import fuse_rank_scores
+    from schemasaurus_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+    )
+    return fuse_rank_scores(docs, {"n_chars": 1, "n_tokens": 2, "n_punct": 1})
+
+
+_FUSED_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) END
+           AS n_punct
+  FROM documents
+),
+r_chars AS (
+  SELECT _v, CASE WHEN _n_all > 1
+                  THEN ((2 * _n_lt + _n_eq - 1) * 5000) // (_n_all - 1)
+                  ELSE 5000 END AS bp
+  FROM (SELECT n_chars AS _v, count(*) AS _n_eq,
+               coalesce(sum(count(*)) OVER (ORDER BY n_chars ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _n_lt,
+               sum(count(*)) OVER () AS _n_all
+        FROM base WHERE n_chars IS NOT NULL GROUP BY n_chars)
+),
+r_tokens AS (
+  SELECT _v, CASE WHEN _n_all > 1
+                  THEN ((2 * _n_lt + _n_eq - 1) * 5000) // (_n_all - 1)
+                  ELSE 5000 END AS bp
+  FROM (SELECT n_tokens AS _v, count(*) AS _n_eq,
+               coalesce(sum(count(*)) OVER (ORDER BY n_tokens ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _n_lt,
+               sum(count(*)) OVER () AS _n_all
+        FROM base WHERE n_tokens IS NOT NULL GROUP BY n_tokens)
+),
+r_punct AS (
+  SELECT _v, CASE WHEN _n_all > 1
+                  THEN ((2 * _n_lt + _n_eq - 1) * 5000) // (_n_all - 1)
+                  ELSE 5000 END AS bp
+  FROM (SELECT n_punct AS _v, count(*) AS _n_eq,
+               coalesce(sum(count(*)) OVER (ORDER BY n_punct ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _n_lt,
+               sum(count(*)) OVER () AS _n_all
+        FROM base WHERE n_punct IS NOT NULL GROUP BY n_punct)
+)
+SELECT b.doc_id,
+       CAST(c.bp AS BIGINT) AS n_chars_bp,
+       CAST(t.bp AS BIGINT) AS n_tokens_bp,
+       CAST(p.bp AS BIGINT) AS n_punct_bp,
+       CASE WHEN (CASE WHEN c.bp IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN t.bp IS NOT NULL THEN 2 ELSE 0 END
+                 + CASE WHEN p.bp IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN CAST((coalesce(c.bp, 0) * 1 + coalesce(t.bp, 0) * 2
+                       + coalesce(p.bp, 0) * 1)
+                 // (CASE WHEN c.bp IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN t.bp IS NOT NULL THEN 2 ELSE 0 END
+                     + CASE WHEN p.bp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       END AS fused_bp
+FROM base b
+LEFT JOIN r_chars c ON b.n_chars = c._v
+LEFT JOIN r_tokens t ON b.n_tokens = t._v
+LEFT JOIN r_punct p ON b.n_punct = p._v
+"""
+
+
 def _nr_damaged_docs(spark: SparkSession) -> DataFrame:
     """The generated interleaved corpus with DETERMINISTIC damage planted
     on span index 1, keyed by the doc_id's last digit: bad offsets
@@ -6509,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_repair_log": northrule_span_repair_log,
         "northrule_repaired_sequence": northrule_repaired_sequence,
         "media_png_thumbnails": media_png_thumbnails,
+        "doc_fused_quality": doc_fused_quality,
     }
 
 
@@ -6644,4 +6724,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_repair_log": _repair_log_oracle_sql(),
         "northrule_repaired_sequence": _repaired_sequence_oracle_sql(),
         "media_png_thumbnails": _MEDIA_PNG_THUMB_ORACLE,
+        "doc_fused_quality": _FUSED_QUALITY_ORACLE,
     }

@@ -215,6 +215,7 @@ def main():
         "northrule_span_repair_log",
         "northrule_repaired_sequence",
         "media_png_thumbnails",
+        "doc_fused_quality",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -1,0 +1,102 @@
+"""Curation score fusion: combine heterogeneous per-document quality
+signals (LM score, heuristic quality, host authority, length priors —
+any numeric columns) into ONE deterministic 0..10000 score by
+rank-normalizing each signal to basis points and taking a weighted
+integer mean.
+
+Why rank-normalize: the signals live on incomparable scales (log-probs,
+ratios, fixed-point ranks); z-scoring needs float means/stds that no SQL
+engine replays bit-for-bit and is ruined by heavy tails.  The midrank
+percentile is scale-free, outlier-immune, and EXACT in integers:
+
+    mid_bp(v) = ((2*n_lt + n_eq - 1) * 5000) DIV (n - 1)     (n > 1)
+
+where n_lt / n_eq count rows below / at the value — 0 for the minimum,
+10000 for the maximum, ties share their average rank (the Mann-Whitney
+midrank, same convention as evaluate.auc_exact), everything int64.  A
+single-row input scores 5000 (no rank information).  NULL signal values
+get NULL bp and contribute NOTHING: the fused score reweights over the
+signals that are present (NULL-heavy rows keep a fair score instead of
+inheriting a fake one); rows with NO present signal fuse to NULL.
+
+    fused_bp = sum(w_i * bp_i over present i) DIV sum(w_i over present i)
+
+No reference counterpart: /root/reference is a JSON-Schema walker; this
+is the §2E curation-pipeline scoring stage (FineWeb/DCLM-style filters
+combine exactly such signals before thresholding).
+
+Scale shape (10^12 docs): per signal, ONE map-side-combined
+``groupBy(value)`` count (distinct-value table), two window cumsums over
+that table (metadata-sized for quantized signals, worst-case
+distinct-sized), and one join back on the value key — Catalyst plans a
+shuffle join per signal; the fuse itself is a projection.  Weights and
+thresholds stay integer end-to-end, so downstream gates replay in any
+engine.  Int64 bound: 2*n*10000 must fit — fine to ~4*10^14 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Append ``out`` (default ``<col>_bp``): the exact midrank basis
+    points of ``col`` among its non-NULL values (NULL in -> NULL out)."""
+    out = out or f"{col}_bp"
+    per = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n_eq"))
+    )
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per.select(
+        "_v",
+        "_n_eq",
+        F.coalesce(F.sum("_n_eq").over(w), F.lit(0)).alias("_n_lt"),
+    ).crossJoin(
+        per.agg(F.sum("_n_eq").alias("_n_all"))
+    )
+    ranked = ranked.select(
+        "_v",
+        F.when(F.col("_n_all") > 1,
+               F.expr("((2 * _n_lt + _n_eq - 1) * 5000) DIV (_n_all - 1)"))
+        .otherwise(F.lit(5000))
+        .alias(out),
+    )
+    return df.join(ranked, df[col] == ranked["_v"], "left").drop("_v")
+
+
+def fuse_rank_scores(
+    df: DataFrame, weights: dict, id_col: str = "doc_id", fused_col: str = "fused_bp"
+) -> DataFrame:
+    """(id, <col>_bp per signal, fused_bp): see module doc.  ``weights``
+    maps signal column -> positive integer weight."""
+    if not weights:
+        raise ValueError("fuse_rank_scores: weights must name at least one column")
+    bad = {c: w for c, w in weights.items() if int(w) <= 0}
+    if bad:
+        raise ValueError(f"fuse_rank_scores: weights must be positive ints: {bad}")
+    out = df
+    for c in weights:
+        out = rank_bp(out, c)
+    num = None
+    den = None
+    for c, w in weights.items():
+        bp = F.col(f"{c}_bp")
+        term = F.when(bp.isNotNull(), bp * F.lit(int(w))).otherwise(F.lit(0))
+        wt = F.when(bp.isNotNull(), F.lit(int(w))).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = wt if den is None else den + wt
+    fused = F.when(den > 0, F.expr(f"_fuse_num DIV _fuse_den"))
+    return (
+        out.withColumn("_fuse_num", num.cast("long"))
+        .withColumn("_fuse_den", den.cast("long"))
+        .select(
+            id_col,
+            *[f"{c}_bp" for c in weights],
+            fused.alias(fused_col),
+        )
+    )
