@@ -6198,10 +6198,14 @@ def northrule_span_repair_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     textDropped / spanDropped / offsetRepaired action.  The whole pass
     is in-array column expressions — one projection scan, ZERO shuffles;
     the oracle replays plant + rules + the closed-form offset recurrence
-    (prefix-sum + running-max windows per physical row)."""
+    (prefix-sum + running-max windows per physical row).  The media
+    catalog is passed, so dangling refs (planted in the generated
+    corpus) drop as refDangling — referential repair included."""
     from schemasaurus_spark.operators.repair import repair_spans
 
-    return repair_spans(_nr_damaged_docs(spark)).select(
+    return repair_spans(
+        _nr_damaged_docs(spark), catalog=generate_media_catalog(spark, seed=7)
+    ).select(
         "doc_id", F.explode("repairs").alias("r")
     ).select("doc_id", "r.span_idx", "r.code", "r.detail")
 
@@ -6213,7 +6217,9 @@ def northrule_repaired_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest re-validates the repaired table against span_integrity)."""
     from schemasaurus_spark.operators.repair import repair_spans
 
-    rep = repair_spans(_nr_damaged_docs(spark))
+    rep = repair_spans(
+        _nr_damaged_docs(spark), catalog=generate_media_catalog(spark, seed=7)
+    )
     return rep.select(
         "doc_id", F.posexplode("spans").alias("pos", "s")
     ).select(
@@ -6266,6 +6272,9 @@ staged2 AS (
                 THEN 'badKind'
               WHEN kind = 'text' AND text0 IS NULL THEN 'textMissing'
               WHEN kind IN ('image','audio') AND media_ref IS NULL THEN 'refMissing'
+              WHEN kind IN ('image','audio') AND media_ref NOT IN
+                   (SELECT media_ref FROM read_parquet('{_NR_CATALOG_PATH}/*.parquet'))
+                THEN 'refDangling'
          END AS drop_reason
   FROM staged
 ),

@@ -70,21 +70,53 @@ def _fixed_kind(s: Column) -> Column:
     )
 
 
-def _drop_reason(kind: Column, text: Column, ref: Column) -> Column:
-    """NULL when the span survives, else the reason string."""
-    return (
+def _drop_reason(
+    kind: Column, text: Column, ref: Column, cat: Column | None = None
+) -> Column:
+    """NULL when the span survives, else the reason string.  ``cat`` is
+    the broadcast catalog-ref array (when referential repair is on): a
+    media span whose ref is absent from the catalog points nowhere and
+    is dropped as ``refDangling``."""
+    out = (
         F.when(kind.isNull() | ~kind.isin(*VALID_KINDS), F.lit("badKind"))
         .when((kind == "text") & text.isNull(), F.lit("textMissing"))
         .when(kind.isin("image", "audio") & ref.isNull(), F.lit("refMissing"))
     )
+    if cat is not None:
+        out = out.when(
+            kind.isin("image", "audio") & ~F.array_contains(cat, ref),
+            F.lit("refDangling"),
+        )
+    return out
 
 
 def repair_spans(
-    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    catalog: DataFrame | None = None,
+    catalog_ref_col: str = "media_ref",
 ) -> DataFrame:
     """See module doc.  Returns ``df`` with ``spans`` repaired and a
-    ``repairs`` audit column appended; other columns pass through."""
+    ``repairs`` audit column appended; other columns pass through.
+
+    ``catalog`` (the broadcast-sized media dimension) turns on
+    REFERENTIAL repair: media spans whose non-NULL ref is absent from
+    the catalog drop as ``refDangling`` — the repair twin of the
+    left-anti referential check.  The catalog rides as ONE sorted array
+    on a single-row broadcast cross join (the centroid-array idiom), so
+    membership is an in-array ``array_contains`` and the pass stays
+    zero-shuffle."""
     spans = F.col(spans_col)
+    cat = None
+    if catalog is not None:
+        from pyspark.sql.functions import broadcast
+
+        one = catalog.select(catalog_ref_col).distinct().agg(
+            F.array_sort(F.collect_list(catalog_ref_col)).alias("_cat_refs")
+        )
+        df = df.join(broadcast(one))
+        cat = F.col("_cat_refs")
 
     # stage 1+2 applied, original index and fields carried for the log
     staged = F.transform(
@@ -100,7 +132,8 @@ def repair_spans(
         ),
     )
     kept = F.filter(
-        staged, lambda s: _drop_reason(s["kind"], s["text"], s["media_ref"]).isNull()
+        staged,
+        lambda s: _drop_reason(s["kind"], s["text"], s["media_ref"], cat).isNull(),
     )
 
     # offset canonicalization: one O(n) fold carrying (arr, cumext, gmax)
@@ -166,11 +199,11 @@ def repair_spans(
     drop_logs = F.transform(
         staged,
         lambda s: F.when(
-            _drop_reason(s["kind"], s["text"], s["media_ref"]).isNotNull(),
+            _drop_reason(s["kind"], s["text"], s["media_ref"], cat).isNotNull(),
             log_entry(
                 s["idx"],
                 F.lit("spanDropped"),
-                _drop_reason(s["kind"], s["text"], s["media_ref"]),
+                _drop_reason(s["kind"], s["text"], s["media_ref"], cat),
             ),
         ),
     )
@@ -211,7 +244,7 @@ def repair_spans(
             ),
         ),
     )
-    others = [c for c in df.columns if c != spans_col]
+    others = [c for c in df.columns if c not in (spans_col, "_cat_refs")]
     return df.select(
         *others,
         out_spans.alias(spans_col),

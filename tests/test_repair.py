@@ -149,3 +149,28 @@ def test_partition_invariance(spark):
         key=lambda r: r["doc_id"],
     )
     assert a == b
+
+
+def test_referential_repair_with_catalog(spark):
+    cat = spark.createDataFrame(
+        [("media://img/1",), ("media://aud/2",)], "media_ref string"
+    )
+    rows = [
+        (
+            "d",
+            [
+                ("image", None, "media://img/1", 0),  # in catalog: kept
+                ("image", None, "media://img/404", 5),  # dangling: dropped
+                ("audio", None, "media://missing/9", 8),  # dangling: dropped
+            ],
+        )
+    ]
+    out = repair_spans(_df(spark, rows), catalog=cat).collect()[0]
+    assert [s["media_ref"] for s in out["spans"]] == ["media://img/1"]
+    codes = sorted((r["span_idx"], r["detail"]) for r in out["repairs"]
+                   if r["code"] == "spanDropped")
+    assert codes == [(1, "refDangling"), (2, "refDangling")]
+    # without a catalog the same spans survive (referential repair is opt-in)
+    out2 = repair_spans(_df(spark, rows)).collect()[0]
+    assert len(out2["spans"]) == 3
+    assert "_cat_refs" not in repair_spans(_df(spark, rows), catalog=cat).columns
