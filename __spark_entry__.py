@@ -6069,6 +6069,52 @@ FROM comp c JOIN assigned a ON c.vec_id = a.vec_id
 """
 
 
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric repair (operators/outliers.py winsorize): event values
+    clamped per event_type to EXACT order-statistic bounds — the k-th
+    smallest with k = ceil(n*bp/10000), a value picked from the data
+    (zero float arithmetic, bit-exact on doubles in any engine).  One
+    map-side-combined (type, value) aggregate + per-type cumsums on the
+    distinct-value table, bounds broadcast back over one corpus scan."""
+    from schemasaurus_spark.operators.outliers import winsorize
+
+    ev = _table(spark, sf_dir, "events")
+    return winsorize(ev, "value", ["event_type"], lo_bp=100, hi_bp=9900).select(
+        "event_id", "event_type", "value", "value_w", "winsor_side"
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH per AS (
+  SELECT event_type, value AS _v, count(*) AS _n_eq
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type, _v,
+         sum(_n_eq) OVER (PARTITION BY event_type ORDER BY _v ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_n_eq) OVER (PARTITION BY event_type) AS _n
+  FROM per
+),
+bounds AS (
+  SELECT event_type,
+         min(CASE WHEN _cum >= greatest((_n * 100 + 9999) // 10000, 1)
+                  THEN _v END) AS lo,
+         min(CASE WHEN _cum >= least(greatest((_n * 9900 + 9999) // 10000, 1), _n)
+                  THEN _v END) AS hi
+  FROM cum GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            WHEN e.value < b.lo THEN b.lo
+            WHEN e.value > b.hi THEN b.hi
+            ELSE e.value END AS value_w,
+       CASE WHEN e.value < b.lo THEN 'low'
+            WHEN e.value > b.hi THEN 'high' END AS winsor_side
+FROM events e LEFT JOIN bounds b ON e.event_type = b.event_type
+"""
+
+
 def doc_fused_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation score fusion (operators/fuse.py): three incomparable
     signals — n_chars (NULL-bearing), whitespace token count, punctuation
@@ -6598,6 +6644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_repaired_sequence": northrule_repaired_sequence,
         "media_png_thumbnails": media_png_thumbnails,
         "doc_fused_quality": doc_fused_quality,
+        "event_value_winsorized": event_value_winsorized,
     }
 
 
@@ -6734,4 +6781,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_repaired_sequence": _repaired_sequence_oracle_sql(),
         "media_png_thumbnails": _MEDIA_PNG_THUMB_ORACLE,
         "doc_fused_quality": _FUSED_QUALITY_ORACLE,
+        "event_value_winsorized": _WINSORIZE_ORACLE,
     }

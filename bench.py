@@ -216,6 +216,7 @@ def main():
         "northrule_repaired_sequence",
         "media_png_thumbnails",
         "doc_fused_quality",
+        "event_value_winsorized",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["iqr_fences", "iqr_outliers"]
+__all__ = ["iqr_fences", "iqr_outliers", "winsor_bounds", "winsorize"]
 
 
 def iqr_fences(
@@ -80,4 +80,102 @@ def iqr_outliers(
         .withColumn("fence", fence)
         .where(F.col("side").isNotNull())
         .drop("q1", "q3", "lo", "hi")
+    )
+
+
+def winsor_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+) -> DataFrame:
+    """Per-group EXACT order-statistic clamp bounds ``(..., lo, hi, n)``.
+
+    Unlike the interpolated IQR fences above, the bounds here are VALUES
+    PICKED FROM THE DATA — the k-th smallest with ``k = ceil(n*bp/10000)``
+    (integer arithmetic, clamped to [1, n]) — so there is zero float
+    math: the operator is bit-exact in any engine even on doubles, which
+    is what lets the repair below be oracle-hashed.  This is the classic
+    winsorization definition (clamp to the empirical 1st/99th
+    percentile, inclusive).
+
+    Scale shape: one map-side-combined ``groupBy(group, value)`` count,
+    window cumsums per group over the distinct-value table, and a
+    min-filter — bounds output is |groups| rows, broadcastable."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    if not (0 <= int(lo_bp) <= int(hi_bp) <= 10000):
+        raise ValueError(
+            f"winsor_bounds: need 0 <= lo_bp <= hi_bp <= 10000, got {lo_bp}, {hi_bp}"
+        )
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n_eq"))
+    )
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(F.col("_v").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        *group_cols,
+        "_v",
+        F.sum("_n_eq").over(w).alias("_cum"),
+        F.sum("_n_eq").over(
+            (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy())
+            .orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    rank_lo = F.greatest(F.expr(f"(_n * {int(lo_bp)} + 9999) DIV 10000"), F.lit(1))
+    rank_hi = F.least(
+        F.greatest(F.expr(f"(_n * {int(hi_bp)} + 9999) DIV 10000"), F.lit(1)),
+        F.col("_n"),
+    )
+    base = cum.groupBy(*group_cols) if group_cols else cum.groupBy()
+    return base.agg(
+        F.min(F.when(F.col("_cum") >= rank_lo, F.col("_v"))).alias("lo"),
+        F.min(F.when(F.col("_cum") >= rank_hi, F.col("_v"))).alias("hi"),
+        F.max("_n").alias("n"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Numeric REPAIR: clamp ``value_col`` to its group's exact
+    order-statistic bounds — the repair twin of ``iqr_outliers`` (that
+    one flags, this one fixes).  Appends ``out_col`` (default
+    ``<col>_w``) and ``winsor_side`` ('low' | 'high' | NULL untouched);
+    NULL values pass through unclamped.  Bounds come from
+    :func:`winsor_bounds` and are broadcast back, so the corpus sees one
+    scan plus a map-side join."""
+    group_cols = group_cols or []
+    out_col = out_col or f"{value_col}_w"
+    bounds = winsor_bounds(df, value_col, group_cols, lo_bp, hi_bp)
+    joined = (
+        df.join(F.broadcast(bounds), group_cols, "left")
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col)
+    side = F.when(v < F.col("lo"), F.lit("low")).when(
+        v > F.col("hi"), F.lit("high")
+    )
+    clamped = (
+        F.when(v.isNull(), v)
+        .when(v < F.col("lo"), F.col("lo"))
+        .when(v > F.col("hi"), F.col("hi"))
+        .otherwise(v)
+    )
+    return (
+        joined.withColumn(out_col, clamped)
+        .withColumn("winsor_side", side)
+        .drop("lo", "hi", "n")
     )
