@@ -6278,6 +6278,66 @@ def northrule_repaired_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def northrule_span_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching profile over the generated interleaved corpus
+    (operators/text.py span_lang_profile): per-span stopword-vote
+    language ID, majority excluding 'und', minority counts — fully
+    in-array (ZERO shuffles, duplicate doc_ids stay separate rows); the
+    oracle unnests per physical row and replays the votes, the argmax
+    and the sum-minus-max minority identity in SQL."""
+    from schemasaurus_spark.operators.text import span_lang_profile
+
+    return span_lang_profile(_northrule_docs(spark))
+
+
+def _span_lang_oracle_sql() -> str:
+    g = "greatest(cde, cen, ces, cfr)"
+    return f"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+ex AS (SELECT rn, doc_id, unnest(spans) AS s FROM docs),
+sp AS (SELECT rn, s.text AS text FROM ex WHERE s.kind = 'text'),
+v AS (
+  SELECT rn, text,
+         {_votes_sql(_STOPWORDS["de"])} AS vde,
+         {_votes_sql(_STOPWORDS["en"])} AS ven,
+         {_votes_sql(_STOPWORDS["es"])} AS ves,
+         {_votes_sql(_STOPWORDS["fr"])} AS vfr
+  FROM sp
+),
+sl AS (
+  SELECT rn,
+         CASE WHEN text IS NULL OR greatest(vde, ven, ves, vfr) <= 0 THEN 'und'
+              WHEN vde = greatest(vde, ven, ves, vfr) THEN 'de'
+              WHEN ven = greatest(vde, ven, ves, vfr) THEN 'en'
+              WHEN ves = greatest(vde, ven, ves, vfr) THEN 'es'
+              ELSE 'fr' END AS lang
+  FROM v
+),
+cnt AS (
+  SELECT rn, count(*) AS n_text_spans,
+         sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS n_und,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cde,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cen,
+         sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS ces,
+         sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS cfr
+  FROM sl GROUP BY rn
+)
+SELECT d.doc_id,
+       coalesce(CASE WHEN {g} IS NULL OR {g} <= 0 THEN 'und'
+                     WHEN cde = {g} THEN 'de'
+                     WHEN cen = {g} THEN 'en'
+                     WHEN ces = {g} THEN 'es'
+                     ELSE 'fr' END, 'und') AS majority_lang,
+       CAST(coalesce(c.n_text_spans, 0) AS INT) AS n_text_spans,
+       CAST(coalesce(c.n_und, 0) AS INT) AS n_und,
+       CAST(coalesce(cde + cen + ces + cfr - {g}, 0) AS INT) AS n_minority
+FROM docs d LEFT JOIN cnt c ON d.rn = c.rn
+"""
+
+
 def _repair_oracle_prefix() -> str:
     return f"""
 WITH docs AS (
@@ -6645,6 +6705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_thumbnails": media_png_thumbnails,
         "doc_fused_quality": doc_fused_quality,
         "event_value_winsorized": event_value_winsorized,
+        "northrule_span_lang": northrule_span_lang,
     }
 
 
@@ -6782,4 +6843,5 @@ def oracle_sql() -> dict[str, str]:
         "media_png_thumbnails": _MEDIA_PNG_THUMB_ORACLE,
         "doc_fused_quality": _FUSED_QUALITY_ORACLE,
         "event_value_winsorized": _WINSORIZE_ORACLE,
+        "northrule_span_lang": _span_lang_oracle_sql(),
     }

@@ -217,6 +217,7 @@ def main():
         "media_png_thumbnails",
         "doc_fused_quality",
         "event_value_winsorized",
+        "northrule_span_lang",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

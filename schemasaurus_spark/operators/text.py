@@ -207,3 +207,81 @@ def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "clean_te
         cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
     cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return df.withColumn("n_tags", n_tags).withColumn(out_col, cleaned)
+
+
+def span_lang_profile(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-switching profile over interleaved documents: run the
+    stopword-vote language ID on EVERY text span and report, per
+    document row, the majority language and how uniform the document is
+    — ``(id, majority_lang, n_text_spans, n_und, n_minority)`` where
+    ``n_minority`` counts identified spans disagreeing with the
+    majority.  Doc-level language ID (``lang_id``) blends all spans into
+    one vote and hides mixed-language documents; curation wants them
+    FLAGGED (code-switched web pages are a known quality hazard, and a
+    span-majority disagreement is also how a wrong doc-level ``lang``
+    column gets caught).
+
+    Majority = the most frequent per-span verdict EXCLUDING 'und'
+    (unidentifiable spans shouldn't outvote identified ones), ties to
+    the earliest language code — same tie discipline as ``lang_id``;
+    'und' when no span identifies.  All counting + deterministic argmax.
+
+    Scale shape: fully IN-ARRAY (transform over the spans array — one
+    projection scan, ZERO shuffles, correct under duplicate doc_ids);
+    the per-span vote vector is materialized once per span inside the
+    lambda, so the expression tree stays linear in languages (the
+    with_lang_id lesson)."""
+    codes = sorted(STOPWORDS)
+    spans = F.col(spans_col)
+
+    def span_lang(s):
+        words = F.split(F.lower(s["text"]), r"\s+")
+        votes = F.array(
+            *[
+                F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[c])))
+                for c in codes
+            ]
+        )
+        best = F.array_max(votes)
+        out = F.lit("und")
+        for idx, code in reversed(list(enumerate(codes))):
+            out = F.when(votes[idx] == best, F.lit(code)).otherwise(out)
+        return F.when(s["text"].isNull() | (best <= 0), F.lit("und")).otherwise(out)
+
+    langs = F.transform(
+        F.filter(spans, lambda s: s["kind"] == "text"), span_lang
+    )
+    # closure factory, NOT a default-arg lambda: a 2-arity HOF lambda
+    # would receive the element INDEX as its second argument (the
+    # with_lang_id / lang_id gotcha above)
+    def _eq(code):
+        return lambda x: x == code
+
+    counts = [(c, F.size(F.filter(langs, _eq(c)))) for c in codes]
+    best_n = F.greatest(*[n for _, n in counts])
+    majority = F.lit("und")
+    for c, n in reversed(counts):
+        majority = F.when(n == best_n, F.lit(c)).otherwise(majority)
+    majority = F.when(langs.isNull() | (best_n <= 0), F.lit("und")).otherwise(
+        majority
+    )
+    out = df.select(
+        F.col(id_col),
+        majority.alias("majority_lang"),
+        F.coalesce(F.size(langs), F.lit(0)).alias("n_text_spans"),
+        F.coalesce(
+            F.size(F.filter(langs, lambda x: x == "und")), F.lit(0)
+        ).alias("n_und"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    langs,
+                    lambda x: (x != "und") & (x != majority),
+                )
+            ),
+            F.lit(0),
+        ).alias("n_minority"),
+    )
+    return out
