@@ -6571,6 +6571,49 @@ LEFT JOIN agg a ON d.doc_id = a.doc_id
 )
 
 
+
+def northrule_training_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-doc training serialization (operators/interleave.py
+    render_training_text): spans flattened in order into ONE training
+    string — text spans verbatim (NULL text -> empty piece), media spans
+    as <|kind|> placeholder tokens — plus the comma-joined media fetch
+    manifest and exact char/placeholder accounting.  Fully in-array
+    (ZERO shuffles, one projection scan, duplicate doc_ids stay separate
+    physical rows); the oracle replays the same flatten with DuckDB list
+    lambdas per physical row."""
+    from schemasaurus_spark.operators.interleave import render_training_text
+
+    return render_training_text(_northrule_docs(spark))
+
+
+_TRAINING_TEXT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(spans, []) AS sp
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+)
+SELECT doc_id,
+       CASE WHEN len(sp) > 0 THEN array_to_string(
+         list_transform(sp, s -> CASE WHEN s.kind = 'text'
+                                      THEN coalesce(s.text, '')
+                                      ELSE '<|' || s.kind || '|>' END),
+         chr(10)) END AS training_text,
+       coalesce(array_to_string(
+         list_filter(list_transform(sp, s -> s.media_ref),
+                     r -> r IS NOT NULL), ','), '') AS media_refs_csv,
+       CAST(coalesce(length(CASE WHEN len(sp) > 0 THEN array_to_string(
+         list_transform(sp, s -> CASE WHEN s.kind = 'text'
+                                      THEN coalesce(s.text, '')
+                                      ELSE '<|' || s.kind || '|>' END),
+         chr(10)) END), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(list_sum(list_transform(sp,
+         s -> CASE WHEN s.kind = 'text' THEN length(coalesce(s.text, ''))
+                   ELSE 0 END)), 0) AS BIGINT) AS n_text_chars,
+       CAST(len(list_filter(sp, s -> s.kind != 'text')) AS BIGINT)
+         AS n_placeholders
+FROM docs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -6706,6 +6749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fused_quality": doc_fused_quality,
         "event_value_winsorized": event_value_winsorized,
         "northrule_span_lang": northrule_span_lang,
+        "northrule_training_text": northrule_training_text,
     }
 
 
@@ -6844,4 +6888,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fused_quality": _FUSED_QUALITY_ORACLE,
         "event_value_winsorized": _WINSORIZE_ORACLE,
         "northrule_span_lang": _span_lang_oracle_sql(),
+        "northrule_training_text": _TRAINING_TEXT_ORACLE,
     }

@@ -218,6 +218,7 @@ def main():
         "doc_fused_quality",
         "event_value_winsorized",
         "northrule_span_lang",
+        "northrule_training_text",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

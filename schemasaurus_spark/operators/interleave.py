@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interleave_profile"]
+__all__ = ["interleave_profile", "render_training_text"]
 
 
 def _max_run(kinds: Column, want_text: bool) -> Column:
@@ -84,4 +84,76 @@ def interleave_profile(
         _max_run(kinds, False).cast("long").alias("max_nontext_run"),
         F.get(kinds, 0).alias("first_kind"),
         F.get(kinds, n - 1).alias("last_kind"),
+    )
+
+
+def render_training_text(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    separator: str = "\n",
+) -> DataFrame:
+    """Serialize each interleaved document into ONE training string.
+
+    The deterministic flatten every multimodal training loader needs:
+    spans in array order, text spans contribute their text (NULL text
+    renders as the empty piece so span alignment survives), every
+    non-text span contributes the placeholder token ``<|kind|>``
+    (``<|image|>`` / ``<|audio|>`` / ``<|ref|>`` — the LLaVA-style
+    sentinel the tokenizer later maps to patch embeddings), pieces
+    joined by ``separator``.  Alongside the string: the media fetch
+    manifest (non-NULL media_refs, comma-joined, in placeholder order —
+    what the loader resolves against the media store), exact char
+    accounting, and the placeholder count.
+
+    Output per PHYSICAL row (duplicate doc_ids stay separate rows):
+    ``(doc_id, training_text, media_refs_csv, n_chars, n_text_chars,
+    n_placeholders)``.  Docs with NULL/empty spans are untrainable and
+    render as NULL training_text with zero counts ('' manifest).
+
+    Scale shape: ZERO shuffles — the whole pass is in-array
+    ``transform`` + ``array_join`` + ``filter`` expressions inside one
+    embarrassingly-parallel projection scan (no explode, no window;
+    explode+window would shuffle every span AND break on duplicate
+    doc_ids).  At 10^12 docs this is a pure map stage gated only by
+    scan bandwidth.
+
+    No reference counterpart: schemasaurus validates/normalizes span
+    documents but never serializes them for training; this operator is
+    engine-original plumbing for the interleaved north-rule table.
+    """
+    spans = F.coalesce(F.col(spans_col), F.array())
+    n = F.size(spans)
+
+    pieces = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "text", F.coalesce(s["text"], F.lit(""))
+        ).otherwise(F.concat(F.lit("<|"), s["kind"], F.lit("|>"))),
+    )
+    rendered = F.when(n > 0, F.array_join(pieces, separator))
+    refs = F.filter(
+        F.transform(spans, lambda s: s["media_ref"]), lambda r: r.isNotNull()
+    )
+    text_chars = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text", F.length(F.coalesce(s["text"], F.lit("")))
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        rendered.alias("training_text"),
+        F.array_join(refs, ",").alias("media_refs_csv"),
+        F.coalesce(F.length(rendered).cast("long"), F.lit(0).cast("long")).alias(
+            "n_chars"
+        ),
+        text_chars.alias("n_text_chars"),
+        F.size(F.filter(spans, lambda s: s["kind"] != "text"))
+        .cast("long")
+        .alias("n_placeholders"),
     )

@@ -85,3 +85,78 @@ def test_duplicate_doc_ids_profile_independently(spark):
         for r in interleave_profile(spark.createDataFrame(rows, SCHEMA)).collect()
     )
     assert got == [(2, 1, 1), (3, 0, 3)]
+
+
+def test_render_training_text_hand_computed(spark):
+    rows = [
+        (
+            "a",
+            [
+                ("text", "hello world", None, 0),
+                ("image", None, "media://img/1", 11),
+                ("text", "caption", None, 12),
+                ("audio", None, "media://aud/2", 19),
+                ("ref", None, None, 20),  # NULL media_ref: placeholder, no manifest entry
+            ],
+        ),
+        ("b", [("text", None, None, 0)]),  # NULL text renders as empty piece
+        ("c", []),
+        ("d", None),
+    ]
+    from schemasaurus_spark.operators.interleave import render_training_text
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in render_training_text(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    }
+    a = got["a"]
+    assert a["training_text"] == "hello world\n<|image|>\ncaption\n<|audio|>\n<|ref|>"
+    assert a["media_refs_csv"] == "media://img/1,media://aud/2"
+    assert a["n_chars"] == len(a["training_text"])
+    assert a["n_text_chars"] == len("hello world") + len("caption")
+    assert a["n_placeholders"] == 3
+    b = got["b"]
+    assert b["training_text"] == "" and b["n_chars"] == 0
+    assert b["n_text_chars"] == 0 and b["n_placeholders"] == 0
+    for empty in ("c", "d"):
+        e = got[empty]
+        assert e["training_text"] is None
+        assert e["media_refs_csv"] == ""
+        assert (e["n_chars"], e["n_text_chars"], e["n_placeholders"]) == (0, 0, 0)
+
+
+def test_render_training_text_duplicate_ids_and_partition_invariance(spark):
+    from schemasaurus_spark.operators.interleave import render_training_text
+
+    rows = [
+        ("dup", [("text", "first", None, 0)]),
+        ("dup", [("image", None, "media://img/9", 0)]),
+    ] + [
+        (f"doc{i}", [("text", f"t{i}", None, 0), ("ref", None, f"media://r/{i}", 2)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = sorted(
+        (r.doc_id, r.training_text, r.media_refs_csv)
+        for r in render_training_text(df).collect()
+    )
+    # duplicate doc_ids stay separate physical rows
+    assert [t for t in base if t[0] == "dup"] == [
+        ("dup", "<|image|>", "media://img/9"),
+        ("dup", "first", ""),
+    ]
+    repart = sorted(
+        (r.doc_id, r.training_text, r.media_refs_csv)
+        for r in render_training_text(df.repartition(7, "doc_id")).collect()
+    )
+    assert repart == base
+
+
+def test_render_training_text_zero_shuffle_plan(spark):
+    from schemasaurus_spark.operators.interleave import render_training_text
+
+    df = spark.createDataFrame([("a", [("text", "x", None, 0)])], SCHEMA)
+    plan = render_training_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
