@@ -6614,6 +6614,107 @@ FROM docs
 """
 
 
+
+# -- script / encoding-corruption profile -------------------------------
+# Deterministic plant keyed by doc_id % 10 so every script bucket and all
+# three mojibake artifact counters are NON-VACUOUS on the ASCII testdata
+# corpus; the oracle replays the identical concat from the same table.
+_SCRIPT_SNIPPETS: dict[int, str] = {
+    1: " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0434\u0430\u043d\u043d\u044b\u0435",
+    2: " \u4f60\u597d\u4e16\u754c\u6570\u636e",
+    3: " caf\u00c3\u00a9 it\u00e2\u0080\u0099s",
+    4: " \ufffd\ufffd",
+    5: " \u0395\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac \u03ba\u03b5\u03af\u03bc\u03b5\u03bd\u03bf",
+    6: " \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645",
+    7: " \ud55c\uad6d\uc5b4 \ub370\uc774\ud130",
+    8: " \u0939\u093f\u0928\u094d\u0926\u0940 \u092a\u093e\u0920",
+    9: " \u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd",
+}
+
+
+def _script_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (F.col("doc_id") % 10).cast("int")
+    # tens-digit parity splits each snippet bucket: odd tens REPLACE the
+    # text (pure foreign-script doc -> every dominant_script branch
+    # fires), even tens APPEND (mixed doc -> counts non-vacuous while
+    # latin stays dominant).
+    replace = (F.col("doc_id") % 20) >= 10
+    text = F.col("text")
+    planted = text
+    for digit, snip in _SCRIPT_SNIPPETS.items():
+        planted = F.when(
+            (d == digit) & replace, F.lit(snip)
+        ).when(d == digit, F.concat(text, F.lit(snip))).otherwise(planted)
+    return _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+
+
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script + mojibake forensics (operators/encoding.py): per-doc
+    script-range char counts (explicit BMP codepoint classes — portable
+    across Java regex and RE2), U+FFFD / C1-control / UTF-8-as-latin-1
+    pair counts, integer-argmax dominant script with fixed tie
+    precedence, basis-point purity.  ZERO shuffles (one projection scan
+    of JVM regex expressions); the oracle replays every count as a
+    regexp_replace length delta with the 'g' flag."""
+    from schemasaurus_spark.operators.encoding import script_profile
+
+    return script_profile(_script_planted(spark, sf_dir))
+
+
+def _script_profile_oracle_sql() -> str:
+    from schemasaurus_spark.operators.encoding import (
+        SCRIPT_RANGES,
+        _C1,
+        _MOJIBAKE_PAIR,
+        _REPLACEMENT,
+    )
+
+    cases = "\n           ".join(
+        f"WHEN (doc_id % 20 >= 10) AND doc_id % 10 = {d} THEN '{snip}' "
+        f"WHEN doc_id % 10 = {d} THEN text || '{snip}'"
+        for d, snip in _SCRIPT_SNIPPETS.items()
+    )
+
+    def removed(pat: str) -> str:
+        return f"length(t) - length(regexp_replace(t, '{pat}', '', 'g'))"
+
+    count_cols = ",\n         ".join(
+        f"CAST({removed(pat)} AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    g = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    tot = " + ".join(f"n_{n}" for n in names)
+    dom = "CASE WHEN " + g + " <= 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {g} THEN '{n}'" for n in names
+    ) + " END"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE {cases}
+           ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, coalesce(text, '') AS t FROM planted),
+cnt AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         {count_cols},
+         CAST({removed(_REPLACEMENT)} AS BIGINT) AS n_replacement,
+         CAST({removed(_C1)} AS BIGINT) AS n_c1,
+         CAST(({removed(_MOJIBAKE_PAIR)}) // 2 AS BIGINT) AS n_mojibake_pairs
+  FROM base
+)
+SELECT doc_id, n_chars, {', '.join('n_' + n for n in names)},
+       n_replacement, n_c1, n_mojibake_pairs,
+       {dom} AS dominant_script,
+       CAST(CASE WHEN {g} <= 0 THEN 0
+                 ELSE ({g} * 10000) // ({tot}) END AS BIGINT)
+         AS script_purity_bp
+FROM cnt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -6750,6 +6851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_winsorized": event_value_winsorized,
         "northrule_span_lang": northrule_span_lang,
         "northrule_training_text": northrule_training_text,
+        "doc_script_profile": doc_script_profile,
     }
 
 
@@ -6889,4 +6991,5 @@ def oracle_sql() -> dict[str, str]:
         "event_value_winsorized": _WINSORIZE_ORACLE,
         "northrule_span_lang": _span_lang_oracle_sql(),
         "northrule_training_text": _TRAINING_TEXT_ORACLE,
+        "doc_script_profile": _script_profile_oracle_sql(),
     }

@@ -219,6 +219,7 @@ def main():
         "event_value_winsorized",
         "northrule_span_lang",
         "northrule_training_text",
+        "doc_script_profile",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
