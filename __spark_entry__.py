@@ -6715,6 +6715,100 @@ FROM cnt
 """
 
 
+
+# -- license / usage-rights compliance ---------------------------------
+_LICENSE_SNIPPETS: dict[int, str] = {
+    1: " All Rights Reserved.",
+    2: " Licensed under CC BY-NC-SA 4.0.",
+    3: " licensed under cc by-sa 4.0",
+    4: " This work is in the Public Domain (CC0).",
+    5: " SPDX-License-Identifier: Apache-2.0",
+    6: " Copyright \u00a9 2024 Example Corp. All rights reserved."
+       " copyright notices.",
+    7: " Creative Commons Attribution license",
+    8: " strictly Non-Commercial use only",
+}
+
+
+def doc_license_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-rights tagging (operators/compliance.py): SPDX extraction,
+    boilerplate license markers, exact copyright-mark counting, and the
+    most-restrictive-wins license_class fold — ZERO shuffles, one
+    projection scan; plant keyed by doc_id % 10 makes every class branch
+    and marker flag non-vacuous; the oracle replays detection on
+    lower(text) with the identical lookaround-free patterns."""
+    from schemasaurus_spark.operators.compliance import license_profile
+
+    d = (F.col("doc_id") % 10).cast("int")
+    text = F.col("text")
+    planted = text
+    for digit, snip in _LICENSE_SNIPPETS.items():
+        planted = F.when(d == digit, F.concat(text, F.lit(snip))).otherwise(
+            planted
+        )
+    return license_profile(
+        _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    )
+
+
+def _license_profile_oracle_sql() -> str:
+    from schemasaurus_spark.operators.compliance import (
+        ARR_PHRASE,
+        CC_BY_PATTERN,
+        CC_RESTRICTED_PATTERN,
+        PUBLIC_DOMAIN_PATTERN,
+        SPDX_PATTERN,
+    )
+
+    cases = "\n           ".join(
+        f"WHEN doc_id % 10 = {d} THEN text || '{snip}'"
+        for d, snip in _LICENSE_SNIPPETS.items()
+    )
+
+    def count(needle: str) -> str:
+        return (
+            f"(length(t) - length(regexp_replace(t, '{needle}', '', 'g')))"
+            f" // {len(needle)}"
+        )
+
+    def flag(pat: str) -> str:
+        return f"CAST(CASE WHEN regexp_matches(t, '{pat}') THEN 1 ELSE 0 END AS BIGINT)"
+
+    n_copyright = count("copyright") + " + " + count("\u00a9")
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE {cases}
+           ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM planted),
+m AS (
+  SELECT doc_id,
+         CAST(CASE WHEN position('{ARR_PHRASE}' IN t) > 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS f_arr,
+         {flag(CC_RESTRICTED_PATTERN)} AS f_cc_restricted,
+         {flag(CC_BY_PATTERN)} AS f_cc_by,
+         {flag(PUBLIC_DOMAIN_PATTERN)} AS f_public_domain,
+         nullif(regexp_extract(t, '{SPDX_PATTERN}', 1), '') AS spdx_id,
+         CAST({n_copyright} AS BIGINT)
+           AS n_copyright_marks
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN f_arr = 1 THEN 'all_rights_reserved'
+            WHEN f_cc_restricted = 1 THEN 'cc_restricted'
+            WHEN f_cc_by = 1 THEN 'cc_by'
+            WHEN f_public_domain = 1 THEN 'public_domain'
+            WHEN spdx_id IS NOT NULL THEN 'spdx'
+            ELSE 'none' END AS license_class,
+       spdx_id, n_copyright_marks, f_arr, f_cc_restricted, f_cc_by,
+       f_public_domain
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -6852,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_lang": northrule_span_lang,
         "northrule_training_text": northrule_training_text,
         "doc_script_profile": doc_script_profile,
+        "doc_license_profile": doc_license_profile,
     }
 
 
@@ -6992,4 +7087,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_lang": _span_lang_oracle_sql(),
         "northrule_training_text": _TRAINING_TEXT_ORACLE,
         "doc_script_profile": _script_profile_oracle_sql(),
+        "doc_license_profile": _license_profile_oracle_sql(),
     }

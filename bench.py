@@ -220,6 +220,7 @@ def main():
         "northrule_span_lang",
         "northrule_training_text",
         "doc_script_profile",
+        "doc_license_profile",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
