@@ -6809,6 +6809,50 @@ FROM m
 """
 
 
+
+def northrule_media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fan-in profile (operators/media_reuse.py): per distinct
+    media_ref the span-reference count, distinct-document count (exact,
+    via the two-phase (ref,doc) pre-dedup aggregate — no count(distinct)
+    Expand), exact basis-point traffic share from a 1-row broadcast
+    total, and the broadcast-catalog kind / in_catalog flag (dangling
+    refs planted in the generated corpus keep the left join
+    non-vacuous)."""
+    from schemasaurus_spark.operators.media_reuse import media_reuse_profile
+
+    return media_reuse_profile(
+        _northrule_docs(spark), catalog=generate_media_catalog(spark, seed=7)
+    )
+
+
+_MEDIA_REUSE_ORACLE = f"""
+WITH refs AS (
+  SELECT doc_id, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_NR_DOCS_PATH}/*.parquet'))
+  WHERE s.media_ref IS NOT NULL
+),
+per_doc AS (
+  SELECT media_ref, doc_id, count(*) AS c
+  FROM refs GROUP BY media_ref, doc_id
+),
+per_ref AS (
+  SELECT media_ref, CAST(sum(c) AS BIGINT) AS n_refs,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY media_ref
+),
+tot AS (SELECT sum(n_refs) AS t FROM per_ref)
+SELECT p.media_ref, p.n_refs, p.n_docs,
+       CAST((p.n_refs * 10000) // tot.t AS BIGINT) AS share_bp,
+       c.media_kind,
+       CAST(CASE WHEN c.media_kind IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_catalog
+FROM per_ref p CROSS JOIN tot
+LEFT JOIN read_parquet('{_NR_CATALOG_PATH}/*.parquet') c
+  ON p.media_ref = c.media_ref
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -6947,6 +6991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_training_text": northrule_training_text,
         "doc_script_profile": doc_script_profile,
         "doc_license_profile": doc_license_profile,
+        "northrule_media_reuse": northrule_media_reuse,
     }
 
 
@@ -7088,4 +7133,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_training_text": _TRAINING_TEXT_ORACLE,
         "doc_script_profile": _script_profile_oracle_sql(),
         "doc_license_profile": _license_profile_oracle_sql(),
+        "northrule_media_reuse": _MEDIA_REUSE_ORACLE,
     }

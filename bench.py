@@ -221,6 +221,7 @@ def main():
         "northrule_training_text",
         "doc_script_profile",
         "doc_license_profile",
+        "northrule_media_reuse",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
