@@ -6853,6 +6853,60 @@ LEFT JOIN read_parquet('{_NR_CATALOG_PATH}/*.parquet') c
 """
 
 
+
+def event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM changepoint detector (operators/cusum.py) per
+    event_type: two one-sided statistics in exact int64 micro-units via
+    the closed form cum - min(0, running_min(cum)) — two windows sharing
+    one (entity, ts_us, event_id) sort, ONE exchange; the oracle replays
+    the identical prefix-sum + running-min windows."""
+    from schemasaurus_spark.operators.cusum import cusum_changepoints
+
+    return cusum_changepoints(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        target=50.0,
+        slack=5.0,
+        threshold=500.0,
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    from schemasaurus_spark.operators.cusum import quantize
+
+    q_up = quantize(50.0) + quantize(5.0)
+    q_dn = quantize(50.0) - quantize(5.0)
+    q_h = quantize(500.0)
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL
+),
+cums AS (
+  SELECT *,
+         sum(qv - {q_up}) OVER w AS cu,
+         sum({q_dn} - qv) OVER w AS cd
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stats AS (
+  SELECT *,
+         cu - least(0, min(cu) OVER w) AS s_up,
+         cd - least(0, min(cd) OVER w) AS s_dn
+  FROM cums
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, ts_us, value,
+       CAST(s_up AS BIGINT) AS cusum_up_q,
+       CAST(s_dn AS BIGINT) AS cusum_down_q,
+       CAST(CASE WHEN s_up > {q_h} THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+       CAST(CASE WHEN s_dn > {q_h} THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
+FROM stats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -6992,6 +7046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": doc_script_profile,
         "doc_license_profile": doc_license_profile,
         "northrule_media_reuse": northrule_media_reuse,
+        "event_value_cusum": event_value_cusum,
     }
 
 
@@ -7134,4 +7189,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_script_profile": _script_profile_oracle_sql(),
         "doc_license_profile": _license_profile_oracle_sql(),
         "northrule_media_reuse": _MEDIA_REUSE_ORACLE,
+        "event_value_cusum": _cusum_oracle_sql(),
     }

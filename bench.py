@@ -222,6 +222,7 @@ def main():
         "doc_script_profile",
         "doc_license_profile",
         "northrule_media_reuse",
+        "event_value_cusum",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
