@@ -6907,6 +6907,100 @@ FROM stats
 """
 
 
+
+def northrule_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span profile (operators/span_boilerplate.py)
+    over the generated interleaved corpus: normalized text spans reaching
+    5 distinct documents — two-phase (norm, doc_id) pre-dedup aggregate,
+    both shuffles map-side combined, duplicate doc_ids one logical doc."""
+    from schemasaurus_spark.operators.span_boilerplate import (
+        span_boilerplate_profile,
+    )
+
+    return span_boilerplate_profile(_northrule_docs(spark), min_docs=5)
+
+
+def northrule_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass composed on the profile: boilerplate text spans
+    dropped (original offsets kept — a subsequence of strictly increasing
+    offsets stays strictly increasing), flattened to (doc_id, pos, kind,
+    text, media_ref, offset).  Corpus side is a zero-shuffle in-array
+    array_contains against the single-row broadcast profile array."""
+    from schemasaurus_spark.operators.span_boilerplate import (
+        remove_boilerplate_spans,
+        span_boilerplate_profile,
+    )
+
+    docs = _northrule_docs(spark)
+    prof = span_boilerplate_profile(docs, min_docs=5)
+    return remove_boilerplate_spans(docs, prof).select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+_SPAN_BP_NORM = (
+    "lower(regexp_replace(trim(s.text), '\\s+', ' ', 'g'))"
+)
+
+_SPAN_BP_PROFILE_ORACLE = f"""
+WITH flat AS (
+  SELECT doc_id, {_SPAN_BP_NORM} AS norm
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_NR_DOCS_PATH}/*.parquet'))
+  WHERE s.kind = 'text' AND s.text IS NOT NULL
+        AND {_SPAN_BP_NORM} <> ''
+),
+per_doc AS (
+  SELECT norm, doc_id, count(*) AS c FROM flat GROUP BY norm, doc_id
+)
+SELECT norm AS span_norm, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_spans
+FROM per_doc GROUP BY norm HAVING count(*) >= 5
+"""
+
+_SPAN_CLEAN_ORACLE = f"""
+WITH docs AS (
+  SELECT *, row_number() OVER () AS rn
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+flat AS (
+  SELECT rn, doc_id, unnest(spans) AS s,
+         generate_subscripts(spans, 1) - 1 AS idx
+  FROM docs
+),
+bp AS (
+  SELECT norm FROM (
+    SELECT norm, doc_id FROM (
+      SELECT doc_id, {_SPAN_BP_NORM} AS norm
+      FROM (SELECT doc_id, unnest(spans) AS s
+            FROM read_parquet('{_NR_DOCS_PATH}/*.parquet'))
+      WHERE s.kind = 'text' AND s.text IS NOT NULL
+            AND {_SPAN_BP_NORM} <> ''
+    ) GROUP BY norm, doc_id
+  ) GROUP BY norm HAVING count(*) >= 5
+),
+kept AS (
+  SELECT rn, doc_id, idx, s
+  FROM flat
+  WHERE NOT coalesce(
+    s.kind = 'text' AND {_SPAN_BP_NORM} IN (SELECT norm FROM bp), FALSE)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY rn ORDER BY idx) - 1 AS INT)
+         AS pos,
+       s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+       s."offset" AS "offset"
+FROM kept
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7047,6 +7141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_license_profile": doc_license_profile,
         "northrule_media_reuse": northrule_media_reuse,
         "event_value_cusum": event_value_cusum,
+        "northrule_span_boilerplate": northrule_span_boilerplate,
+        "northrule_span_clean": northrule_span_clean,
     }
 
 
@@ -7190,4 +7286,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_license_profile": _license_profile_oracle_sql(),
         "northrule_media_reuse": _MEDIA_REUSE_ORACLE,
         "event_value_cusum": _cusum_oracle_sql(),
+        "northrule_span_boilerplate": _SPAN_BP_PROFILE_ORACLE,
+        "northrule_span_clean": _SPAN_CLEAN_ORACLE,
     }

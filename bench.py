@@ -223,6 +223,8 @@ def main():
         "doc_license_profile",
         "northrule_media_reuse",
         "event_value_cusum",
+        "northrule_span_boilerplate",
+        "northrule_span_clean",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
