@@ -7001,6 +7001,35 @@ FROM kept
 """
 
 
+
+def northrule_layout_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template detection (operators/layout.py): documents
+    grouped by the md5 of their span-kind sequence; groups reaching 3
+    distinct documents (two-phase pre-dedup aggregate, no Expand;
+    duplicate doc_ids one logical doc).  The oracle rebuilds the
+    signature + md5 with DuckDB list lambdas."""
+    from schemasaurus_spark.operators.layout import layout_template_groups
+
+    return layout_template_groups(_northrule_docs(spark), min_docs=3)
+
+
+_LAYOUT_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(coalesce(spans, []), s -> s.kind), ',') AS kinds_sig
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+),
+per_doc AS (
+  SELECT md5(kinds_sig) AS layout_fp, kinds_sig, doc_id, count(*) AS c
+  FROM fp GROUP BY 1, 2, 3
+)
+SELECT layout_fp, kinds_sig, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM per_doc GROUP BY layout_fp, kinds_sig HAVING count(*) >= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7143,6 +7172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_cusum": event_value_cusum,
         "northrule_span_boilerplate": northrule_span_boilerplate,
         "northrule_span_clean": northrule_span_clean,
+        "northrule_layout_templates": northrule_layout_templates,
     }
 
 
@@ -7288,4 +7318,5 @@ def oracle_sql() -> dict[str, str]:
         "event_value_cusum": _cusum_oracle_sql(),
         "northrule_span_boilerplate": _SPAN_BP_PROFILE_ORACLE,
         "northrule_span_clean": _SPAN_CLEAN_ORACLE,
+        "northrule_layout_templates": _LAYOUT_ORACLE,
     }

@@ -225,6 +225,7 @@ def main():
         "event_value_cusum",
         "northrule_span_boilerplate",
         "northrule_span_clean",
+        "northrule_layout_templates",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
