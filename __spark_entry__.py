@@ -7030,6 +7030,67 @@ FROM per_doc GROUP BY layout_fp, kinds_sig HAVING count(*) >= 3
 """
 
 
+
+def northrule_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full interleaved curation pipeline
+    (plans/interleaved_pipeline.py) over the damaged corpus: span repair
+    (catalog-referential, closed-form offset canonicalization) ->
+    cross-doc span-boilerplate removal (profile computed on the REPAIRED
+    corpus) -> trainability gate (>= 20 text chars) -> training-text
+    render with media placeholders and fetch manifest.  The oracle
+    replays ALL FOUR stages and their composition order in one SQL
+    chain: the repair CTE prefix, the boilerplate set, the ORDER BY-idx
+    string_agg render and the gate."""
+    from schemasaurus_spark.plans.interleaved_pipeline import (
+        InterleavedPipeline,
+    )
+
+    pipe = InterleavedPipeline(min_docs_boilerplate=5, min_text_chars=20)
+    return pipe.run(
+        _nr_damaged_docs(spark), catalog=generate_media_catalog(spark, seed=7)
+    )
+
+
+def _curated_corpus_oracle_sql() -> str:
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return (
+        _repair_oracle_prefix()
+        + f""",
+bp AS (
+  SELECT norm FROM (
+    SELECT norm, doc_id FROM (
+      SELECT doc_id, {norm} AS norm
+      FROM offs WHERE kind = 'text' AND text IS NOT NULL AND {norm} <> ''
+    ) GROUP BY norm, doc_id
+  ) GROUP BY norm HAVING count(*) >= 5
+),
+kept AS (
+  SELECT * FROM offs
+  WHERE NOT coalesce(
+    kind = 'text' AND {norm} IN (SELECT norm FROM bp), FALSE)
+),
+rend AS (
+  SELECT rn, max(doc_id) AS doc_id,
+         string_agg(CASE WHEN kind = 'text' THEN coalesce(text, '')
+                         ELSE '<|' || kind || '|>' END,
+                    chr(10) ORDER BY idx) AS training_text,
+         coalesce(string_agg(media_ref, ',' ORDER BY idx)
+                    FILTER (WHERE media_ref IS NOT NULL), '')
+           AS media_refs_csv,
+         CAST(sum(CASE WHEN kind = 'text' THEN length(coalesce(text, ''))
+                       ELSE 0 END) AS BIGINT) AS n_text_chars,
+         CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_placeholders
+  FROM kept GROUP BY rn
+)
+SELECT doc_id, training_text, media_refs_csv,
+       CAST(coalesce(length(training_text), 0) AS BIGINT) AS n_chars,
+       n_text_chars, n_placeholders
+FROM rend WHERE n_text_chars >= 20
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7173,6 +7234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_boilerplate": northrule_span_boilerplate,
         "northrule_span_clean": northrule_span_clean,
         "northrule_layout_templates": northrule_layout_templates,
+        "northrule_curated_corpus": northrule_curated_corpus,
     }
 
 
@@ -7319,4 +7381,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_boilerplate": _SPAN_BP_PROFILE_ORACLE,
         "northrule_span_clean": _SPAN_CLEAN_ORACLE,
         "northrule_layout_templates": _LAYOUT_ORACLE,
+        "northrule_curated_corpus": _curated_corpus_oracle_sql(),
     }

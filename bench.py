@@ -226,6 +226,7 @@ def main():
         "northrule_span_boilerplate",
         "northrule_span_clean",
         "northrule_layout_templates",
+        "northrule_curated_corpus",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
