@@ -7091,6 +7091,31 @@ FROM rend WHERE n_text_chars >= 20
     )
 
 
+
+def northrule_media_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-store GC worklist (media_reuse.media_orphans): catalog
+    assets no document references — corpus collapses to distinct refs
+    first (map-side combined), then a catalog-sized left-anti join."""
+    from schemasaurus_spark.operators.media_reuse import media_orphans
+
+    return media_orphans(
+        generate_media_catalog(spark, seed=7), _northrule_docs(spark)
+    )
+
+
+_MEDIA_ORPHANS_ORACLE = f"""
+WITH refs AS (
+  SELECT DISTINCT s.media_ref AS media_ref
+  FROM (SELECT unnest(spans) AS s
+        FROM read_parquet('{_NR_DOCS_PATH}/*.parquet'))
+  WHERE s.media_ref IS NOT NULL
+)
+SELECT c.*
+FROM read_parquet('{_NR_CATALOG_PATH}/*.parquet') c
+WHERE c.media_ref NOT IN (SELECT media_ref FROM refs)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7235,6 +7260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_span_clean": northrule_span_clean,
         "northrule_layout_templates": northrule_layout_templates,
         "northrule_curated_corpus": northrule_curated_corpus,
+        "northrule_media_orphans": northrule_media_orphans,
     }
 
 
@@ -7382,4 +7408,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_span_clean": _SPAN_CLEAN_ORACLE,
         "northrule_layout_templates": _LAYOUT_ORACLE,
         "northrule_curated_corpus": _curated_corpus_oracle_sql(),
+        "northrule_media_orphans": _MEDIA_ORPHANS_ORACLE,
     }

@@ -227,6 +227,7 @@ def main():
         "northrule_span_clean",
         "northrule_layout_templates",
         "northrule_curated_corpus",
+        "northrule_media_orphans",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

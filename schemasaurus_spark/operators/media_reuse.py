@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["media_reuse_profile"]
+__all__ = ["media_reuse_profile", "media_orphans"]
 
 
 def media_reuse_profile(
@@ -112,3 +112,43 @@ def media_reuse_profile(
             )
         )
     return out
+
+
+def media_orphans(
+    catalog: DataFrame,
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Catalog assets no document references — the media-store
+    garbage-collection worklist (reverse of the dangling-ref check:
+    there a span points at a missing asset; here an asset waits for
+    spans that never come, holding reclaimable bytes).
+
+    Returns the orphaned catalog rows (all catalog columns) — run
+    ``agg(sum(bytes))`` on the result for the reclaim total.
+
+    Scale shape: the corpus side collapses FIRST to distinct refs via a
+    map-side-combined ``groupBy`` (one keyed shuffle over span refs —
+    never ship raw spans to a join), then the catalog-sized left-anti
+    join runs over two small sides (AQE broadcasts the distinct-ref
+    side).  Joining the raw exploded refs against the catalog would
+    shuffle the whole corpus for nothing.
+    """
+    refs = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.coalesce(F.col(spans_col), F.array()),
+                        lambda s: s["media_ref"],
+                    ),
+                    lambda r: r.isNotNull(),
+                )
+            ).alias("media_ref")
+        )
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("media_ref")
+    )
+    return catalog.join(refs, "media_ref", "left_anti")

@@ -77,3 +77,23 @@ def test_no_expand_in_plan(spark):
         .toString()
     )
     assert "Expand" not in plan
+
+
+def test_media_orphans(spark):
+    from schemasaurus_spark.operators.media_reuse import media_orphans
+
+    cat = spark.createDataFrame(
+        [
+            ("media://a", "image", 10),
+            ("media://b", "audio", 20),
+            ("media://unused", "image", 99),
+        ],
+        CAT_SCHEMA,
+    )
+    got = media_orphans(cat, _docs(spark)).collect()
+    assert [(r.media_ref, r.media_kind, r.bytes) for r in got] == [
+        ("media://unused", "image", 99)
+    ]
+    # partition invariance
+    got7 = media_orphans(cat, _docs(spark).repartition(7, "doc_id")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got7))
