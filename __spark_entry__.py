@@ -7116,6 +7116,41 @@ WHERE c.media_ref NOT IN (SELECT media_ref FROM refs)
 """
 
 
+
+def northrule_template_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template sampling quota — the composition layout.py's module
+    doc advertises: layout fingerprints feed sampling.quota_cap so no
+    page template contributes more than 5 documents (deterministic
+    smallest-(md5(key:quota:seed), key) survivors, oversize groups
+    prefiltered so no template ever serializes through one task)."""
+    from schemasaurus_spark.operators.layout import layout_fingerprint
+    from schemasaurus_spark.operators.sampling import quota_cap
+
+    fp = layout_fingerprint(_northrule_docs(spark)).select(
+        "doc_id", "layout_fp"
+    )
+    return quota_cap(fp, group_col="layout_fp", cap=5).select(
+        "layout_fp", "doc_id"
+    )
+
+
+_TEMPLATE_QUOTA_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_transform(coalesce(spans, []), s -> s.kind), ',')) AS layout_fp
+  FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')
+)
+SELECT layout_fp, doc_id FROM (
+  SELECT layout_fp, doc_id,
+         row_number() OVER (
+           PARTITION BY layout_fp
+           ORDER BY md5(doc_id || ':quota:0'), doc_id) AS rn
+  FROM fp) t
+WHERE rn <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7261,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_layout_templates": northrule_layout_templates,
         "northrule_curated_corpus": northrule_curated_corpus,
         "northrule_media_orphans": northrule_media_orphans,
+        "northrule_template_quota": northrule_template_quota,
     }
 
 
@@ -7409,4 +7445,5 @@ def oracle_sql() -> dict[str, str]:
         "northrule_layout_templates": _LAYOUT_ORACLE,
         "northrule_curated_corpus": _curated_corpus_oracle_sql(),
         "northrule_media_orphans": _MEDIA_ORPHANS_ORACLE,
+        "northrule_template_quota": _TEMPLATE_QUOTA_ORACLE,
     }

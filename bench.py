@@ -228,6 +228,7 @@ def main():
         "northrule_layout_templates",
         "northrule_curated_corpus",
         "northrule_media_orphans",
+        "northrule_template_quota",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
