@@ -131,3 +131,35 @@ def test_partition_invariance(spark):
         )
     )
     assert p_base == p_re7
+
+
+def test_sorted_array_contains_exact(spark):
+    from pyspark.sql import functions as F
+
+    from schemasaurus_spark.operators.span_boilerplate import (
+        sorted_array_contains,
+    )
+
+    vocab = sorted(f"w{i:03d}" for i in range(0, 200, 3))
+    probes = (
+        [vocab[0], vocab[-1], vocab[37]]
+        + ["w001", "aaa", "zzz", "w100"]  # misses: between / below / above
+        + [None]
+    )
+    df = spark.createDataFrame([(p,) for p in probes], "key string")
+    got = df.select(
+        "key",
+        sorted_array_contains(
+            F.array(*[F.lit(v) for v in vocab]), F.col("key")
+        ).alias("hit"),
+    ).collect()
+    for r in got:
+        assert r.hit == (r.key in vocab), r
+    # empty and NULL arrays -> false
+    e = df.limit(1).select(
+        sorted_array_contains(F.array().cast("array<string>"), F.lit("x")).alias("a"),
+        sorted_array_contains(
+            F.lit(None).cast("array<string>"), F.lit("x")
+        ).alias("b"),
+    ).first()
+    assert e.a is False and e.b is False
