@@ -7151,6 +7151,151 @@ WHERE rn <= 5
 """
 
 
+
+def doc_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: whitespace tokens and
+    chars aggregated per lang with exact basis-point tokens-per-char
+    fertility — the per-language cost signal behind context-budget and
+    tokenizer-vocab decisions (CJK-heavy corpora burn tokens per char
+    differently than whitespace languages).  One map-side-combined
+    aggregate over a single projection scan."""
+    from schemasaurus_spark.operators.text import token_count
+
+    t = F.col("text")
+    agg = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+            F.sum(F.length(F.coalesce(t, F.lit("")))).cast("long").alias(
+                "n_chars"
+            ),
+        )
+    )
+    a = F.col("n_tokens") * 10000
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(F.col("n_chars") <= 0, F.lit(0).cast("long"))
+        .otherwise(((a - (a % F.col("n_chars"))) / F.col("n_chars")).cast("long"))
+        .alias("fertility_bp"),
+    )
+
+
+_FERTILITY_ORACLE = r"""
+WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars,
+       CAST(CASE WHEN n_chars <= 0 THEN 0
+                 ELSE (n_tokens * 10000) // n_chars END AS BIGINT)
+         AS fertility_bp
+FROM agg
+"""
+
+
+def doc_storage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage accounting per source: UTF-8 byte size (octet_length) vs
+    character count — the bytes-per-char ratio exposes multibyte-script
+    and mojibake-heavy sources before anyone provisions storage or
+    shuffle capacity for them.  One map-side-combined aggregate."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    agg = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length(t)).cast("long").alias("n_bytes"),
+            F.sum(F.length(t)).cast("long").alias("n_chars"),
+        )
+    )
+    a = F.col("n_bytes") * 10000
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        F.when(F.col("n_chars") <= 0, F.lit(0).cast("long"))
+        .otherwise(((a - (a % F.col("n_chars"))) / F.col("n_chars")).cast("long"))
+        .alias("bytes_per_char_bp"),
+    )
+
+
+_STORAGE_ORACLE = """
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_bytes, n_chars,
+       CAST(CASE WHEN n_chars <= 0 THEN 0
+                 ELSE (n_bytes * 10000) // n_chars END AS BIGINT)
+         AS bytes_per_char_bp
+FROM agg
+"""
+
+
+def northrule_violation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation observability rollup: the north-rule validation pass's
+    row-level violations aggregated to (code, json_pointer) with counts,
+    distinct offending docs and exact basis-point shares — what an
+    on-call engineer reads FIRST (which constraint, where in the
+    document, how widespread) before opening row-level output.  One
+    map-side-combined aggregate over the violations frame + a 1-row
+    broadcast total."""
+    job = ValidationJob()
+    v = job.violations(job.validated(_northrule_docs(spark))).select(
+        "doc_id", "code", "json_pointer"
+    )
+    per_doc = v.groupBy("code", "json_pointer", "doc_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per = per_doc.groupBy("code", "json_pointer").agg(
+        F.sum("_c").cast("long").alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    total = per.agg(F.sum("n_violations").alias("_tot"))
+    a = F.col("n_violations") * 10000
+    return per.crossJoin(F.broadcast(total)).select(
+        "code",
+        "json_pointer",
+        "n_violations",
+        "n_docs",
+        (((a - (a % F.col("_tot"))) / F.col("_tot")).cast("long")).alias(
+            "share_bp"
+        ),
+    )
+
+
+
+def _violation_rollup_oracle_sql() -> str:
+    body = _NR_VIOLATIONS_ORACLE[len(_NR_BASE):]
+    return f"""
+{_NR_BASE},
+viol AS (
+{body}
+),
+per AS (
+  SELECT code, json_pointer, CAST(count(*) AS BIGINT) AS n_violations,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM viol GROUP BY code, json_pointer
+),
+tot AS (SELECT sum(n_violations) AS t FROM per)
+SELECT code, json_pointer, n_violations, n_docs,
+       CAST((n_violations * 10000) // tot.t AS BIGINT) AS share_bp
+FROM per CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7297,6 +7442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_curated_corpus": northrule_curated_corpus,
         "northrule_media_orphans": northrule_media_orphans,
         "northrule_template_quota": northrule_template_quota,
+        "doc_fertility_by_lang": doc_fertility_by_lang,
+        "doc_storage_by_source": doc_storage_by_source,
+        "northrule_violation_rollup": northrule_violation_rollup,
     }
 
 
@@ -7446,4 +7594,7 @@ def oracle_sql() -> dict[str, str]:
         "northrule_curated_corpus": _curated_corpus_oracle_sql(),
         "northrule_media_orphans": _MEDIA_ORPHANS_ORACLE,
         "northrule_template_quota": _TEMPLATE_QUOTA_ORACLE,
+        "doc_fertility_by_lang": _FERTILITY_ORACLE,
+        "doc_storage_by_source": _STORAGE_ORACLE,
+        "northrule_violation_rollup": _violation_rollup_oracle_sql(),
     }

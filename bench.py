@@ -229,6 +229,9 @@ def main():
         "northrule_curated_corpus",
         "northrule_media_orphans",
         "northrule_template_quota",
+        "doc_fertility_by_lang",
+        "doc_storage_by_source",
+        "northrule_violation_rollup",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
