@@ -7296,6 +7296,52 @@ FROM per CROSS JOIN tot
 """
 
 
+
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-measurement (similarity.retrieval_recall): the
+    LSH top-5's per-probe recall against the exact brute-force top-5 —
+    the number every accuracy/speed knob should be turned against.
+    Probes the ANN missed entirely score 0 rather than vanish.  Both
+    result frames are evaluation-sized; joins broadcast under AQE.  The
+    oracle nests BOTH rankers' full oracle SQLs as subquery CTEs and
+    replays the join + integer recall arithmetic."""
+    from schemasaurus_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        retrieval_recall,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    return retrieval_recall(
+        brute_force_topk(emb, probes, k=5), lsh_topk(emb, probes, dim=64, k=5)
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    return f"""
+WITH exact AS (SELECT * FROM ({_TOPK_ORACLE}) x),
+approx AS (SELECT * FROM ({_ann_oracle_sql()}) y),
+ne AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY probe_id
+),
+hits AS (
+  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.probe_id
+)
+SELECT ne.probe_id, ne.n_exact,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CAST((coalesce(h.n_hit, 0) * 10000) // ne.n_exact AS BIGINT)
+         AS recall_bp
+FROM ne LEFT JOIN hits h ON ne.probe_id = h.probe_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7445,6 +7491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fertility_by_lang": doc_fertility_by_lang,
         "doc_storage_by_source": doc_storage_by_source,
         "northrule_violation_rollup": northrule_violation_rollup,
+        "embedding_ann_recall": embedding_ann_recall,
     }
 
 
@@ -7597,4 +7644,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fertility_by_lang": _FERTILITY_ORACLE,
         "doc_storage_by_source": _STORAGE_ORACLE,
         "northrule_violation_rollup": _violation_rollup_oracle_sql(),
+        "embedding_ann_recall": _ann_recall_oracle_sql(),
     }

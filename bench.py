@@ -232,6 +232,7 @@ def main():
         "doc_fertility_by_lang",
         "doc_storage_by_source",
         "northrule_violation_rollup",
+        "embedding_ann_recall",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -695,3 +695,66 @@ def decontaminate_embeddings(
         corpus, benchmark, threshold, id_col, vec_col, **kwargs
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def retrieval_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-probe recall of an approximate top-k result against the exact
+    one — the self-measurement the ANN family owes its users: every
+    accuracy/speed knob (plane count, multiprobe radius, n_probe lists,
+    PQ bits) should be turned while WATCHING this number, not on faith.
+
+    Inputs are two top-k result frames (``probe_id``, ``neighbor_id``,
+    ...) from any pair of this module's rankers (brute_force_topk as
+    the exact side; lsh_topk / ivf_topk / pq variants as the approx
+    side).  Output one row per probe present in the exact frame:
+
+    ``(probe_id, n_exact, n_hit, recall_bp)``
+
+    with recall in exact integer basis points (n_hit * 10000 DIV
+    n_exact).  Probes the approximate side missed entirely score 0, not
+    absent — silent misses are the failure mode this report exists to
+    expose.
+
+    Scale shape: top-k results are evaluation-sized (probes x k rows —
+    metadata, not corpus), so the inner join and the per-probe
+    aggregates all broadcast under AQE; nothing here touches the
+    corpus.  Deterministic given deterministic inputs (both rankers
+    break rank ties on neighbor id).
+
+    No reference counterpart (engine-original ANN quality harness).
+    """
+    e = exact.select(
+        F.col(probe_col).alias("probe_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    a = approx.select(
+        F.col(probe_col).alias("probe_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    n_exact = e.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    hits = (
+        e.join(a, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    joined = n_exact.join(hits, "probe_id", "left").select(
+        "probe_id",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+    )
+    num = F.col("n_hit") * 10000
+    return joined.select(
+        "probe_id",
+        "n_exact",
+        "n_hit",
+        (((num - (num % F.col("n_exact"))) / F.col("n_exact")).cast("long")).alias(
+            "recall_bp"
+        ),
+    )

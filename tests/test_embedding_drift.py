@@ -64,3 +64,28 @@ def test_summary_matches_numpy(spark):
     assert abs(row["cosine"] - cos) < 1e-4, (row["cosine"], cos)
     assert abs(row["l2"] - l2) < 1e-4
     assert row["max_delta_pos"] == 0, "the planted +0.4 shift is on dim 0"
+
+
+def test_retrieval_recall_hand_computed(spark):
+    from schemasaurus_spark.operators.similarity import retrieval_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 9), (1, 8), (2, 5)],
+        "probe_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 99), (1, 7), (1, 6)],  # probe 2 entirely missed
+        "probe_id long, neighbor_id long",
+    )
+    got = {
+        r.probe_id: r.asDict()
+        for r in retrieval_recall(exact, approx).collect()
+    }
+    assert got[0] == {"probe_id": 0, "n_exact": 3, "n_hit": 2,
+                      "recall_bp": 2 * 10000 // 3}
+    assert got[1]["n_hit"] == 0 and got[1]["recall_bp"] == 0
+    # silent misses surface as 0, never as an absent row
+    assert got[2] == {"probe_id": 2, "n_exact": 1, "n_hit": 0, "recall_bp": 0}
+    # perfect self-recall
+    perfect = retrieval_recall(exact, exact).collect()
+    assert all(r.recall_bp == 10000 for r in perfect)
