@@ -7342,6 +7342,99 @@ FROM ne LEFT JOIN hits h ON ne.probe_id = h.probe_id
 """
 
 
+
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall harness pointed at the sublinear path: IVF-flat top-5
+    (n_probe=4) measured against exact brute force per probe — together
+    with embedding_ann_recall this puts a number on BOTH approximate
+    rankers instead of trusting either."""
+    from schemasaurus_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        retrieval_recall,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 8)
+    index = build_ivf_index(emb, dim=64)
+    return retrieval_recall(
+        brute_force_topk(emb, probes, k=5),
+        ivf_topk(emb, probes, index, k=5, n_probe=4),
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    return f"""
+WITH exact AS (SELECT * FROM ({_TOPK_ORACLE}) x),
+approx AS (SELECT * FROM ({_ivf_oracle_sql()}) y),
+ne AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY probe_id
+),
+hits AS (
+  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.probe_id
+)
+SELECT ne.probe_id, ne.n_exact,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CAST((coalesce(h.n_hit, 0) * 10000) // ne.n_exact AS BIGINT)
+         AS recall_bp
+FROM ne LEFT JOIN hits h ON ne.probe_id = h.probe_id
+"""
+
+
+
+def doc_oov_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health OOV profile (vocab.vocab_coverage): per-doc
+    out-of-vocabulary token share against the corpus top-20 vocabulary
+    (vocab_topk) — the vocabulary rides as one sorted broadcast array
+    probed by exact binary search (arrays.sorted_array_contains), so
+    the whole pass is ZERO shuffles over the corpus; empty/NULL docs
+    report 0/0/0 rather than vanish."""
+    from schemasaurus_spark.operators.vocab import vocab_coverage, vocab_topk
+
+    docs = _docs(spark, sf_dir)
+    return vocab_coverage(docs, vocab_topk(docs, k=20))
+
+
+def _oov_oracle_sql() -> str:
+    return rf"""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT token, sum(c) AS tf FROM (
+      SELECT token, doc_id, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      GROUP BY token, doc_id
+    ) GROUP BY token ORDER BY tf DESC, token LIMIT 20
+  ) v
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN tok IN (SELECT token FROM vocab)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) <= 0 THEN 0
+                 ELSE (p.n_oov * 10000) // p.n_tokens END AS BIGINT)
+         AS oov_bp
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7492,6 +7585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_storage_by_source": doc_storage_by_source,
         "northrule_violation_rollup": northrule_violation_rollup,
         "embedding_ann_recall": embedding_ann_recall,
+        "embedding_ivf_recall": embedding_ivf_recall,
+        "doc_oov_profile": doc_oov_profile,
     }
 
 
@@ -7645,4 +7740,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_storage_by_source": _STORAGE_ORACLE,
         "northrule_violation_rollup": _violation_rollup_oracle_sql(),
         "embedding_ann_recall": _ann_recall_oracle_sql(),
+        "embedding_ivf_recall": _ivf_recall_oracle_sql(),
+        "doc_oov_profile": _oov_oracle_sql(),
     }

@@ -233,6 +233,8 @@ def main():
         "doc_storage_by_source",
         "northrule_violation_rollup",
         "embedding_ann_recall",
+        "embedding_ivf_recall",
+        "doc_oov_profile",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -106,3 +106,61 @@ def novelty_profile(
             ),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary profile against a FIXED vocabulary
+    (e.g. ``vocab_topk``'s token column) — the tokenizer-health number:
+    a rising OOV share means the deployed vocab no longer fits the
+    corpus and every unknown token burns fallback bytes at training
+    time.
+
+    One row per PHYSICAL input row: ``(doc_id, n_tokens, n_oov,
+    oov_bp)`` with the share in exact integer basis points.  NULL /
+    whitespace-only docs report 0/0/0 rather than vanish (coverage
+    reports must not drop rows).
+
+    Scale shape: the vocabulary rides as ONE sorted array on a
+    single-row broadcast cross join, and each token probes it with
+    ``sorted_array_contains`` (exact binary search, O(log |vocab|) per
+    token — the arrays.py helper; linear ``array_contains`` would make
+    this O(tokens x vocab), the measured span-boilerplate blowup).  The
+    whole pass is in-array over one projection scan: ZERO shuffles on
+    the corpus, duplicate-doc_id-safe.
+    """
+    from schemasaurus_spark.operators.arrays import sorted_array_contains
+
+    one = vocab.select(F.col(token_col)).agg(
+        F.array_sort(F.collect_list(token_col)).alias("_vocab")
+    )
+    out = df.join(F.broadcast(one))
+    empty = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tokens = F.when(empty, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    n_oov = (
+        F.when(empty, F.lit(0))
+        .otherwise(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: ~sorted_array_contains(F.col("_vocab"), t),
+                )
+            )
+        )
+        .cast("long")
+    )
+    num = n_oov * 10000
+    return out.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(n_tokens <= 0, F.lit(0).cast("long"))
+        .otherwise(((num - (num % n_tokens)) / n_tokens).cast("long"))
+        .alias("oov_bp"),
+    )

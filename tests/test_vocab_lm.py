@@ -140,3 +140,34 @@ def test_novelty_profile_matches_brute_force(spark):
         assert got[k] == (len(s), hap, round(hap / len(s), 6))
     assert got[3] == (1, 1, 1.0)   # repetition can't fake breadth
     assert got[4][2] == 0.0        # pure boilerplate scores zero
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from schemasaurus_spark.operators.vocab import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat SAT on the mat"),  # vocab: the, cat, on -> oov: sat, mat
+            ("b", "unknown words only"),
+            ("c", None),
+            ("d", "   "),
+            ("e", "the the the"),
+        ],
+        "doc_id string, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",), ("mat",)], "token string"
+    )
+    got = {r.doc_id: r.asDict() for r in vocab_coverage(docs, vocab).collect()}
+    assert got["a"] == {"doc_id": "a", "n_tokens": 6, "n_oov": 1,
+                        "oov_bp": 10000 // 6}
+    assert got["b"]["n_oov"] == 3 and got["b"]["oov_bp"] == 10000
+    for d in ("c", "d"):
+        assert got[d] == {"doc_id": d, "n_tokens": 0, "n_oov": 0, "oov_bp": 0}
+    assert got["e"]["n_oov"] == 0 and got["e"]["oov_bp"] == 0
+    # partition invariance
+    re7 = {
+        r.doc_id: r.asDict()
+        for r in vocab_coverage(docs.repartition(7, "doc_id"), vocab).collect()
+    }
+    assert re7 == got
