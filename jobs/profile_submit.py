@@ -13,6 +13,9 @@ to discover what contract the corpus currently keeps.
         [--quasi-cols zip,yob --k 5 [--sensitive diag --l 2]]
                                         (k-anonymity / l-diversity audit)
         [--checksum]                    (order-invariant dataset checksum)
+        [--script-profile] [--license-profile] [--text-col text]
+                                        (Unicode-script/mojibake forensics and
+                                         usage-rights tagging over a text column)
         [--suggest-rules]               (ALSO write the suggestions as an
                                          enforceable quality-gate rule suite
                                          -> suggested_rules.json, the direct
@@ -21,7 +24,8 @@ to discover what contract the corpus currently keeps.
 Artifacts under --output (each a parquet dir; summary.json via the
 Hadoop FS API so s3a/hdfs outputs work):
     column_stats/  suggestions/  [fds/]  [correlations/]  [kanon/]
-    [checksum/]  summary.json  [suggested_rules.json]
+    [checksum/]  [script_profile/]  [license_profile/]  summary.json
+    [suggested_rules.json]
 
 Cost model: column_stats + suggestions share the profiling design
 (operators/suggest.py — one aggregate scan, plus a guarded second pass
@@ -67,6 +71,15 @@ def main() -> None:
     ap.add_argument("--l", type=int, default=None)
     ap.add_argument("--checksum", action="store_true")
     ap.add_argument("--suggest-rules", action="store_true")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--script-profile", action="store_true",
+        help="Unicode script + mojibake forensics over --text-col",
+    )
+    ap.add_argument(
+        "--license-profile", action="store_true",
+        help="usage-rights tagging over --text-col",
+    )
     ap.add_argument(
         "--categorical-max-distinct", type=int, default=20,
         help="domain-suggestion cardinality bound (suggest.py pass-2 guard)",
@@ -146,6 +159,47 @@ def main() -> None:
         chk.write.mode("overwrite").parquet(f"{out}/checksum")
         row = spark.read.parquet(f"{out}/checksum").collect()[0]
         summary["checksum"] = {"n_rows": row.n_rows, "checksum": row.checksum}
+
+    if args.script_profile:
+        from pyspark.sql import functions as F
+
+        from schemasaurus_spark.operators.encoding import script_profile
+
+        sp = script_profile(df, text_col=args.text_col)
+        sp.write.mode("overwrite").parquet(f"{out}/script_profile")
+        sp2 = spark.read.parquet(f"{out}/script_profile")
+        by_script = {
+            r.dominant_script: r.n
+            for r in sp2.groupBy("dominant_script")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        art = sp2.agg(
+            F.sum("n_replacement").alias("rep"),
+            F.sum("n_c1").alias("c1"),
+            F.sum("n_mojibake_pairs").alias("moj"),
+        ).first()
+        summary["script_profile"] = {
+            "dominant_script_docs": by_script,
+            "n_replacement_chars": int(art.rep or 0),
+            "n_c1_chars": int(art.c1 or 0),
+            "n_mojibake_pairs": int(art.moj or 0),
+        }
+
+    if args.license_profile:
+        from pyspark.sql import functions as F
+
+        from schemasaurus_spark.operators.compliance import license_profile
+
+        lp = license_profile(df, text_col=args.text_col)
+        lp.write.mode("overwrite").parquet(f"{out}/license_profile")
+        summary["license_classes"] = {
+            r.license_class: r.n
+            for r in spark.read.parquet(f"{out}/license_profile")
+            .groupBy("license_class")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     write_text_file(spark, f"{out}/summary.json", json.dumps(summary, indent=2))
     print(json.dumps(summary))

@@ -28,6 +28,8 @@ def test_profile_submit_end_to_end(spark, tmp_path, monkeypatch):
             "--k", "5",
             "--checksum",
             "--suggest-rules",
+            "--script-profile",
+            "--license-profile",
         ],
     )
     cli.main()
@@ -44,6 +46,11 @@ def test_profile_submit_end_to_end(spark, tmp_path, monkeypatch):
     assert fds[("doc_id", "lang")] and not fds[("lang", "doc_id")]
     assert summary["checksum"]["n_rows"] == n
     assert summary["privacy"]["n_groups"] > 0
+    # text forensics artifacts: per-doc rows + rolled-up summary
+    assert spark.read.parquet(f"{out}/script_profile").count() == n
+    assert spark.read.parquet(f"{out}/license_profile").count() == n
+    assert sum(summary["script_profile"]["dominant_script_docs"].values()) == n
+    assert sum(summary["license_classes"].values()) == n
 
     # bootstrap loop: the emitted rules load and the gate passes on the
     # corpus that produced them
