@@ -76,6 +76,11 @@ def main() -> None:
         help="parquet dir of held-out eval docs; enables n-gram decontamination",
     )
     ap.add_argument("--decontam-window", type=int, default=13)
+    ap.add_argument(
+        "--license-allow", default=None,
+        help="comma list of allowed usage-rights classes "
+             "(e.g. none,public_domain,cc_by) -> license gate ON",
+    )
     ap.add_argument("--max-top-bigram-frac", type=float, default=None)
     ap.add_argument("--max-dup-longgram-frac", type=float, default=None)
     ap.add_argument(
@@ -159,6 +164,9 @@ def main() -> None:
         sample_default=args.sample_default,
         sample_seed=args.sample_seed,
         strata_col=args.strata_col,
+        license_allow=(
+            set(args.license_allow.split(",")) if args.license_allow else None
+        ),
         repetition_thresholds=rep_thresholds,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         decontam_window=args.decontam_window,

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "license_class",
     "SPDX_PATTERN",
     "CC_RESTRICTED_PATTERN",
     "CC_BY_PATTERN",
@@ -69,22 +70,13 @@ def _count_occurrences(t: Column, needle: str) -> Column:
     ).cast("long")
 
 
-def license_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """One row per PHYSICAL input row:
-
-    ``(doc_id, license_class, spdx_id, n_copyright_marks, f_arr,
-    f_cc_restricted, f_cc_by, f_public_domain)``.
-    """
+def _markers(text_col: str):
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-
     f_arr = t.contains(ARR_PHRASE).cast("long")
     f_restricted = t.rlike(CC_RESTRICTED_PATTERN).cast("long")
     f_cc_by = t.rlike(CC_BY_PATTERN).cast("long")
     f_pd = t.rlike(PUBLIC_DOMAIN_PATTERN).cast("long")
     spdx = F.nullif(F.regexp_extract(t, SPDX_PATTERN, 1), F.lit(""))
-
     klass = (
         F.when(f_arr == 1, F.lit("all_rights_reserved"))
         .when(f_restricted == 1, F.lit("cc_restricted"))
@@ -93,6 +85,25 @@ def license_profile(
         .when(spdx.isNotNull(), F.lit("spdx"))
         .otherwise(F.lit("none"))
     )
+    return t, f_arr, f_restricted, f_cc_by, f_pd, spdx, klass
+
+
+def license_class(text_col: str = "text") -> Column:
+    """The most-restrictive-wins class as a bare column expression —
+    for in-plan gating (CorpusPipeline ``license_allow``) without a
+    join or a second scan."""
+    return _markers(text_col)[-1]
+
+
+def license_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per PHYSICAL input row:
+
+    ``(doc_id, license_class, spdx_id, n_copyright_marks, f_arr,
+    f_cc_restricted, f_cc_by, f_public_domain)``.
+    """
+    t, f_arr, f_restricted, f_cc_by, f_pd, spdx, klass = _markers(text_col)
 
     return df.select(
         F.col(id_col),

@@ -65,7 +65,12 @@ class CorpusPipeline:
     * ``repetition_thresholds=(max_top_bigram_frac, max_dup_longgram_frac)``
       drops Gopher-rule repetitious docs (operators/repetition.py);
     * ``benchmark=<DataFrame>`` drops docs sharing a ``decontam_window``-
-      token n-gram with the held-out eval set (operators/decontam.py).
+      token n-gram with the held-out eval set (operators/decontam.py);
+    * ``license_allow={'none', 'public_domain', ...}`` keeps only docs
+      whose most-restrictive-wins usage-rights class
+      (operators/compliance.py) is in the allowed set — rights
+      segregation belongs BEFORE the expensive dedup join for the same
+      shrink-first reason.
 
     A third optional stage, ``mix_weights`` (+ ``mix_budget_docs`` or
     ``mix_budget_factor``), runs LAST — mixture assembly over the final
@@ -84,6 +89,7 @@ class CorpusPipeline:
     strata_col: str = "lang"
     text_col: str = "text"
     id_col: str = "doc_id"
+    license_allow: set | None = None
     repetition_thresholds: tuple | None = None
     repetition_long_n: int = 5
     benchmark: DataFrame | None = None
@@ -114,7 +120,15 @@ class CorpusPipeline:
         return dedup_exact(docs, self.text_col, self.id_col)
 
     def optional_filtered(self, docs: DataFrame) -> DataFrame:
-        """The two opt-in stages (no-op with default config)."""
+        """The opt-in stages (no-op with default config)."""
+        if self.license_allow is not None:
+            from schemasaurus_spark.operators.compliance import license_class
+
+            # bare column expression — the gate fuses into the same scan
+            # as the other single-pass filters (no join, no second scan)
+            docs = docs.where(
+                license_class(self.text_col).isin(*sorted(self.license_allow))
+            )
         if self.repetition_thresholds is not None:
             max_bg, max_lg = self.repetition_thresholds
             docs = filter_repetitive(

@@ -319,3 +319,32 @@ def test_passage_removal_drops_hollowed_docs(spark):
     kept = {r.doc_id for r in out.collect()}
     assert kept == {2, 3}
     assert counts["after_passage_removal"] == 2 < counts["after_near_dedup"]
+
+
+def test_optional_license_gate_stage(spark, raw_docs):
+    extra = spark.createDataFrame(
+        [
+            (210, "useful prose but sadly All Rights Reserved by the site", "en"),
+            (211, "useful prose shared as CC BY-NC only for research use", "en"),
+            (212, "useful prose released into the public domain entirely", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs = raw_docs.union(extra)
+
+    base = CorpusPipeline(schema=SCHEMA, quality_min=0.0, minhash_threshold=0.5)
+    base_ids = {r["doc_id"] for r in base.run(docs).collect()}
+    assert {210, 211, 212} <= base_ids  # license ignored by default
+
+    pipe = CorpusPipeline(
+        schema=SCHEMA,
+        quality_min=0.0,
+        minhash_threshold=0.5,
+        license_allow={"none", "public_domain", "cc_by"},
+    )
+    out, counts = pipe.run_with_counts(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 210 not in ids and 211 not in ids  # restrictive classes gone
+    assert 212 in ids  # public domain allowed
+    assert ids == base_ids - {210, 211}
+    assert counts["after_optional_filters"] == counts["after_exact_dedup"] - 2
