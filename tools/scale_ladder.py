@@ -142,6 +142,20 @@ QUERIES = [
     "host_communities",
     # context-length profile — one scan + K-row aggregate: linear
     "doc_context_profile",
+    # round 4 session 11: script/mojibake forensics — 16 regex counters
+    # per doc, pure map stage (zero shuffles): wall must track the scan;
+    # the cipher rotates ASCII letters within [A-Za-z] so planted script
+    # counts and the plant keyed on doc_id % 10 scale exactly k-fold
+    "doc_script_profile",
+    # license tagging — same pure-map shape (substring + 4 regex flags +
+    # SPDX extract); plant keyed on doc_id % 10 -> class mix constant,
+    # rows k-fold
+    "doc_license_profile",
+    # OOV coverage — corpus top-20 vocab re-derives per rung (cipher
+    # copies shift token namespaces so the vocab CHANGES, rows stay one
+    # per doc); per-token probes are O(log vocab) binary search, scan
+    # dominates: linear
+    "doc_oov_profile",
 ]
 
 
