@@ -7435,6 +7435,67 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
+
+def host_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles + local clustering per host
+    (operators/triangles.py) over the planted link graph — the density
+    measure that separates link farms (dense neighborhoods) from
+    legitimate hubs (high degree, low clustering).  Compact-forward
+    degree orientation: no window, hub out-degree bounded O(sqrt(m));
+    the oracle replays canonicalization, struct-order orientation,
+    wedge and closing joins with SQL row comparisons."""
+    from schemasaurus_spark.operators.triangles import triangle_stats
+
+    return triangle_stats(doc_link_graph(spark, sf_dir))
+
+
+def _triangle_oracle_sql() -> str:
+    return f"""
+WITH edges AS (SELECT * FROM ({_LINK_GRAPH_ORACLE}) e),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE least(src, dst) <> greatest(src, dst)
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.degree, c.a) < (db.degree, c.b) THEN c.a ELSE c.b END AS u,
+         CASE WHEN (da.degree, c.a) < (db.degree, c.b) THEN c.b ELSE c.a END AS v,
+         CASE WHEN (da.degree, c.a) < (db.degree, c.b) THEN db.degree
+              ELSE da.degree END AS deg_v
+  FROM canon c
+  JOIN deg da ON da.node = c.a
+  JOIN deg db ON db.node = c.b
+),
+wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM oriented e1 JOIN oriented e2
+    ON e1.u = e2.u AND (e1.deg_v, e1.v) < (e2.deg_v, e2.v)
+),
+tris AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN oriented o ON o.u = w.v1 AND o.v = w.v2
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS node FROM tris
+    UNION ALL SELECT v1 FROM tris
+    UNION ALL SELECT v2 FROM tris
+  ) GROUP BY node
+)
+SELECT d.node AS host, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+                 ELSE (coalesce(p.n_triangles, 0) * 2 * 10000)
+                      // (d.degree * (d.degree - 1)) END AS BIGINT)
+         AS clustering_bp
+FROM deg d LEFT JOIN per_node p ON d.node = p.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7587,6 +7648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_recall": embedding_ann_recall,
         "embedding_ivf_recall": embedding_ivf_recall,
         "doc_oov_profile": doc_oov_profile,
+        "host_triangle_stats": host_triangle_stats,
     }
 
 
@@ -7742,4 +7804,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_recall": _ann_recall_oracle_sql(),
         "embedding_ivf_recall": _ivf_recall_oracle_sql(),
         "doc_oov_profile": _oov_oracle_sql(),
+        "host_triangle_stats": _triangle_oracle_sql(),
     }

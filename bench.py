@@ -235,6 +235,7 @@ def main():
         "embedding_ann_recall",
         "embedding_ivf_recall",
         "doc_oov_profile",
+        "host_triangle_stats",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
