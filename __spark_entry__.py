@@ -7496,6 +7496,53 @@ FROM deg d LEFT JOIN per_node p ON d.node = p.node
 """
 
 
+
+def event_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths (sessionize.session_paths): the event-type
+    sequences sessions actually walk, ranked by session count — the
+    mined complement of the hypothesized funnel.  Path built in-array
+    from a sorted struct collect (order never depends on shuffle
+    arrival); top-k is TakeOrdered.  The oracle replays sessions +
+    string_agg ORDER BY (ts, event_id) + the deterministic rank."""
+    from schemasaurus_spark.operators.sessionize import session_paths
+
+    return session_paths(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        gap_seconds=28800,
+        top_k=15,
+    )
+
+
+_SESSION_PATHS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 28800 * 1000000::BIGINT
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_seq
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+         AS rank,
+       path, n_sessions
+FROM counts ORDER BY n_sessions DESC, path LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7649,6 +7696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_recall": embedding_ivf_recall,
         "doc_oov_profile": doc_oov_profile,
         "host_triangle_stats": host_triangle_stats,
+        "event_session_paths": event_session_paths,
     }
 
 
@@ -7805,4 +7853,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_recall": _ivf_recall_oracle_sql(),
         "doc_oov_profile": _oov_oracle_sql(),
         "host_triangle_stats": _triangle_oracle_sql(),
+        "event_session_paths": _SESSION_PATHS_ORACLE,
     }

@@ -236,6 +236,7 @@ def main():
         "embedding_ivf_recall",
         "doc_oov_profile",
         "host_triangle_stats",
+        "event_session_paths",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

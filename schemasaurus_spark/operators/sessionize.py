@@ -124,3 +124,71 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
     return tagged.groupBy(F.col(user_col), F.col("session_seq")).agg(*aggs)
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    top_k: int = 20,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Top-``top_k`` session paths: the ordered event-type sequences
+    users actually walk ("view>click>purchase"), ranked by how many
+    sessions follow each — the path-mining summary funnels can't give
+    (a funnel checks ONE hypothesized order; this surfaces the orders
+    that exist).
+
+    Output ``(rank, path, n_sessions)``; rank is 1-based with the
+    deterministic total order (n_sessions desc, path asc).
+
+    Construction: sessions from ``assign_sessions`` (one user-keyed
+    window pass), then per (user, session) ONE aggregate builds the
+    path in-array — ``collect_list(struct(ts_us, tiebreak, type))``,
+    ``array_sort`` (struct lexicographic order = the session's total
+    event order), ``transform`` + ``array_join`` — so event order
+    never depends on shuffle arrival.  Top-k is orderBy+limit
+    (TakeOrdered: per-partition heaps + a k-row driver merge, never a
+    global sort of the path table).
+
+    Scale caveat: a session's whole path materializes in one aggregate
+    buffer — the sessionize.py hot-user caveat applies to pathological
+    never-idle users; bound ``gap_seconds`` accordingly.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    tagged = assign_sessions(
+        events.select(user_col, ts_col, type_col, *(
+            [tiebreak_col] if tiebreak_col else []
+        )),
+        gap_seconds,
+        user_col=user_col,
+        ts_col=ts_col,
+        tiebreak_col=tiebreak_col,
+    )
+    order_fields = [
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_o1"),
+    ]
+    if tiebreak_col:
+        order_fields.append(F.col(tiebreak_col).alias("_o2"))
+    order_fields.append(F.col(type_col).alias("_t"))
+    per_session = tagged.groupBy(user_col, "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*order_fields))),
+                lambda s: s["_t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "path", "n_sessions"
+    )

@@ -135,3 +135,43 @@ def test_session_stream_emits_closed_sessions_and_drops_late(spark, tmp_path):
         for r in session_stats(spark.read.parquet(in_dir), 1800).collect()
     }
     assert batch[(7, "2024-01-01 00:01:00")] == (3, 103.0)
+
+
+def test_session_paths_hand_computed(spark):
+    import datetime as dt
+
+    from schemasaurus_spark.operators.sessionize import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    rows = [
+        # user 1: two sessions (gap > 30min): view>click, view>click
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"),
+        ev(3, 1, 60, "view"), ev(4, 1, 61, "click"),
+        # user 2: one session view>click, one lone purchase
+        ev(5, 2, 0, "view"), ev(6, 2, 2, "click"),
+        ev(7, 2, 120, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = session_paths(df, gap_seconds=1800, top_k=10).collect()
+    assert [(r.rank, r.path, r.n_sessions) for r in got] == [
+        (1, "view>click", 3),
+        (2, "purchase", 1),
+    ]
+    # top_k truncates deterministically
+    got1 = session_paths(df, gap_seconds=1800, top_k=1).collect()
+    assert [(r.rank, r.path) for r in got1] == [(1, "view>click")]
+    # equal timestamps: tiebreak pins the order
+    tie = spark.createDataFrame(
+        [ev(11, 9, 0, "b"), ev(10, 9, 0, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert session_paths(tie, top_k=5).collect()[0].path == "a>b"
+    # partition invariance
+    re7 = session_paths(df.repartition(7, "event_id"), gap_seconds=1800, top_k=10).collect()
+    assert [tuple(r) for r in re7] == [tuple(r) for r in got]
