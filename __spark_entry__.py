@@ -7543,6 +7543,55 @@ FROM counts ORDER BY n_sessions DESC, path LIMIT 15
 """
 
 
+
+def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO-style percentile monitoring (outliers.percentile_bands):
+    exact order-statistic p50/p95/p99 of event value per (event_type,
+    day) — values picked from the data by all-integer rank math, so the
+    whole table hashes bit-identically in any engine; one
+    map-side-combined (group, value) count + per-group cumsums on the
+    distinct-value table."""
+    from schemasaurus_spark.operators.outliers import percentile_bands
+
+    # exact integer day bucket: unix_micros DIV 86.4e9 (nonneg epochs)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type",
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT) AS day_id",
+        "value",
+    )
+    return percentile_bands(ev, "value", ["event_type", "day_id"])
+
+
+_VALUE_BANDS_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id, value
+  FROM events
+),
+per AS (
+  SELECT event_type, day_id, value AS v, count(*) AS n_eq
+  FROM ev WHERE value IS NOT NULL
+  GROUP BY event_type, day_id, value
+),
+cum AS (
+  SELECT event_type, day_id, v,
+         sum(n_eq) OVER (PARTITION BY event_type, day_id ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n_eq) OVER (PARTITION BY event_type, day_id) AS n
+  FROM per
+)
+SELECT event_type, day_id,
+       min(CASE WHEN c >= least(greatest((n * 5000 + 9999) // 10000, 1), n)
+                THEN v END) AS p5000,
+       min(CASE WHEN c >= least(greatest((n * 9500 + 9999) // 10000, 1), n)
+                THEN v END) AS p9500,
+       min(CASE WHEN c >= least(greatest((n * 9900 + 9999) // 10000, 1), n)
+                THEN v END) AS p9900,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum GROUP BY event_type, day_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7697,6 +7746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_profile": doc_oov_profile,
         "host_triangle_stats": host_triangle_stats,
         "event_session_paths": event_session_paths,
+        "event_value_bands": event_value_bands,
     }
 
 
@@ -7854,4 +7904,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_oov_profile": _oov_oracle_sql(),
         "host_triangle_stats": _triangle_oracle_sql(),
         "event_session_paths": _SESSION_PATHS_ORACLE,
+        "event_value_bands": _VALUE_BANDS_ORACLE,
     }

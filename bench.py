@@ -237,6 +237,7 @@ def main():
         "doc_oov_profile",
         "host_triangle_stats",
         "event_session_paths",
+        "event_value_bands",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -179,3 +179,68 @@ def winsorize(
         .withColumn("winsor_side", side)
         .drop("lo", "hi", "n")
     )
+
+
+def percentile_bands(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    qs_bp: tuple[int, ...] = (5000, 9500, 9900),
+) -> DataFrame:
+    """Per-group EXACT order-statistic percentile bands — the SLO-style
+    monitoring readout (p50/p95/p99 per service per day) built on the
+    same k-th-smallest machinery as ``winsor_bounds``: every band value
+    is a VALUE PICKED FROM THE DATA (k = ceil(n*q/10000), all-integer
+    rank math, no interpolation), so the table is bit-exact in any
+    engine even on doubles.
+
+    Output ``(*group_cols, p<q> per requested q, n)`` with columns named
+    ``p5000`` etc. (basis-point suffix keeps the naming exact).
+
+    Scale shape (the winsor_bounds shape): one map-side-combined
+    ``groupBy(group, value)`` count, per-group window cumsums over the
+    DISTINCT-value table (never the raw rows), one aggregate picking all
+    requested ranks in a single pass; output is |groups| rows.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    qs = [int(q) for q in qs_bp]
+    if not qs or any(not (0 <= q <= 10000) for q in qs):
+        raise ValueError(f"percentile_bands: qs_bp must be within [0, 10000], got {qs_bp}")
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"percentile_bands: duplicate quantile {qs_bp}")
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n_eq"))
+    )
+    part = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    )
+    cum = per.select(
+        *group_cols,
+        "_v",
+        F.sum("_n_eq")
+        .over(part.orderBy(F.col("_v").asc()).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+        F.sum("_n_eq")
+        .over(
+            part.orderBy(F.col("_v").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    base = cum.groupBy(*group_cols) if group_cols else cum.groupBy()
+    aggs = []
+    for q in qs:
+        rank = F.least(
+            F.greatest(F.expr(f"(_n * {q} + 9999) DIV 10000"), F.lit(1)),
+            F.col("_n"),
+        )
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_v"))).alias(f"p{q}")
+        )
+    aggs.append(F.max("_n").alias("n"))
+    return base.agg(*aggs)

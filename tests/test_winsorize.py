@@ -68,3 +68,40 @@ def test_partition_invariance(spark):
         key=lambda r: r["id"],
     )
     assert a == b
+
+
+def test_percentile_bands_hand_computed(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.outliers import percentile_bands
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: r.asDict()
+        for r in percentile_bands(
+            df, "v", ["g"], qs_bp=(5000, 9500, 9900)
+        ).collect()
+    }
+    # group a: 1..100 -> p50 = 50th smallest = 50, p95 = 95, p99 = 99
+    assert got["a"] == {"g": "a", "p5000": 50.0, "p9500": 95.0,
+                        "p9900": 99.0, "n": 100}
+    # group b: n=2 -> k(50%) = 1 -> 7.0; k(95%/99%) = 2 -> 9.0
+    assert got["b"] == {"g": "b", "p5000": 7.0, "p9500": 9.0,
+                        "p9900": 9.0, "n": 2}
+    # ungrouped + duplicate values
+    dup = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 1, 1, 9]], "v double"
+    )
+    one = percentile_bands(dup, "v", qs_bp=(5000, 10000)).first()
+    assert (one.p5000, one.p10000, one.n) == (1.0, 9.0, 5)
+    with _pytest.raises(ValueError):
+        percentile_bands(df, "v", qs_bp=(5000, 5000))
+    with _pytest.raises(ValueError):
+        percentile_bands(df, "v", qs_bp=(10001,))
+    # partition invariance
+    base = sorted(map(tuple, percentile_bands(df, "v", ["g"]).collect()))
+    re7 = sorted(
+        map(tuple, percentile_bands(df.repartition(7, "g"), "v", ["g"]).collect())
+    )
+    assert base == re7
