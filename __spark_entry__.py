@@ -7592,6 +7592,51 @@ FROM cum GROUP BY event_type, day_id
 """
 
 
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile (text.readability_profile): words /
+    sentence-runs / vowel-run syllables all counted by regexp length
+    deltas, the float formula written once with fixed parenthesization
+    and quantized floor(x*100 + 0.5) — ZERO shuffles, one projection
+    scan; the oracle replays the identical expression in DuckDB."""
+    from schemasaurus_spark.operators.text import readability_profile
+
+    return readability_profile(_docs(spark, sf_dir))
+
+
+_READABILITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(t)), '\s+')) END AS w,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE coalesce(list_sum(list_transform(
+                     string_split_regex(lower(trim(t)), '\s+'),
+                     x -> greatest(
+                       length(regexp_replace(x, '[aeiouy]+', 'V', 'g'))
+                       - length(regexp_replace(x, '[aeiouy]+', '', 'g')), 1)
+                   )), 0) END AS syl,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE greatest(
+                length(regexp_replace(t, '[.!?]+', 'V', 'g'))
+                - length(regexp_replace(t, '[.!?]+', '', 'g')), 1) END AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       CASE WHEN w <= 0 THEN NULL
+            ELSE CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                             - 84.6 * (CAST(syl AS DOUBLE) / w)) * 100.0
+                            + 0.5) AS BIGINT) END AS flesch_x100
+FROM feats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
@@ -7747,6 +7792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangle_stats": host_triangle_stats,
         "event_session_paths": event_session_paths,
         "event_value_bands": event_value_bands,
+        "doc_readability": doc_readability,
     }
 
 
@@ -7905,4 +7951,5 @@ def oracle_sql() -> dict[str, str]:
         "host_triangle_stats": _triangle_oracle_sql(),
         "event_session_paths": _SESSION_PATHS_ORACLE,
         "event_value_bands": _VALUE_BANDS_ORACLE,
+        "doc_readability": _READABILITY_ORACLE,
     }

@@ -238,6 +238,7 @@ def main():
         "host_triangle_stats",
         "event_session_paths",
         "event_value_bands",
+        "doc_readability",
     ]:
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

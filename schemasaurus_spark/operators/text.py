@@ -285,3 +285,68 @@ def span_lang_profile(
         ).alias("n_minority"),
     )
     return out
+
+
+def readability_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease profile — the classic prose-difficulty signal
+    quality filters stack next to stopword/punctuation ratios (very low
+    scores flag legalese/gibberish, impossibly high ones flag
+    word-salad).  One row per PHYSICAL row:
+
+    ``(doc_id, n_words, n_sentences, n_syllables, flesch_x100)``
+
+    * words: whitespace tokens of lower(trim(text));
+    * syllables: maximal ``[aeiouy]`` runs per word, minimum 1 (the
+      standard heuristic — exact counting needs a dictionary), counted
+      by the two-regexp_replace length-delta trick (runs collapsed to
+      one char vs removed entirely);
+    * sentences: maximal ``[.!?]`` runs in the text, minimum 1 when any
+      words exist;
+    * ``flesch_x100``: the Flesch formula 206.835 - 1.015*(W/S) -
+      84.6*(SYL/W) quantized to ``floor(x*100 + 0.5)`` int64.  The
+      float expression is written ONCE with fixed parenthesization, so
+      DuckDB replays it bit-for-bit (IEEE doubles, identical op order);
+      NULL for wordless docs.
+
+    Scale shape: ZERO shuffles — in-array transform + aggregate over
+    one projection scan; duplicate doc_ids stay separate rows.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    empty = F.trim(t) == ""
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long")
+
+    def runs(col: Column, klass: str) -> Column:
+        collapsed = F.regexp_replace(col, klass, "V")
+        removed = F.regexp_replace(col, klass, "")
+        return F.length(collapsed) - F.length(removed)
+
+    syl = F.when(empty, F.lit(0)).otherwise(
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(runs(w, "[aeiouy]+"), F.lit(1)).cast("long"),
+        )
+    ).cast("long")
+    sent = F.when(
+        n_words <= 0, F.lit(0)
+    ).otherwise(F.greatest(runs(t, "[.!?]+"), F.lit(1))).cast("long")
+
+    w_d = n_words.cast("double")
+    s_d = sent.cast("double")
+    syl_d = syl.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * (w_d / s_d) - F.lit(84.6) * (
+        syl_d / w_d
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.when(n_words <= 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(flesch * F.lit(100.0) + F.lit(0.5)).cast("long"))
+        .alias("flesch_x100"),
+    )

@@ -86,3 +86,43 @@ def test_partition_invariance(spark):
         key=lambda r: r["doc_id"],
     )
     assert a == b
+
+
+def test_readability_profile_hand_computed(spark):
+    import math
+
+    from schemasaurus_spark.operators.text import readability_profile
+
+    rows = [
+        ("a", "The cat sat. The dog ran!"),
+        ("b", "xyz"),          # no vowels -> 1 syllable, no sentence mark -> 1
+        ("c", None),
+        ("d", "   "),
+        ("e", "Wait... what?! Really."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.asDict() for r in readability_profile(df).collect()}
+
+    a = got["a"]
+    # words: the cat sat. the dog ran! -> 6; sentences: '.' and '!' runs -> 2
+    # syllables: the(1) cat(1) sat.(1) the(1) dog(1) ran!(1) = 6
+    assert (a["n_words"], a["n_sentences"], a["n_syllables"]) == (6, 2, 6)
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert a["flesch_x100"] == math.floor(expect * 100 + 0.5)
+
+    b = got["b"]
+    assert (b["n_words"], b["n_sentences"], b["n_syllables"]) == (1, 1, 1)
+
+    for d in ("c", "d"):
+        r = got[d]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (0, 0, 0)
+        assert r["flesch_x100"] is None
+
+    # '...' and '?!' are single sentence runs
+    assert got["e"]["n_sentences"] == 3
+
+    re7 = {
+        r.doc_id: r.asDict()
+        for r in readability_profile(df.repartition(7, "doc_id")).collect()
+    }
+    assert re7 == got
