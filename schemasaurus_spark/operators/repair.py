@@ -83,8 +83,13 @@ def _drop_reason(
         .when(kind.isin("image", "audio") & ref.isNull(), F.lit("refMissing"))
     )
     if cat is not None:
+        from schemasaurus_spark.operators.arrays import sorted_array_contains
+
+        # exact binary search (arrays.py): media catalogs GROW with the
+        # corpus at 10^12 docs — the span_boilerplate scale lesson says
+        # never probe a corpus-derived broadcast set linearly
         out = out.when(
-            kind.isin("image", "audio") & ~F.array_contains(cat, ref),
+            kind.isin("image", "audio") & ~sorted_array_contains(cat, ref),
             F.lit("refDangling"),
         )
     return out
@@ -105,7 +110,7 @@ def repair_spans(
     the catalog drop as ``refDangling`` — the repair twin of the
     left-anti referential check.  The catalog rides as ONE sorted array
     on a single-row broadcast cross join (the centroid-array idiom), so
-    membership is an in-array ``array_contains`` and the pass stays
+    membership is an in-array exact binary search and the pass stays
     zero-shuffle."""
     spans = F.col(spans_col)
     cat = None
