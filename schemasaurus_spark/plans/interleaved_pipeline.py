@@ -55,7 +55,7 @@ from schemasaurus_spark.operators.span_boilerplate import (
     span_boilerplate_profile,
 )
 
-__all__ = ["InterleavedPipeline"]
+__all__ = ["InterleavedPipeline", "ResumableCuration"]
 
 
 @dataclass
@@ -121,3 +121,126 @@ class InterleavedPipeline:
             return out.localCheckpoint(eager=True), counts
         finally:
             repaired.unpersist()
+
+
+class ResumableCuration:
+    """Unit-granular checkpoint/resume for the interleaved pipeline —
+    the north-rule resumability contract (``runstate.py``'s manifest
+    machinery) applied to curation.
+
+    The pipeline splits into exactly two phases by data dependence:
+
+    * **phase 1 — the global boilerplate profile** (the only cross-unit
+      aggregate): computed ONCE over the repaired full input and
+      persisted under ``out_dir/profile``; a restart reuses the
+      artifact.  Correct resume requires an immutable input snapshot —
+      the same contract ResumableValidation enforces — so the profile
+      artifact records the unit listing it was built from and a changed
+      listing raises ``LineageDriftError`` (``on_drift="reset"`` drops
+      the profile AND every unit manifest: the profile is global, so
+      any input change invalidates all curation output).
+    * **phase 2 — repair + removal + gate + render**, all row-local:
+      processed unit-at-a-time with ``RunState`` manifests; a killed
+      run resumes at the first incomplete unit, each unit's curated
+      rows land under ``curated/unit=<id>`` (rewrite-idempotent).
+    """
+
+    def __init__(self, pipeline: InterleavedPipeline | None = None,
+                 files_per_unit: int = 4):
+        self.pipe = pipeline or InterleavedPipeline()
+        self.files_per_unit = files_per_unit
+
+    def run(
+        self,
+        spark,
+        input_path: str,
+        out_dir: str,
+        catalog: DataFrame | None = None,
+        fail_after_units: int | None = None,
+        on_drift: str = "error",
+    ) -> dict:
+        import json
+        import os
+        import shutil
+
+        from schemasaurus_spark.operators.span_boilerplate import (
+            span_boilerplate_profile,
+        )
+        from schemasaurus_spark.runstate import (
+            LineageDriftError,
+            RunState,
+            list_units,
+        )
+
+        units = list_units(spark, input_path, self.files_per_unit)
+        listing = sorted(u["unit_id"] for u in units)
+        profile_dir = os.path.join(out_dir, "profile")
+        listing_file = os.path.join(out_dir, "profile_listing.json")
+        state = RunState(os.path.join(out_dir, "manifests"))
+
+        if os.path.isfile(listing_file):
+            prior = json.loads(open(listing_file).read())
+            if prior != listing:
+                if on_drift == "reset":
+                    shutil.rmtree(profile_dir, ignore_errors=True)
+                    os.remove(listing_file)
+                    shutil.rmtree(
+                        os.path.join(out_dir, "manifests"), ignore_errors=True
+                    )
+                    shutil.rmtree(
+                        os.path.join(out_dir, "curated"), ignore_errors=True
+                    )
+                    state = RunState(os.path.join(out_dir, "manifests"))
+                else:
+                    raise LineageDriftError(
+                        "input listing changed since the boilerplate profile "
+                        "was frozen; the profile is a GLOBAL aggregate, so "
+                        "resume requires an immutable input snapshot — rerun "
+                        "with on_drift='reset' to recurate from scratch"
+                    )
+
+        if not os.path.isfile(listing_file):
+            docs = spark.read.parquet(input_path)
+            prof = span_boilerplate_profile(
+                self.pipe.repaired(docs, catalog),
+                min_docs=self.pipe.min_docs_boilerplate,
+                spans_col=self.pipe.spans_col,
+                id_col=self.pipe.id_col,
+            )
+            prof.write.mode("overwrite").parquet(profile_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(listing_file, "w") as fh:
+                fh.write(json.dumps(listing))
+
+        prof = spark.read.parquet(profile_dir)
+        done = state.completed()
+        pending = [u for u in units if u["unit_id"] not in done]
+        processed = 0
+        for unit in pending:
+            if fail_after_units is not None and processed >= fail_after_units:
+                raise RuntimeError(f"injected failure after {processed} units")
+            docs = spark.read.parquet(*unit["files"])
+            curated = self.pipe.gated(
+                self.pipe.rendered(
+                    remove_boilerplate_spans(
+                        self.pipe.repaired(docs, catalog),
+                        prof,
+                        spans_col=self.pipe.spans_col,
+                        id_col=self.pipe.id_col,
+                    ).drop("n_boilerplate_removed")
+                )
+            )
+            udir = os.path.join(out_dir, "curated", f"unit={unit['unit_id']}")
+            curated.write.mode("overwrite").parquet(udir)
+            n = spark.read.parquet(udir).count()
+            state.mark_done(unit, {"curated_rows": n})
+            processed += 1
+        all_done = state.completed()
+        return {
+            "n_units": len(units),
+            "n_skipped": len(units) - len(pending),
+            "n_processed": processed,
+            "curated_rows": sum(
+                m["metrics"]["curated_rows"] for m in all_done.values()
+            ),
+        }

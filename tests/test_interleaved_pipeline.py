@@ -96,3 +96,48 @@ def test_boilerplate_profile_sees_repaired_spans(spark):
     assert set(out) == {"a", "b"}
     for r in out.values():
         assert "repeat me" not in r["training_text"]
+
+
+def test_resumable_curation_kill_rerun_and_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from schemasaurus_spark.plans.interleaved_pipeline import (
+        InterleavedPipeline,
+        ResumableCuration,
+    )
+    from schemasaurus_spark.runstate import LineageDriftError
+
+    docs, cat = _corpus(spark)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    # several files so multiple units exist
+    docs.repartition(6).write.mode("overwrite").parquet(in_dir)
+
+    pipe = InterleavedPipeline(min_docs_boilerplate=3, min_text_chars=20)
+    rc = ResumableCuration(pipe, files_per_unit=2)
+
+    # straight-through reference
+    ref_dir = str(tmp_path / "ref")
+    ref = ResumableCuration(pipe, files_per_unit=2).run(
+        spark, in_dir, ref_dir, catalog=cat
+    )
+    expected = sorted(
+        map(tuple, spark.read.parquet(f"{ref_dir}/curated").collect())
+    )
+
+    # kill after 1 unit, then resume
+    with _pytest.raises(RuntimeError):
+        rc.run(spark, in_dir, out_dir, catalog=cat, fail_after_units=1)
+    summary = rc.run(spark, in_dir, out_dir, catalog=cat)
+    assert summary["n_skipped"] == 1  # the pre-crash unit was not redone
+    assert summary["n_units"] == ref["n_units"]
+    got = sorted(map(tuple, spark.read.parquet(f"{out_dir}/curated").collect()))
+    assert got == expected
+    assert summary["curated_rows"] == ref["curated_rows"] == len(expected)
+
+    # input drift: adding a file invalidates the GLOBAL profile
+    docs.limit(1).write.mode("append").parquet(in_dir)
+    with _pytest.raises(LineageDriftError):
+        rc.run(spark, in_dir, out_dir, catalog=cat)
+    reset = rc.run(spark, in_dir, out_dir, catalog=cat, on_drift="reset")
+    assert reset["n_skipped"] == 0  # full recurate: nothing reusable
