@@ -117,6 +117,93 @@ FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
 
 
 # ---------------------------------------------------------------------------
+# schema-evolution impact: validate under TWO schema versions in one scan
+# (schema/migration.py).  V2 tightens maxLength/maximum 300 -> 250 (breaks
+# the 42 sf0.01 docs in the (250, 300] band) and widens the lang enum with
+# 'zh' (forgives the 75 zh docs) — every transition cell is non-vacuous.
+# ---------------------------------------------------------------------------
+
+FLAT_DOC_SCHEMA_V2: dict = {
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer", "required": True, "minimum": 0},
+        "text": {"type": "string", "required": True, "minLength": 1, "maxLength": 250},
+        "lang": {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 0, "maximum": 250},
+    },
+}
+
+
+def doc_schema_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(valid_old, valid_new, n_docs) transition matrix, both verdicts from
+    ONE corpus scan (plan asserted in tests/test_migration.py)."""
+    from schemasaurus_spark.schema.migration import migration_matrix
+
+    return migration_matrix(_docs(spark, sf_dir), FLAT_DOC_SCHEMA, FLAT_DOC_SCHEMA_V2)
+
+
+def doc_migration_breaking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-schema violation rows for docs the migration regresses."""
+    from schemasaurus_spark.schema.migration import breaking_violations
+
+    return breaking_violations(_docs(spark, sf_dir), FLAT_DOC_SCHEMA, FLAT_DOC_SCHEMA_V2)
+
+
+# validity predicates replicating the Column backend's semantics: required
+# fields must be non-null; optional fields are checked only when present
+_VALID_OLD_SQL = """(
+  doc_id IS NOT NULL AND doc_id >= 0
+  AND text IS NOT NULL AND length(text) >= 1 AND length(text) <= 300
+  AND (lang IS NULL OR lang IN ('en','de','fr','es'))
+  AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+  AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 300))
+)"""
+
+_VALID_NEW_SQL = """(
+  doc_id IS NOT NULL AND doc_id >= 0
+  AND text IS NOT NULL AND length(text) >= 1 AND length(text) <= 250
+  AND (lang IS NULL OR lang IN ('en','de','fr','es','zh'))
+  AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+  AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 250))
+)"""
+
+_MIGRATION_MATRIX_ORACLE = f"""
+SELECT {_VALID_OLD_SQL} AS valid_old, {_VALID_NEW_SQL} AS valid_new,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+_MIGRATION_BREAKING_ORACLE = f"""
+WITH regressed AS (
+  SELECT * FROM documents WHERE {_VALID_OLD_SQL} AND NOT {_VALID_NEW_SQL}
+)
+SELECT doc_id, 'maxLength' AS code, '/text' AS json_pointer,
+       text AS value, '250' AS arg
+FROM regressed WHERE text IS NOT NULL AND length(text) > 250
+UNION ALL
+SELECT doc_id, 'minLength', '/text', text, '1'
+FROM regressed WHERE text IS NOT NULL AND length(text) < 1
+UNION ALL
+SELECT doc_id, 'enum', '/lang', lang, '["en","de","fr","es","zh"]'
+FROM regressed WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh')
+UNION ALL
+SELECT doc_id, 'pattern', '/source', source, '^src[0-9]$'
+FROM regressed WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+UNION ALL
+SELECT doc_id, 'maximum', '/n_chars', CAST(n_chars AS VARCHAR), '250'
+FROM regressed WHERE n_chars IS NOT NULL AND n_chars > 250
+UNION ALL
+SELECT doc_id, 'minimum', '/n_chars', CAST(n_chars AS VARCHAR), '0'
+FROM regressed WHERE n_chars IS NOT NULL AND n_chars < 0
+UNION ALL
+SELECT doc_id, 'minimum', '/doc_id', CAST(doc_id AS VARCHAR), '0'
+FROM regressed WHERE doc_id IS NOT NULL AND doc_id < 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2D column stats / counts / histogram / uniqueness / referential
 # ---------------------------------------------------------------------------
 
@@ -7640,6 +7727,8 @@ FROM feats
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_validation_violations": doc_validation_violations,
+        "doc_schema_migration": doc_schema_migration,
+        "doc_migration_breaking": doc_migration_breaking,
         "doc_column_stats": doc_column_stats,
         "doc_lang_counts": doc_lang_counts,
         "event_type_counts": event_type_counts,
@@ -7799,6 +7888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_validation_violations": _VALIDATION_ORACLE,
+        "doc_schema_migration": _MIGRATION_MATRIX_ORACLE,
+        "doc_migration_breaking": _MIGRATION_BREAKING_ORACLE,
         "doc_column_stats": _STATS_ORACLE,
         "doc_lang_counts": "SELECT lang AS category, count(*) AS cnt FROM documents GROUP BY lang",
         "event_type_counts": "SELECT event_type AS category, count(*) AS cnt FROM events GROUP BY event_type",
