@@ -2035,6 +2035,48 @@ FROM comp
 """
 
 
+def doc_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance: the MinHash pair graph split into a
+    'historical' half (both endpoints even doc_ids -> clustered into an
+    assignment up front) and an 'ingest' half (every pair touching an odd
+    doc_id), merged by ``incremental_components`` — endpoint-root lookup +
+    root-level reduced CC + broadcast relabel, the assignment streamed and
+    never shuffled (dedup.py).  The min-id labeling makes the incremental
+    answer provably bit-identical to re-clustering the union graph, so the
+    oracle is the SAME recursive reachability CTE as doc_dup_components:
+    the incremental path must reproduce the from-scratch labels."""
+    from schemasaurus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    pairs = pairs.localCheckpoint(eager=True)  # two branches below; LSH runs once
+    even = (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
+    assignment = connected_components(pairs.where(even)).localCheckpoint(eager=True)
+    merged = incremental_components(assignment, pairs.where(~even))
+    return merged.select(F.col("id").alias("doc_id"), "comp_id")
+
+
+def _incremental_components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) AS n(u)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON reach.id = und.v
+)
+SELECT id AS doc_id, min(r) AS comp_id FROM reach GROUP BY id
+"""
+
+
 _TC_QUALITY_MIN = 0.35
 _TC_FRACTIONS = {"en": 0.6, "de": 0.4}
 _TC_DEFAULT = 0.8
@@ -7777,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": doc_bm25_search,
         "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_dup_components": doc_dup_components,
+        "doc_incremental_components": doc_incremental_components,
         "doc_training_corpus": doc_training_corpus,
         "doc_mixed_corpus": doc_mixed_corpus,
         "simhash_near_dups": simhash_near_dups,
@@ -7943,6 +7986,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": _bm25_oracle_sql(),
         "doc_ngram_jaccard_dups": _NGRAM_JACCARD_ORACLE,
         "doc_dup_components": _components_oracle_sql(),
+        "doc_incremental_components": _incremental_components_oracle_sql(),
         "doc_training_corpus": _training_corpus_oracle_sql(),
         "doc_mixed_corpus": _mixed_corpus_oracle_sql(),
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -1181,3 +1181,109 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ----------------------------------------- incremental component maintenance
+#
+# Ongoing ingest produces new near-dup pairs per batch (batch-batch pairs
+# from the self-join, batch-corpus pairs from incremental_near_duplicates).
+# Re-running connected_components over the full historical pair graph per
+# ingest is O(corpus) per batch; the min-id labeling convention makes the
+# maintenance problem local instead:
+#
+#   the existing assignment (id -> comp_id = min member id) is connectivity-
+#   equivalent to the historical edge set (each row IS a star edge), so full
+#   CC over (old edges + new pairs) equals CC over (assignment stars + new
+#   pairs) — and only components touched by a new pair can change.  Replace
+#   each new-pair endpoint by its current root (unknown ids root themselves),
+#   run CC on that ROOT-LEVEL reduced graph (batch-sized), and read off
+#   old_root -> new_root remaps.  Because every old root is the minimum of
+#   its member set, min over a merged cluster's (roots + new ids) equals the
+#   global minimum over all members — the incremental labels are therefore
+#   BIT-IDENTICAL to a from-scratch recompute (asserted in tests).
+
+
+def _apply_component_remap(assignment: DataFrame, remap: DataFrame) -> DataFrame:
+    """Relabel ``assignment`` (id, comp_id) through ``remap``
+    (old_comp, new_comp): one broadcast left join streamed over the
+    corpus-sized assignment — zero corpus shuffles (plan asserted)."""
+    return assignment.join(
+        F.broadcast(remap), assignment["comp_id"] == remap["old_comp"], "left"
+    ).select(
+        assignment["id"],
+        F.coalesce(remap["new_comp"], assignment["comp_id"]).alias("comp_id"),
+    )
+
+
+def incremental_components(
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    report_out: dict | None = None,
+) -> DataFrame:
+    """Merge a batch's near-dup pairs into an existing component
+    ``assignment`` (id, comp_id — min-id convention, one row per id)
+    without re-clustering the historical corpus.
+
+    Returns (id, comp_id) covering assignment ids plus every new-pair
+    endpoint, equal row-for-row to ``connected_components`` over the union
+    of the historical edges and ``new_pairs``.  Per-ingest cost: one
+    broadcast-probe scan of the assignment for the endpoint-root lookup,
+    CC on the batch-sized reduced graph, one broadcast-relabel scan —
+    the 10^12-row assignment is read twice and never shuffled.
+
+    ``report_out`` gains ``touched_roots`` (merged old components),
+    ``new_nodes`` (endpoints previously unassigned) and the reduced CC's
+    ``cc_rounds``.
+    """
+    edges = _canonical_edges(
+        new_pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    with pin_scope():
+        nodes = _pin(nodes)
+        # endpoint -> current root: inner join with the BATCH side broadcast
+        # (streams the corpus-sized assignment, no corpus shuffle); endpoints
+        # the assignment has never seen root themselves
+        known = _pin(assignment.join(F.broadcast(nodes), "id").select("id", "comp_id"))
+        unknown = nodes.join(F.broadcast(known.select("id")), "id", "left_anti")
+        roots = known.unionByName(
+            unknown.select("id", F.col("id").alias("comp_id"))
+        )
+        ra = roots.select(F.col("id").alias("_ia"), F.col("comp_id").alias("_ra"))
+        rb = roots.select(F.col("id").alias("_ib"), F.col("comp_id").alias("_rb"))
+        reduced = (
+            edges.join(F.broadcast(ra), edges["u"] == F.col("_ia"))
+            .join(F.broadcast(rb), edges["v"] == F.col("_ib"))
+            .select(F.col("_ra").alias(id_a), F.col("_rb").alias(id_b))
+        )
+        labels = connected_components(reduced, id_a, id_b, max_iter, report_out)
+        # old roots whose label moved -> remap rows; unchanged roots (label ==
+        # self, or root-level self-loops that never reached CC) pass through
+        old_roots = known.select(F.col("comp_id").alias("id")).distinct()
+        remap = (
+            labels.where(F.col("id") != F.col("comp_id"))
+            .join(old_roots, "id", "left_semi")
+            .select(F.col("id").alias("old_comp"), F.col("comp_id").alias("new_comp"))
+        )
+        new_rows = (
+            unknown.join(
+                labels.select(F.col("id"), F.col("comp_id").alias("_c")), "id", "left"
+            )
+            .select("id", F.coalesce(F.col("_c"), F.col("id")).alias("comp_id"))
+        )
+        # materialize the batch-sized branches before pin_scope unpersists
+        # their inputs: remap + new_rows are all the corpus-independent state
+        # the returned plan needs
+        remap = remap.localCheckpoint(eager=True)
+        new_rows = new_rows.localCheckpoint(eager=True)
+        if report_out is not None:
+            report_out["touched_roots"] = remap.count()
+            report_out["new_nodes"] = unknown.count()
+    return _apply_component_remap(assignment, remap).unionByName(new_rows)
