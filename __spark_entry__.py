@@ -5751,6 +5751,49 @@ FROM cells
     )
 
 
+def doc_nb_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the NB predictions and the ground-truth lang
+    (evaluate.agreement_report): chance-corrected agreement over the same
+    contingency cells the confusion matrix reports — exact int64 common-
+    denominator arithmetic, one round-6 division."""
+    from schemasaurus_spark.operators.evaluate import agreement_report
+
+    return agreement_report(doc_nb_classify(spark, sf_dir), "label", "predicted")
+
+
+def _nb_agreement_oracle_sql() -> str:
+    return (
+        _nb_oracle_prefix()
+        + """,
+best AS (
+  SELECT doc_id, label AS predicted, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+),
+preds AS (
+  SELECT t.lang AS label, b.predicted
+  FROM best b JOIN test t USING (doc_id) WHERE b.rn = 1
+),
+cells AS (SELECT label, predicted, count(*) AS n FROM preds GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN label = predicted THEN n END), 0) AS BIGINT)
+           AS n_agree
+  FROM cells
+),
+ma AS (SELECT label AS c, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+mb AS (SELECT predicted AS c, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+       FROM ma JOIN mb USING (c))
+SELECT n, n_agree, n_agree * 10000 // n AS po_bp,
+       round(CAST(n * n_agree - pe_num AS DOUBLE)
+             / CAST(nullif(n * n - pe_num, 0) AS DOUBLE), 6) AS kappa
+FROM tot, pe
+"""
+    )
+
+
 def _nb_en_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared engine chain for the NB evaluation queries: the trained
     model's 'en' log-posterior per test doc + the is_en ground truth."""
@@ -7794,6 +7837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_pr_curve": doc_nb_pr_curve,
         "doc_nb_auc": doc_nb_auc,
         "doc_nb_confusion": doc_nb_confusion,
+        "doc_nb_agreement": doc_nb_agreement,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_split_assignment": doc_split_assignment,
         "doc_quota_cap": doc_quota_cap,
@@ -7956,6 +8000,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_nb_pr_curve": _nb_pr_oracle_sql(),
         "doc_nb_auc": _nb_auc_oracle_sql(),
         "doc_nb_confusion": _nb_confusion_oracle_sql(),
+        "doc_nb_agreement": _nb_agreement_oracle_sql(),
         "doc_stratified_sample": _stratified_oracle_sql(),
         "doc_split_assignment": _split_assignment_oracle_sql(),
         "doc_quota_cap": _QUOTA_CAP_ORACLE,

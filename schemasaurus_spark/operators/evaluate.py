@@ -179,3 +179,62 @@ def calibration_table(
         "score_max",
         F.expr("(n_pos * 10000) DIV n").alias("pos_rate_bp"),
     )
+
+
+def agreement_report(
+    df: DataFrame, col_a: str = "label", col_b: str = "predicted"
+) -> DataFrame:
+    """Inter-rater agreement of two categorical judgment columns — Cohen's
+    kappa with its ingredients: one row ``(n, n_agree, po_bp, kappa)``.
+
+    Where two labelings of the same corpus meet (model vs heuristic, two
+    annotation runs, old vs new classifier version), raw accuracy flatters
+    whenever the class distribution is skewed; kappa discounts the
+    agreement two independent raters with these exact marginals would
+    reach by chance:  kappa = (po − pe) / (1 − pe) with
+    pe = Σ_c margA_c·margB_c / n².  Computed over common denominators so
+    everything before the single output division is exact int64:
+    kappa = (n·n_agree − Σ_c margA_c·margB_c) / (n² − Σ_c margA_c·margB_c),
+    round-6; NULL when the denominator is 0 (both raters constant — chance
+    explains everything, kappa undefined).  ``po_bp`` is exact basis
+    points, ``n_agree·10000 DIV n``.  Rows where either judgment is NULL
+    carry no verdict and are excluded.  Int64 bounds: n² overflows past
+    ~3·10^9 rows — evaluate agreement on a deterministic sample
+    (operators/sampling.py) beyond that, as with the AUC harness.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus to the
+    (a, b) contingency cells (C² domain-bounded rows); marginals, the
+    pe cross product and the final fold all run on that metadata-sized
+    cell table."""
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.agg(
+        F.sum("n").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))), F.lit(0)
+        ).alias("n_agree"),
+    )
+    marg_a = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    marg_b = cells.groupBy(F.col("b").alias("a")).agg(F.sum("n").alias("nb"))
+    pe = (
+        marg_a.join(marg_b, "a")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("pe_num"))
+    )
+    return (
+        totals.crossJoin(broadcast(pe))
+        .select(
+            "n",
+            "n_agree",
+            F.expr("n_agree * 10000 DIV n").alias("po_bp"),
+            F.round(
+                (F.col("n") * F.col("n_agree") - F.col("pe_num")).cast("double")
+                / F.nullif(
+                    F.col("n") * F.col("n") - F.col("pe_num"), F.lit(0)
+                ).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )
