@@ -1215,29 +1215,22 @@ def _apply_component_remap(assignment: DataFrame, remap: DataFrame) -> DataFrame
     )
 
 
-def incremental_components(
+def incremental_component_delta(
     assignment: DataFrame,
     new_pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     report_out: dict | None = None,
-) -> DataFrame:
-    """Merge a batch's near-dup pairs into an existing component
-    ``assignment`` (id, comp_id — min-id convention, one row per id)
-    without re-clustering the historical corpus.
-
-    Returns (id, comp_id) covering assignment ids plus every new-pair
-    endpoint, equal row-for-row to ``connected_components`` over the union
-    of the historical edges and ``new_pairs``.  Per-ingest cost: one
-    broadcast-probe scan of the assignment for the endpoint-root lookup,
-    CC on the batch-sized reduced graph, one broadcast-relabel scan —
-    the 10^12-row assignment is read twice and never shuffled.
-
-    ``report_out`` gains ``touched_roots`` (merged old components),
-    ``new_nodes`` (endpoints previously unassigned) and the reduced CC's
-    ``cc_rounds``.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The batch-sized DELTA a batch of pairs applies to ``assignment``:
+    ``(remap, new_rows)`` with remap = (old_comp, new_comp) relabels of
+    touched roots and new_rows = (id, comp_id) for endpoints the
+    assignment has never seen.  Both are eagerly materialized
+    (localCheckpoint) and carry no corpus lineage — this is the unit of
+    state a delta-log sink persists per ingest (streaming/
+    components_stream.py).  ``incremental_components`` is exactly
+    "apply this delta"."""
     edges = _canonical_edges(
         new_pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     )
@@ -1286,4 +1279,33 @@ def incremental_components(
         if report_out is not None:
             report_out["touched_roots"] = remap.count()
             report_out["new_nodes"] = unknown.count()
+    return remap, new_rows
+
+
+def incremental_components(
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    report_out: dict | None = None,
+) -> DataFrame:
+    """Merge a batch's near-dup pairs into an existing component
+    ``assignment`` (id, comp_id — min-id convention, one row per id)
+    without re-clustering the historical corpus.
+
+    Returns (id, comp_id) covering assignment ids plus every new-pair
+    endpoint, equal row-for-row to ``connected_components`` over the union
+    of the historical edges and ``new_pairs``.  Per-ingest cost: one
+    broadcast-probe scan of the assignment for the endpoint-root lookup,
+    CC on the batch-sized reduced graph, one broadcast-relabel scan —
+    the 10^12-row assignment is read twice and never shuffled.
+
+    ``report_out`` gains ``touched_roots`` (merged old components),
+    ``new_nodes`` (endpoints previously unassigned) and the reduced CC's
+    ``cc_rounds``.
+    """
+    remap, new_rows = incremental_component_delta(
+        assignment, new_pairs, id_a, id_b, max_iter, report_out
+    )
     return _apply_component_remap(assignment, remap).unionByName(new_rows)
