@@ -104,6 +104,8 @@ def main():
     for name in [
         "doc_validation_violations",
         "doc_versioned_validation",
+        "doc_schema_migration",
+        "doc_migration_breaking",
         "doc_column_stats",
         "doc_text_profile",
         "doc_quality",
@@ -112,6 +114,7 @@ def main():
         "doc_nb_pr_curve",
         "doc_nb_auc",
         "doc_nb_confusion",
+        "doc_nb_agreement",
         "doc_exact_dup_groups",
         "doc_substring_dup_spans",
         "doc_passage_removal",
@@ -152,6 +155,7 @@ def main():
         "doc_editdist_dups",
         "doc_split_leakage",
         "doc_component_splits",
+        "doc_incremental_components",
         "simhash_near_dups",
         "embedding_topk",
         "embedding_ann_lsh",
