@@ -2605,6 +2605,27 @@ FROM pairs WHERE hamming <= 4
 """
 
 
+def doc_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-time pseudonymization (privacy.pseudonymize): the ``source``
+    identifier replaced by a keyed sha2 surrogate — deterministic per
+    (secret, column, value) so joins and grouping survive, NULL-preserving,
+    zero-shuffle JVM projection; the oracle replays the exact preimage."""
+    from schemasaurus_spark.operators.privacy import pseudonymize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return pseudonymize(docs, ["source"], secret="contract-key")
+
+
+_PSEUDONYMIZE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN source IS NOT NULL
+            THEN substr(sha256('contract-key:source:' || source), 1, 32)
+       END AS source,
+       lang
+FROM documents
+"""
+
+
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub stage: typed placeholder redaction + per-type counts.
     The raw generated corpus contains no PII, so the query plants
@@ -7826,6 +7847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup_spans": doc_substring_dup_spans,
         "doc_passage_removal": doc_passage_removal,
         "doc_pii_redaction": doc_pii_redaction,
+        "doc_pseudonymized": doc_pseudonymized,
         "doc_packing": doc_packing,
         "doc_decontamination": doc_decontamination,
         "doc_repetition_profile": doc_repetition_profile,
@@ -7989,6 +8011,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_substring_dup_spans": _SUBSTRING_DUP_ORACLE,
         "doc_passage_removal": _PASSAGE_REMOVAL_ORACLE,
         "doc_pii_redaction": _PII_ORACLE,
+        "doc_pseudonymized": _PSEUDONYMIZE_ORACLE,
         "doc_packing": _PACKING_ORACLE,
         "doc_decontamination": _DECONTAM_ORACLE,
         "doc_repetition_profile": _REPETITION_ORACLE,

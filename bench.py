@@ -121,6 +121,7 @@ def main():
         "doc_decontamination",
         "doc_repetition_profile",
         "doc_pii_redaction",
+        "doc_pseudonymized",
         "doc_packing",
         "doc_split_assignment",
         "doc_weighted_sample",

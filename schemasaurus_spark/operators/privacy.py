@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "privacy_summary", "suppress_under_k"]
+__all__ = ["k_anonymity_report", "privacy_summary", "suppress_under_k", "pseudonymize"]
 
 
 def k_anonymity_report(
@@ -124,3 +124,47 @@ def suppress_under_k(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
         piece = F.col(c).eqNullSafe(F.col(f"_v_{c}"))
         cond = piece if cond is None else cond & piece
     return df.join(F.broadcast(viol), cond, "left_anti")
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], secret: str, truncate: int = 32
+) -> DataFrame:
+    """Replace identifier columns with deterministic keyed surrogates:
+    ``sha2(secret || ':' || column_name || ':' || value, 256)`` truncated
+    to ``truncate`` hex chars.
+
+    The release-time companion of redaction and suppression: the same
+    (secret, column, value) triple maps to the same surrogate EVERYWHERE,
+    so joins, grouping and uniqueness auditing survive pseudonymization
+    across tables and ingest batches — while without the secret the map
+    is one-way.  The column name is part of the preimage so equal values
+    in different columns (user_id vs referrer_id) get UNRELATED
+    surrogates: cross-column correlation would otherwise leak structure.
+    NULL stays NULL (absence is not an identifier).  Values are cast to
+    string before hashing, so surrogates are engine-portable and
+    type-stable.
+
+    Keep the secret out of the data: at 10^12 rows the projection is
+    zero-shuffle whole-stage-codegen'd JVM sha2 — no UDF, no Python.
+    Truncation to 32 hex chars (128 bits) keeps collision odds ~2^-64 at
+    10^12 distinct values; raise it if the audit demands full SHA-256.
+    """
+    if not cols:
+        raise ValueError("pseudonymize: no columns given")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudonymize: columns {missing} not in DataFrame")
+    if not 8 <= truncate <= 64:
+        raise ValueError(f"pseudonymize: truncate must be in [8, 64], got {truncate}")
+    out = df
+    for c in cols:
+        surrogate = F.substring(
+            F.sha2(
+                F.concat_ws(":", F.lit(secret), F.lit(c), F.col(c).cast("string")),
+                256,
+            ),
+            1,
+            truncate,
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), surrogate))
+    return out
