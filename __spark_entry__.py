@@ -790,6 +790,65 @@ GROUP BY w.window_id
 """
 
 
+def event_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (rangejoin.interval_join): two
+    deterministic per-type activity-interval sets derived from events
+    (A: every 41st event open for 1-5 h; B: every 37th+3 open for
+    0.5-3.5 h) joined on type + time overlap.  Both sides explode to
+    2 h buckets and equi-join; each overlapping pair is charged to the
+    bucket of max(start) — exactly once, no distinct (rangejoin.py).
+    Everything runs in exact micros-integers (engine-portable), the
+    oracle is the plain inequality join."""
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    hour_us = 3_600_000_000
+    ev = _table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = ev.where(F.col("event_id") % 41 == 0).select(
+        F.col("event_id").alias("a_id"),
+        "event_type",
+        us.alias("a_start"),
+        (us + (F.col("event_id") % 5 + 1) * F.lit(hour_us)).alias("a_end"),
+    )
+    b = ev.where(F.col("event_id") % 37 == 3).select(
+        F.col("event_id").alias("b_id"),
+        "event_type",
+        us.alias("b_start"),
+        (us + (F.col("event_id") % 7 + 1) * F.lit(hour_us // 2)).alias("b_end"),
+    )
+    joined = interval_join(
+        a, b,
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+        bucket_width=2 * 3600 * 1_000_000,  # numeric micros domain
+        keys=["event_type"],
+    )
+    return joined.select(
+        "a_id", "b_id", "event_type",
+        (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")).alias(
+            "overlap_us"
+        ),
+    )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT event_id AS a_id, event_type, epoch_us(ts) AS a_start,
+         epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS a_end
+  FROM events WHERE event_id % 41 = 0 AND ts IS NOT NULL
+),
+b AS (
+  SELECT event_id AS b_id, event_type, epoch_us(ts) AS b_start,
+         epoch_us(ts) + (event_id % 7 + 1) * 1800000000 AS b_end
+  FROM events WHERE event_id % 37 = 3 AND ts IS NOT NULL
+)
+SELECT a_id, b_id, a.event_type,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+FROM a JOIN b ON a.event_type = b.event_type
+            AND a_start <= b_end AND b_start <= a_end
+"""
+
+
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k — the sublinear scale path (n_list ≈ sqrt(n)
     coarse cells, probes scan their 4 nearest lists ⇒ expected
@@ -7896,6 +7955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": event_sessionization,
         "event_asof_join": event_asof_join,
         "event_range_join": event_range_join,
+        "event_interval_overlap": event_interval_overlap,
         "media_image_features": media_image_features,
         "media_png_features": media_png_features,
         "media_wav_features": media_wav_features,
@@ -8065,6 +8125,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessionization": _SESSIONIZATION_ORACLE,
         "event_asof_join": _ASOF_ORACLE,
         "event_range_join": _RANGE_JOIN_ORACLE,
+        "event_interval_overlap": _INTERVAL_OVERLAP_ORACLE,
         "media_image_features": _MEDIA_FEATURES_ORACLE,
         "media_png_features": _MEDIA_PNG_ORACLE,
         "media_wav_features": _MEDIA_WAV_ORACLE,

@@ -199,6 +199,7 @@ def main():
         "event_resample",
         "event_asof_join",
         "event_range_join",
+        "event_interval_overlap",
         "media_image_features",
         "media_png_features",
         "media_wav_features",

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_join"]
 
 
 def _canon(df: DataFrame, col: str) -> tuple[Column, bool]:
@@ -89,3 +89,72 @@ def range_join(
         F.col(point_col) <= F.col(end_col)
     )
     return p.join(iv, on=keys + ["_rj_bkt"]).where(cond).drop("_rj_bkt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval × interval OVERLAP join — the second theta-join shape Spark
+    lacks: every (left, right) pair with
+    ``left_start <= right_end AND right_start <= left_end`` (inclusive —
+    touching endpoints overlap), plus equal ``keys`` when given.
+
+    Plan: BOTH sides explode to the buckets they cover and equi-join on
+    ``(keys…, bucket)``; after the exact overlap refinement, each pair is
+    charged to ONE bucket — the bucket of ``max(left_start, right_start)``
+    — so every qualifying pair appears exactly once with no distinct: for
+    an overlapping pair, max(start) lies inside both intervals (it is
+    <= min(end)), so both sides cover that bucket; any other shared bucket
+    fails the responsibility filter.  This is the standard dedup for
+    symmetric spatial/temporal bucket joins (charge the pair to the first
+    cell where both objects appear).
+
+    Cost model mirrors ``range_join``: replication is ``len/w + 1`` per
+    row per side, so pick ``bucket_width`` near the median interval
+    length; the join shuffles on the bucket (time — balanced unless event
+    time is skewed, then AQE skew-join splits hot buckets).
+    ``broadcast_right=True`` makes it a map-only pass over the left side
+    for dimension-sized right tables.  Timestamps canonicalize to micros
+    (``bucket_width`` then in seconds), numerics join natively.
+    """
+    keys = list(keys or [])
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"column names collide outside keys: {sorted(overlap)}")
+    ls, is_ts = _canon(left, left_start)
+    le, _ = _canon(left, left_end)
+    rs, _ = _canon(right, right_start)
+    re_, _ = _canon(right, right_end)
+    w = int(round(bucket_width * 1_000_000)) if is_ts else bucket_width
+    if not w or w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    lf = left.withColumn(
+        "_ij_bkt", F.explode(F.sequence(F.floor(ls / F.lit(w)), F.floor(le / F.lit(w))))
+    ).withColumn("_ij_ls", ls)
+    rf = right.withColumn(
+        "_ij_bkt",
+        F.explode(F.sequence(F.floor(rs / F.lit(w)), F.floor(re_ / F.lit(w)))),
+    ).withColumn("_ij_rs", rs)
+    if broadcast_right:
+        rf = F.broadcast(rf)
+    overlap_cond = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    responsible = F.col("_ij_bkt") == F.floor(
+        F.greatest(F.col("_ij_ls"), F.col("_ij_rs")) / F.lit(w)
+    )
+    return (
+        lf.join(rf, on=keys + ["_ij_bkt"])
+        .where(overlap_cond & responsible)
+        .drop("_ij_bkt", "_ij_ls", "_ij_rs")
+    )

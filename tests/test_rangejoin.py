@@ -100,3 +100,105 @@ def test_column_collision_rejected(spark):
     iv = spark.createDataFrame([(1, 0, 5)], "a long, lo long, hi long")
     with pytest.raises(ValueError, match="collide"):
         range_join(p, iv, point_col="x", start_col="lo", end_col="hi", bucket_width=1)
+
+
+# ------------------------------------------------------- interval x interval
+
+
+def test_interval_join_brute_force_parity(spark):
+    import random
+
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(13)
+    A = [
+        ("a%d" % i, rng.choice(["k1", "k2"]), s, s + rng.randrange(0, 40))
+        for i, s in enumerate(rng.randrange(0, 300) for _ in range(60))
+    ]
+    B = [
+        ("b%d" % i, rng.choice(["k1", "k2"]), s, s + rng.randrange(0, 25))
+        for i, s in enumerate(rng.randrange(0, 300) for _ in range(50))
+    ]
+    la = spark.createDataFrame(A, "aid string, key string, a_start long, a_end long")
+    rb = spark.createDataFrame(B, "bid string, key string, b_start long, b_end long")
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_join(
+            la, rb,
+            left_start="a_start", left_end="a_end",
+            right_start="b_start", right_end="b_end",
+            bucket_width=16, keys=["key"],
+        ).collect()
+    )
+    want = sorted(
+        (aid, bid)
+        for aid, ka, s1, e1 in A
+        for bid, kb, s2, e2 in B
+        if ka == kb and s1 <= e2 and s2 <= e1
+    )
+    assert got == want  # parity AND exactly-once (sorted lists, not sets)
+
+
+def test_interval_join_inclusive_touching_endpoints(spark):
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    la = spark.createDataFrame([("a", 0, 10)], "aid string, a_start long, a_end long")
+    rb = spark.createDataFrame(
+        [("touch", 10, 20), ("gap", 11, 20), ("inside", 2, 3)],
+        "bid string, b_start long, b_end long",
+    )
+    got = {
+        r.bid
+        for r in interval_join(
+            la, rb,
+            left_start="a_start", left_end="a_end",
+            right_start="b_start", right_end="b_end",
+            bucket_width=4,
+        ).collect()
+    }
+    assert got == {"touch", "inside"}
+
+
+def test_interval_join_timestamps_and_partition_invariance(spark):
+    import datetime as dt
+
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    la = spark.createDataFrame(
+        [("a1", ts(0), ts(5)), ("a2", ts(10), ts(12))],
+        "aid string, a_start timestamp, a_end timestamp",
+    )
+    rb = spark.createDataFrame(
+        [("b1", ts(4), ts(11)), ("b2", ts(13), ts(14))],
+        "bid string, b_start timestamp, b_end timestamp",
+    )
+    kw = dict(
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end", bucket_width=3600,
+    )
+    got = sorted((r.aid, r.bid) for r in interval_join(la, rb, **kw).collect())
+    assert got == [("a1", "b1"), ("a2", "b1")]
+    re7 = sorted(
+        (r.aid, r.bid)
+        for r in interval_join(la.repartition(7), rb.repartition(5), **kw).collect()
+    )
+    assert re7 == got
+
+
+def test_interval_join_validation(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    la = spark.createDataFrame([("a", 0, 1)], "x string, s long, e long")
+    rb = spark.createDataFrame([("b", 0, 1)], "x string, s2 long, e2 long")
+    with _pytest.raises(ValueError):  # 'x' collides outside keys
+        interval_join(
+            la, rb, left_start="s", left_end="e",
+            right_start="s2", right_end="e2", bucket_width=1,
+        )
