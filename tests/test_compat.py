@@ -235,3 +235,44 @@ def test_narrowing_mutations_are_flagged():
         )
         if regressed:
             assert not is_backward_compatible(old, new), (old, new)
+
+
+def test_exclusivity_flip_same_bound():
+    old = {"type": "number", "minimum": 5}
+    new = {"type": "number", "minimum": 5, "exclusiveMinimum": True}
+    assert _kinds(old, new)[("", "exclusiveMinimum")] == "narrowing"
+    assert _kinds(new, old)[("", "exclusiveMinimum")] == "widening"
+    # exclusivity flip IS respected by the validators: 5 regresses
+    v_old, v_new = new_validator(old), new_validator(new)
+    assert v_old(5)["valid"] and not v_new(5)["valid"]
+
+
+def test_bound_added_and_removed():
+    assert _kinds({}, {"maximum": 3})[("", "maximum")] == "narrowing"
+    assert _kinds({"maximum": 3}, {})[("", "maximum")] == "widening"
+    assert _kinds({}, {"minLength": 1})[("", "minLength")] == "narrowing"
+    assert _kinds({"uniqueItems": True}, {})[("", "uniqueItems")] == "widening"
+
+
+def test_property_removed_under_closed_vs_open_object():
+    old = {"type": "object", "properties": {"a": {"type": "string"}}}
+    new_open = {"type": "object", "properties": {}}
+    new_closed = {
+        "type": "object",
+        "properties": {},
+        "additionalProperties": False,
+    }
+    assert _kinds(old, new_open)[("/a", "properties")] == "widening"
+    # under a closed object the key becomes forbidden -> narrowing
+    assert _kinds(old, new_closed)[("/a", "properties")] == "narrowing"
+
+
+def test_nested_items_recursion():
+    old = {"type": "array", "items": {"type": "integer", "minimum": 0}}
+    new = {"type": "array", "items": {"type": "integer", "minimum": 5}}
+    assert _kinds(old, new)[("/items", "minimum")] == "narrowing"
+    # tuple form: equal lists -> no delta; changed -> incomparable
+    t = {"items": [{"type": "string"}]}
+    assert schema_delta(t, t) == []
+    t2 = {"items": [{"type": "integer"}]}
+    assert _kinds(t, t2)[("/items", "items")] == "incomparable"
