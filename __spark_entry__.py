@@ -3016,6 +3016,49 @@ def northrule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.violations(job.validated(_northrule_docs(spark))).drop("err_idx")
 
 
+def northrule_schema_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution impact over the INTERLEAVED north-rule table: the
+    flagship DOCUMENT_SCHEMA vs a v2 that tightens span text maxLength
+    4096 -> 256 (105 generated spans exceed it) and drops the media_ref
+    uri format (forgiving the 26 bad-URI docs — the one violation class
+    the generated corpus fires) — both nested-walk validators compiled
+    into ONE projection over one scan of the spans table
+    (schema/migration.py); the oracle derives both verdicts from the
+    count-mode violation mirror."""
+    import copy
+
+    from schemasaurus_spark.plans.validation_job import DOCUMENT_SCHEMA
+    from schemasaurus_spark.schema.migration import migration_matrix
+
+    v2 = copy.deepcopy(DOCUMENT_SCHEMA)
+    span_props = v2["properties"]["spans"]["items"]["properties"]
+    span_props["text"]["maxLength"] = 256
+    del span_props["media_ref"]["format"]
+    return migration_matrix(_northrule_docs(spark), DOCUMENT_SCHEMA, v2)
+
+
+def _nr_migration_oracle_sql() -> str:
+    # v2 count = v1 count with the uri-format term removed and the text
+    # bound tightened; built by surgical substitution so the two mirrors
+    # cannot drift apart
+    uri_term = (
+        "  + coalesce(len(list_filter(spans, s -> s.media_ref IS NOT NULL "
+        f"AND NOT regexp_matches(s.media_ref, '{_NR_URI_RE}'))), 0)\n"
+    )
+    assert uri_term in _NR_VIOL_COUNT and "length(s.text) > 4096" in _NR_VIOL_COUNT
+    v2_count = _NR_VIOL_COUNT.replace(uri_term, "").replace(
+        "length(s.text) > 4096", "length(s.text) > 256"
+    )
+    return f"""
+WITH docs AS (SELECT * FROM read_parquet('{_NR_DOCS_PATH}/*.parquet')),
+per_row AS (
+  SELECT ({_NR_VIOL_COUNT}) AS v1, ({v2_count}) AS v2 FROM docs
+)
+SELECT v1 = 0 AS valid_old, v2 = 0 AS valid_new, count(*) AS n_docs
+FROM per_row GROUP BY 1, 2
+"""
+
+
 def northrule_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pass/fail verdict aggregation keyed by a *deterministic* bucket
     (last doc_id character) so the result is engine-comparable; the
@@ -7963,6 +8006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mjpeg_frames": media_mjpeg_frames,
         "media_phash_near_dups": media_phash_near_dups,
         "northrule_violations": northrule_violations,
+        "northrule_schema_migration": northrule_schema_migration,
         "northrule_verdicts": northrule_verdicts,
         "northrule_span_sequence": northrule_span_sequence,
         "northrule_dangling_media": northrule_dangling_media,
@@ -8133,6 +8177,7 @@ def oracle_sql() -> dict[str, str]:
         "media_mjpeg_frames": _MEDIA_MJPEG_ORACLE,
         "media_phash_near_dups": _MEDIA_PHASH_ORACLE,
         "northrule_violations": _NR_VIOLATIONS_ORACLE,
+        "northrule_schema_migration": _nr_migration_oracle_sql(),
         "northrule_verdicts": _NR_VERDICTS_ORACLE,
         "northrule_span_sequence": _NR_SPAN_SEQUENCE_ORACLE,
         "northrule_dangling_media": _NR_DANGLING_MEDIA_ORACLE,

@@ -106,6 +106,7 @@ def main():
         "doc_versioned_validation",
         "doc_schema_migration",
         "doc_migration_breaking",
+        "northrule_schema_migration",
         "doc_column_stats",
         "doc_text_profile",
         "doc_quality",

@@ -43,12 +43,28 @@ def migration_impact(
     options_new: dict | None = None,
 ) -> DataFrame:
     """Append ``valid_old`` / ``valid_new`` verdicts and ``errors_new`` to
-    every row — both schema versions evaluated in one projection."""
-    out = ColumnValidator(old_schema, options_old).apply(
-        df, errors_col="errors_old", valid_col="valid_old"
+    every row — both schema versions evaluated in one projection.
+
+    Both error expressions are compiled against the PRISTINE row struct:
+    chaining two ``apply`` calls would feed the second validator the first
+    one's appended errors/valid columns as row fields — which a root
+    ``additionalProperties: false`` schema (the north-rule flagship)
+    would correctly reject, poisoning every verdict."""
+    from pyspark.sql import functions as F
+
+    row_type = df.schema
+    value = F.struct(*[F.col(f.name) for f in row_type.fields])
+    errs_old = ColumnValidator(old_schema, options_old).errors(
+        value, row_type, F.lit("")
     )
-    return ColumnValidator(new_schema, options_new).apply(
-        out, errors_col="errors_new", valid_col="valid_new"
+    errs_new = ColumnValidator(new_schema, options_new).errors(
+        value, row_type, F.lit("")
+    )
+    return (
+        df.withColumn("errors_old", errs_old)
+        .withColumn("valid_old", F.size(F.col("errors_old")) == 0)
+        .withColumn("errors_new", errs_new)
+        .withColumn("valid_new", F.size(F.col("errors_new")) == 0)
     )
 
 

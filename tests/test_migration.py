@@ -100,3 +100,29 @@ def test_matrix_partition_invariance(spark):
 def test_null_required_counts_invalid_under_both(spark):
     df = spark.createDataFrame([(5, None, "en")], SCHEMA)
     assert _matrix(df) == {(False, False): 1}
+
+
+def test_closed_root_schema_not_poisoned_by_appended_columns(spark):
+    # root additionalProperties: false — both validators must judge the
+    # PRISTINE row struct, not each other's appended errors/valid columns
+    closed = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer", "required": True},
+            "text": {"type": "string", "maxLength": 10},
+        },
+        "additionalProperties": False,
+    }
+    closed_tight = {
+        **closed,
+        "properties": {
+            "doc_id": {"type": "integer", "required": True},
+            "text": {"type": "string", "maxLength": 5},
+        },
+    }
+    df = spark.createDataFrame([(1, "ok"), (2, "longtext")], "doc_id long, text string")
+    got = {
+        (r["valid_old"], r["valid_new"]): r["n_docs"]
+        for r in migration_matrix(df, closed, closed_tight).collect()
+    }
+    assert got == {(True, True): 1, (True, False): 1}
