@@ -126,3 +126,36 @@ def test_closed_root_schema_not_poisoned_by_appended_columns(spark):
         for r in migration_matrix(df, closed, closed_tight).collect()
     }
     assert got == {(True, True): 1, (True, False): 1}
+
+
+def test_matrix_differential_vs_walker_on_random_data(spark):
+    # the vectorized dual validation must agree with the reference-parity
+    # walker applied per row under BOTH schema versions
+    import random
+
+    from schemasaurus_spark import new_validator
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i if rng.random() < 0.9 else -i,
+                rng.choice(["ok", "longtext-here", "x" * 30, "", None]),
+                rng.choice(["en", "de", "fr", "zz", None]),
+            )
+        )
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = _matrix(df)
+
+    v_old, v_new = new_validator(OLD), new_validator(NEW)
+    want: dict = {}
+    for doc_id, text, lang in rows:
+        inst = {"doc_id": doc_id}
+        if text is not None:
+            inst["text"] = text
+        if lang is not None:
+            inst["lang"] = lang
+        key = (v_old(inst)["valid"], v_new(inst)["valid"])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
