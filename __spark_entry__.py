@@ -1587,6 +1587,44 @@ FROM stats ORDER BY tf DESC, token LIMIT {_VOCAB_K}
 """
 
 
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF distinctive terms (vocab.distinctive_terms):
+    group-level idf quantized once to the int64 micro grid — identical
+    floor(ln(n/df)*1e6 + 0.5) parenthesization in both engines — so the
+    score and the (score desc, token asc) rank are exact integers."""
+    from schemasaurus_spark.operators.vocab import distinctive_terms
+
+    return distinctive_terms(
+        _docs(spark, sf_dir).select("doc_id", "text", "source"), k=10
+    )
+
+
+_DISTINCTIVE_ORACLE = r"""
+WITH toks AS (
+  SELECT source AS "group", unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> '' AND source IS NOT NULL
+),
+tf AS (SELECT "group", token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfg AS (SELECT token, count(*) AS df_groups FROM tf GROUP BY 1),
+ng AS (SELECT count(DISTINCT "group") AS n FROM tf),
+scored AS (
+  SELECT tf."group", tf.token, tf.tf, dfg.df_groups,
+         tf.tf * CAST(floor(ln(CAST(ng.n AS DOUBLE) / CAST(dfg.df_groups AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN dfg USING (token), ng
+)
+SELECT "group", rank, token, CAST(tf AS BIGINT) AS tf,
+       CAST(df_groups AS BIGINT) AS df_groups, score_micro
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY "group"
+                                    ORDER BY score_micro DESC, token ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
 def doc_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty over the shared tokenization (vocab.novelty_profile):
     fraction of a doc's distinct tokens that appear in NO other document —
@@ -7971,6 +8009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_diff": doc_corpus_diff,
         "doc_source_mix": doc_source_mix,
         "doc_token_topk": doc_token_topk,
+        "doc_distinctive_terms": doc_distinctive_terms,
         "doc_novelty_profile": doc_novelty_profile,
         "doc_quality_gate": doc_quality_gate,
         "doc_embedding_coverage": doc_embedding_coverage,
@@ -8137,6 +8176,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_diff": _CORPUS_DIFF_ORACLE,
         "doc_source_mix": _source_mix_oracle_sql(),
         "doc_token_topk": _VOCAB_ORACLE,
+        "doc_distinctive_terms": _DISTINCTIVE_ORACLE,
         "doc_novelty_profile": _NOVELTY_ORACLE,
         "doc_quality_gate": _GATE_ORACLE,
         "doc_embedding_coverage": _COVERAGE_ORACLE,

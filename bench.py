@@ -142,6 +142,7 @@ def main():
         "doc_dataset_checksum",
         "doc_source_mix",
         "doc_token_topk",
+        "doc_distinctive_terms",
         "doc_collocations",
         "doc_novelty_profile",
         "doc_heavy_tokens",

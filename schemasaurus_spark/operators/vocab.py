@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from schemasaurus_spark.operators.tokenize import tokenized
+from schemasaurus_spark.operators.tokenize import tokenized, tokens_expr
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -163,4 +163,71 @@ def vocab_coverage(
         F.when(n_tokens <= 0, F.lit(0).cast("long"))
         .otherwise(((num - (num % n_tokens)) / n_tokens).cast("long"))
         .alias("oov_bp"),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF-distinctive tokens per group — "what characterizes
+    this source": ``(group, rank, token, tf, df_groups, score_micro)``.
+
+    The source-review report curation decisions lean on: raw top-k
+    (``vocab_topk``) surfaces stopwords everywhere; weighting each
+    group's term frequency by group-level inverse document frequency
+    (idf = ln(n_groups / df_groups)) surfaces the terms a source uses
+    that OTHERS don't.  Tokens present in every group score exactly 0
+    (ln 1) and sink; ranking is deterministic (score desc, token asc).
+
+    Exactness discipline: idf is quantized once to the int64 micro grid
+    — ``floor(ln(n_groups / df_groups) * 1e6 + 0.5)`` written with this
+    one parenthesization in both engines — so ``score_micro = tf *
+    idf_micro`` is integer arithmetic and rank ties cannot drift on
+    float noise.  NULL-group and untokenizable docs carry no terms.
+
+    Scale shape: one explode into a map-side-combined
+    ``groupBy(group, token)`` (a stop-word reaches the shuffle as one
+    row per group-partition, not per occurrence), group-df from a second
+    keyed aggregate over that vocabulary-sized table, n_groups as a
+    broadcast 1-row cross join, and the per-group top-k is a rank-
+    filtered window over vocabulary rows (WindowGroupLimit pushes the
+    k-row heap below the sort at execution)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = (
+        df.where(
+            F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+            & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens_expr(text_col)).alias("token"),
+        )
+    )
+    tf = toks.groupBy("group", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfg = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_groups"))
+    ng = tf.agg(F.count_distinct("group").alias("_ng"))
+    scored = (
+        tf.join(dfg, "token")
+        .crossJoin(F.broadcast(ng))
+        .withColumn(
+            "score_micro",
+            F.col("tf")
+            * F.floor(
+                F.log(F.col("_ng").cast("double") / F.col("df_groups").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("group", "rank", "token", "tf", "df_groups", "score_micro")
     )

@@ -171,3 +171,65 @@ def test_vocab_coverage_hand_computed(spark):
         for r in vocab_coverage(docs.repartition(7, "doc_id"), vocab).collect()
     }
     assert re7 == got
+
+
+# --------------------------------------------------------- distinctive terms
+
+
+def test_distinctive_terms_hand_computed(spark):
+    import math
+
+    from schemasaurus_spark.operators.vocab import distinctive_terms
+
+    rows = [
+        (1, "alpha alpha shared", "s1"),
+        (2, "alpha shared", "s1"),
+        (3, "beta shared", "s2"),
+        (4, "gamma beta shared", "s2"),
+        (5, "delta shared", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.group, r.token): (r.rank, r.tf, r.df_groups, r.score_micro)
+        for r in distinctive_terms(df, k=10).collect()
+    }
+    ln3 = math.floor(math.log(3.0) * 1000000.0 + 0.5)
+    # 'alpha' only in s1, tf 3 -> top of s1; 'shared' in all 3 groups -> idf 0
+    assert out[("s1", "alpha")] == (1, 3, 1, 3 * ln3)
+    assert out[("s1", "shared")][3] == 0
+    # s2: beta tf2 unique-to-s2 beats gamma tf1
+    assert out[("s2", "beta")][0] == 1 and out[("s2", "gamma")][0] == 2
+    assert out[("s3", "delta")][0] == 1
+
+
+def test_distinctive_terms_k_and_determinism(spark):
+    from schemasaurus_spark.operators.vocab import distinctive_terms
+
+    rows = [(i, "aa bb cc dd ee", "s1") for i in range(5)] + [
+        (10, "zz", "s2")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [
+        (r.rank, r.token)
+        for r in distinctive_terms(df, k=3).where("group = 's1'").collect()
+    ]
+    # all five s1 tokens tie (same tf, same df) -> token-asc break, k=3 cut
+    assert sorted(got) == [(1, "aa"), (2, "bb"), (3, "cc")]
+    base = sorted(map(tuple, distinctive_terms(df, k=3).collect()))
+    re7 = sorted(
+        map(tuple, distinctive_terms(df.repartition(7, "doc_id"), k=3).collect())
+    )
+    assert base == re7
+
+
+def test_distinctive_terms_null_handling_and_validation(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.vocab import distinctive_terms
+
+    rows = [(1, "tok", "s1"), (2, None, "s1"), (3, "   ", "s1"), (4, "tok", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, k=5).collect()
+    assert {r.group for r in out} == {"s1"}  # NULL group carries no terms
+    with _pytest.raises(ValueError):
+        distinctive_terms(df, k=0)
