@@ -116,3 +116,46 @@ def test_empty_and_null_pairs_batch(spark, tmp_path):
         spark.createDataFrame([(None, 5), (None, None)], PAIRS), 1
     )  # null endpoints carry no edge
     assert _state(spark, out_dir) == _full(spark, B1)
+
+
+def test_composes_with_incremental_near_dup_stream(spark, tmp_path):
+    """The continuous dedup story end-to-end: doc batches -> near-dup pairs
+    vs the corpus band index (incremental_stream) -> the flagged-pair
+    directory IS a valid components_stream input -> cluster assignment
+    equals batch CC over all flagged pairs."""
+    from schemasaurus_spark.streaming.incremental_stream import (
+        incremental_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a long and winding tune about distant summer rain"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark physical plans "
+                        "and shuffle exchanges in adaptive execution")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+
+    in_dir = str(tmp_path / "in")
+    dd_out = str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(100, base + "!"), (101, "novel content never seen before in any "
+                                  "corpus shard of this little test")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q, stop = incremental_dedup_stream(spark, in_dir, corpus_path, dd_out)
+    q.awaitTermination(180)
+    stop()
+
+    flagged = spark.read.parquet(f"{dd_out}/flagged")
+    pairs = {(r.new_id, r.corpus_id) for r in flagged.collect()}
+    assert pairs == {(100, 1)}  # the near-dup was flagged, the novel doc not
+
+    cc_out = str(tmp_path / "cc")
+    components_stream(
+        spark, f"{dd_out}/flagged", cc_out, id_a="new_id", id_b="corpus_id"
+    ).awaitTermination(180)
+    assert _state(spark, cc_out) == {(1, 1), (100, 1)}
