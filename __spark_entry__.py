@@ -7782,6 +7782,63 @@ def host_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(doc_link_graph(spark, sf_dir))
 
 
+def doc_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/kcore.py) over a chain+chord graph built
+    from doc_ids: consecutive ids chain, every 25th id chords back to 0 —
+    so the final 24-id tail (no closing chord) peels one node per round,
+    a 24-deep cascade at EVERY scale factor by construction, while the
+    chorded prefix survives as the 2-core.  Each peel round is two keyed
+    aggregates + two semi-joins (no neighbor lists on a reducer); the
+    oracle unrolls 30 peel rounds as chained CTEs (>= the data-bounded
+    depth, idempotent past the fixed point)."""
+    from schemasaurus_spark.operators.kcore import k_core
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    chain = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+    )
+    chords = ids.where((F.col("doc_id") % 25 == 0) & (F.col("doc_id") > 0)).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return k_core(chain.unionByName(chords), k=2)
+
+
+def _k_core_oracle_sql(rounds: int = 30, k: int = 2) -> str:
+    parts = [
+        """
+WITH ids AS (SELECT doc_id FROM documents),
+base AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) FROM ids WHERE doc_id % 25 = 0 AND doc_id > 0
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT greatest(a, b) AS u, least(a, b) AS v FROM base WHERE a <> b
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT n, count(*) AS c
+         FROM (SELECT u AS n FROM r{i} UNION ALL SELECT v FROM r{i})
+         GROUP BY n),
+r{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM r{i} e
+             JOIN d{i} da ON e.u = da.n JOIN d{i} db ON e.v = db.n
+             WHERE da.c >= {k} AND db.c >= {k})"""
+        )
+    parts.append(
+        f""",
+dfin AS (SELECT n, count(*) AS c
+         FROM (SELECT u AS n FROM r{rounds} UNION ALL SELECT v FROM r{rounds})
+         GROUP BY n)
+SELECT n AS id, CAST(c AS BIGINT) AS degree FROM dfin WHERE c >= {k}"""
+    )
+    return "".join(parts)
+
+
 def _triangle_oracle_sql() -> str:
     return f"""
 WITH edges AS (SELECT * FROM ({_LINK_GRAPH_ORACLE}) e),
@@ -8131,6 +8188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_recall": embedding_ivf_recall,
         "doc_oov_profile": doc_oov_profile,
         "host_triangle_stats": host_triangle_stats,
+        "doc_graph_k_core": doc_graph_k_core,
         "event_session_paths": event_session_paths,
         "event_value_bands": event_value_bands,
         "doc_readability": doc_readability,
@@ -8298,6 +8356,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_recall": _ivf_recall_oracle_sql(),
         "doc_oov_profile": _oov_oracle_sql(),
         "host_triangle_stats": _triangle_oracle_sql(),
+        "doc_graph_k_core": _k_core_oracle_sql(),
         "event_session_paths": _SESSION_PATHS_ORACLE,
         "event_value_bands": _VALUE_BANDS_ORACLE,
         "doc_readability": _READABILITY_ORACLE,

@@ -244,6 +244,7 @@ def main():
         "embedding_ivf_recall",
         "doc_oov_profile",
         "host_triangle_stats",
+        "doc_graph_k_core",
         "event_session_paths",
         "event_value_bands",
         "doc_readability",
