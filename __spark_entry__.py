@@ -7782,6 +7782,88 @@ def host_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(doc_link_graph(spark, sf_dir))
 
 
+def customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.py) between customer and
+    a deterministically perturbed copy (key shifted by 10^6, name +'x',
+    every 10th acctbal corrupted by an exactly-representable +0.125):
+    candidates from two blocking passes — (nation, mktsegment) and the
+    name's trailing custkey digits (right side offset past its appended
+    'x') — deduped before scoring; integer Fellegi-Sunter weights with
+    levenshtein<=2 fuzzy name agreement, NULL-neutral.  Matches include
+    the handful of deterministic near-miss collisions the score model
+    admits (adjacent custkeys in the same block); the oracle replays
+    blocks, dedup and scoring with DuckDB's identical levenshtein."""
+    from schemasaurus_spark.operators.linkage import FieldComparator, record_linkage
+
+    cust = _table(spark, sf_dir, "customer")
+    right = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.concat(F.col("c_name"), F.lit("x")).alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + F.lit(0.125)
+        ).otherwise(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    fields = [
+        FieldComparator("name", "c_name", "name", w_agree=3, w_disagree=-2, max_edit=2),
+        FieldComparator("bal", "c_acctbal", "acctbal", w_agree=2, w_disagree=-1),
+        FieldComparator("seg", "c_mktsegment", "mktsegment", w_agree=1, w_disagree=-1),
+        FieldComparator("nat", "c_nationkey", "nationkey", w_agree=1, w_disagree=-1),
+    ]
+    blocks = [
+        (
+            F.concat_ws(":", F.col("c_nationkey"), F.col("c_mktsegment")),
+            F.concat_ws(":", F.col("nationkey"), F.col("mktsegment")),
+        ),
+        (F.substring(F.col("c_name"), -4, 4), F.substring(F.col("name"), -5, 4)),
+    ]
+    return record_linkage(
+        cust, right,
+        left_id="c_custkey", right_id="rid",
+        blocks=blocks, fields=fields, threshold=4,
+    )
+
+
+_LINKAGE_ORACLE = """
+WITH rt AS (
+  SELECT c_custkey + 1000000 AS rid, c_name || 'x' AS name,
+         c_nationkey AS nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 0.125
+              ELSE c_acctbal END AS acctbal,
+         c_mktsegment AS mktsegment
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT l.c_custkey AS lid, r.rid
+  FROM customer l JOIN rt r
+    ON concat_ws(':', l.c_nationkey, l.c_mktsegment)
+     = concat_ws(':', r.nationkey, r.mktsegment)
+  UNION
+  SELECT DISTINCT l.c_custkey, r.rid
+  FROM customer l JOIN rt r
+    ON substr(l.c_name, -4, 4) = substr(r.name, -5, 4)
+),
+scored AS (
+  SELECT c.lid AS c_custkey, c.rid,
+      CAST(
+        (CASE WHEN l.c_name IS NULL OR r.name IS NULL THEN 0
+              WHEN levenshtein(l.c_name, r.name) <= 2 THEN 3 ELSE -2 END)
+      + (CASE WHEN l.c_acctbal IS NULL OR r.acctbal IS NULL THEN 0
+              WHEN l.c_acctbal = r.acctbal THEN 2 ELSE -1 END)
+      + (CASE WHEN l.c_mktsegment IS NULL OR r.mktsegment IS NULL THEN 0
+              WHEN l.c_mktsegment = r.mktsegment THEN 1 ELSE -1 END)
+      + (CASE WHEN l.c_nationkey IS NULL OR r.nationkey IS NULL THEN 0
+              WHEN l.c_nationkey = r.nationkey THEN 1 ELSE -1 END)
+      AS BIGINT) AS score
+  FROM cand c
+  JOIN customer l ON l.c_custkey = c.lid
+  JOIN rt r ON r.rid = c.rid
+)
+SELECT c_custkey, rid, score FROM scored WHERE score >= 4
+"""
+
+
 def doc_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling (operators/kcore.py) over a chain+chord graph built
     from doc_ids: consecutive ids chain, every 25th id chords back to 0 —
@@ -8189,6 +8271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_profile": doc_oov_profile,
         "host_triangle_stats": host_triangle_stats,
         "doc_graph_k_core": doc_graph_k_core,
+        "customer_linkage": customer_linkage,
         "event_session_paths": event_session_paths,
         "event_value_bands": event_value_bands,
         "doc_readability": doc_readability,
@@ -8357,6 +8440,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_oov_profile": _oov_oracle_sql(),
         "host_triangle_stats": _triangle_oracle_sql(),
         "doc_graph_k_core": _k_core_oracle_sql(),
+        "customer_linkage": _LINKAGE_ORACLE,
         "event_session_paths": _SESSION_PATHS_ORACLE,
         "event_value_bands": _VALUE_BANDS_ORACLE,
         "doc_readability": _READABILITY_ORACLE,

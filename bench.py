@@ -245,6 +245,7 @@ def main():
         "doc_oov_profile",
         "host_triangle_stats",
         "doc_graph_k_core",
+        "customer_linkage",
         "event_session_paths",
         "event_value_bands",
         "doc_readability",

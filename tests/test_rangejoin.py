@@ -202,3 +202,38 @@ def test_interval_join_validation(spark):
             la, rb, left_start="s", left_end="e",
             right_start="s2", right_end="e2", bucket_width=1,
         )
+
+
+def test_interval_join_parity_across_widths_and_negative_coords(spark):
+    import random
+
+    from schemasaurus_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(99)
+    A = [
+        ("a%d" % i, s, s + rng.randrange(0, 30))
+        for i, s in enumerate(rng.randrange(-150, 150) for _ in range(40))
+    ]
+    B = [
+        ("b%d" % i, s, s + rng.randrange(0, 18))
+        for i, s in enumerate(rng.randrange(-150, 150) for _ in range(35))
+    ]
+    la = spark.createDataFrame(A, "aid string, a_start long, a_end long")
+    rb = spark.createDataFrame(B, "bid string, b_start long, b_end long")
+    want = sorted(
+        (aid, bid)
+        for aid, s1, e1 in A
+        for bid, s2, e2 in B
+        if s1 <= e2 and s2 <= e1
+    )
+    for w in (1, 7, 16, 64, 1000):  # incl. width >> spans and width 1
+        got = sorted(
+            (r.aid, r.bid)
+            for r in interval_join(
+                la, rb,
+                left_start="a_start", left_end="a_end",
+                right_start="b_start", right_end="b_end",
+                bucket_width=w,
+            ).collect()
+        )
+        assert got == want, f"width {w}"
