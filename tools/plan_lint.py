@@ -1,0 +1,95 @@
+"""Physical-plan lint over the full driver contract: build every
+``queries()`` plan at a small sf and flag scale antipatterns —
+
+* ``CartesianProduct``            (quadratic joins: never acceptable)
+* ``BatchEvalPython``             (row-at-a-time Python in the plan; the
+                                   engine's rule is Arrow batches or JVM)
+* ``exchanges``                   (shuffle count — not a defect per se,
+                                   but the number to justify per query)
+* ``bnlj``                        (BroadcastNestedLoopJoin — fine for
+                                   broadcast-1-row/array probes, worth
+                                   eyeballing when it appears)
+
+The lint inspects ``executedPlan`` BEFORE any action where possible
+(iterative operators that materialize during plan construction — CC,
+IVF — still run their build jobs; sf0.001 keeps that cheap).
+
+Usage:  python tools/plan_lint.py [sf_dir] [query ...]
+Output: per-query lines + one summary JSON line; exit 1 if any query
+        plans a CartesianProduct or BatchEvalPython.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from schemasaurus_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_lint", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {}
+    bad: list = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            plan = (
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:
+            report[name] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+            bad.append(name)
+            print(f"ERROR {name}: {type(ex).__name__}")
+            continue
+        row = {
+            "cartesian": plan.count("CartesianProduct"),
+            "row_python": plan.count("BatchEvalPython"),
+            "arrow_python": plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas"),
+            "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+            "broadcasts": plan.count("BroadcastExchange"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        }
+        report[name] = row
+        flags = []
+        if row["cartesian"]:
+            flags.append("CARTESIAN")
+            bad.append(name)
+        if row["row_python"]:
+            flags.append("ROW_PYTHON")
+            bad.append(name)
+        print(
+            f"{name:40s} shuffles={row['exchanges']:2d} bcast={row['broadcasts']:2d}"
+            f" bnlj={row['bnlj']}"
+            + (f" arrow_py={row['arrow_python']}" if row["arrow_python"] else "")
+            + ("  <-- " + ",".join(flags) if flags else "")
+        )
+    ok = [n for n in report if n not in bad]
+    print(
+        json.dumps(
+            {
+                "n_queries": len(report),
+                "clean": len(ok),
+                "flagged": sorted(set(bad)),
+                "max_shuffles": max(
+                    (r.get("exchanges", 0), n) for n, r in report.items()
+                ),
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
