@@ -7782,6 +7782,69 @@ def host_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(doc_link_graph(spark, sf_dir))
 
 
+def doc_inferred_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-4 schema inference from the observed corpus (schema/infer.py)
+    flattened to (column, keyword, value) constraint rows — the inverse
+    arc of the validators: one wide aggregate derives the tightest
+    accepting schema (types, required-from-zero-nulls, exact numeric and
+    length bounds, enum for <=10-cardinality strings), whose soundness
+    (every observed row validates) is pytest-proven; the oracle
+    recomputes every constraint branch from the same data."""
+    from schemasaurus_spark.schema.infer import infer_schema, schema_constraint_rows
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    rows = schema_constraint_rows(infer_schema(docs, enum_max=10))
+    return spark.createDataFrame(rows, "column string, keyword string, value string")
+
+
+_INFERRED_SCHEMA_ORACLE = """
+WITH s AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nu_id,
+    min(doc_id) AS mn_id, max(doc_id) AS mx_id,
+    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nu_tx,
+    min(length(text)) AS mnl_tx, max(length(text)) AS mxl_tx,
+    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nu_lg,
+    min(length(lang)) AS mnl_lg, max(length(lang)) AS mxl_lg,
+    count(DISTINCT lang) AS d_lg,
+    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nu_sr,
+    min(length(source)) AS mnl_sr, max(length(source)) AS mxl_sr,
+    count(DISTINCT source) AS d_sr,
+    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nu_nc,
+    min(n_chars) AS mn_nc, max(n_chars) AS mx_nc
+  FROM documents
+),
+e_lg AS (SELECT string_agg(v, '|' ORDER BY v) AS ev
+         FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL)),
+e_sr AS (SELECT string_agg(v, '|' ORDER BY v) AS ev
+         FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL))
+SELECT 'doc_id' AS "column", 'type' AS keyword, 'integer' AS value FROM s
+UNION ALL SELECT 'doc_id', 'required', 'true' FROM s WHERE nu_id = 0 AND n > 0
+UNION ALL SELECT 'doc_id', 'minimum', CAST(mn_id AS VARCHAR) FROM s WHERE n - nu_id > 0
+UNION ALL SELECT 'doc_id', 'maximum', CAST(mx_id AS VARCHAR) FROM s WHERE n - nu_id > 0
+UNION ALL SELECT 'text', 'type', 'string' FROM s
+UNION ALL SELECT 'text', 'required', 'true' FROM s WHERE nu_tx = 0 AND n > 0
+UNION ALL SELECT 'text', 'minLength', CAST(mnl_tx AS VARCHAR) FROM s WHERE n - nu_tx > 0
+UNION ALL SELECT 'text', 'maxLength', CAST(mxl_tx AS VARCHAR) FROM s WHERE n - nu_tx > 0
+UNION ALL SELECT 'lang', 'type', 'string' FROM s
+UNION ALL SELECT 'lang', 'required', 'true' FROM s WHERE nu_lg = 0 AND n > 0
+UNION ALL SELECT 'lang', 'minLength', CAST(mnl_lg AS VARCHAR) FROM s WHERE n - nu_lg > 0
+UNION ALL SELECT 'lang', 'maxLength', CAST(mxl_lg AS VARCHAR) FROM s WHERE n - nu_lg > 0
+UNION ALL SELECT 'lang', 'enum', (SELECT ev FROM e_lg) FROM s
+          WHERE n - nu_lg > 0 AND d_lg BETWEEN 1 AND 10
+UNION ALL SELECT 'source', 'type', 'string' FROM s
+UNION ALL SELECT 'source', 'required', 'true' FROM s WHERE nu_sr = 0 AND n > 0
+UNION ALL SELECT 'source', 'minLength', CAST(mnl_sr AS VARCHAR) FROM s WHERE n - nu_sr > 0
+UNION ALL SELECT 'source', 'maxLength', CAST(mxl_sr AS VARCHAR) FROM s WHERE n - nu_sr > 0
+UNION ALL SELECT 'source', 'enum', (SELECT ev FROM e_sr) FROM s
+          WHERE n - nu_sr > 0 AND d_sr BETWEEN 1 AND 10
+UNION ALL SELECT 'n_chars', 'type', 'integer' FROM s
+UNION ALL SELECT 'n_chars', 'required', 'true' FROM s WHERE nu_nc = 0 AND n > 0
+UNION ALL SELECT 'n_chars', 'minimum', CAST(mn_nc AS VARCHAR) FROM s WHERE n - nu_nc > 0
+UNION ALL SELECT 'n_chars', 'maximum', CAST(mx_nc AS VARCHAR) FROM s WHERE n - nu_nc > 0
+"""
+
+
 def customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record linkage (operators/linkage.py) between customer and
     a deterministically perturbed copy (key shifted by 10^6, name +'x',
@@ -8272,6 +8335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangle_stats": host_triangle_stats,
         "doc_graph_k_core": doc_graph_k_core,
         "customer_linkage": customer_linkage,
+        "doc_inferred_schema": doc_inferred_schema,
         "event_session_paths": event_session_paths,
         "event_value_bands": event_value_bands,
         "doc_readability": doc_readability,
@@ -8441,6 +8505,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triangle_stats": _triangle_oracle_sql(),
         "doc_graph_k_core": _k_core_oracle_sql(),
         "customer_linkage": _LINKAGE_ORACLE,
+        "doc_inferred_schema": _INFERRED_SCHEMA_ORACLE,
         "event_session_paths": _SESSION_PATHS_ORACLE,
         "event_value_bands": _VALUE_BANDS_ORACLE,
         "doc_readability": _READABILITY_ORACLE,

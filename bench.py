@@ -134,6 +134,7 @@ def main():
         "doc_quality_cube",
         "doc_quality_gate",
         "doc_constraint_suggestions",
+        "doc_inferred_schema",
         "doc_fd_profile",
         "doc_corr_profile",
         "doc_concentration_profile",
