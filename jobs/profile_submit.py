@@ -84,6 +84,13 @@ def main() -> None:
         "--categorical-max-distinct", type=int, default=20,
         help="domain-suggestion cardinality bound (suggest.py pass-2 guard)",
     )
+    ap.add_argument(
+        "--infer-schema", action="store_true",
+        help="write the tightest draft-4 schema accepting the observed data "
+        "(schema/infer.py) to inferred_schema.json — ready for "
+        "validate_submit --schema / migrate_submit --schema-old",
+    )
+    ap.add_argument("--enum-max", type=int, default=10)
     args = ap.parse_args()
 
     from schemasaurus_spark.operators.stats import column_stats
@@ -199,6 +206,23 @@ def main() -> None:
             .groupBy("license_class")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
+        }
+
+    if args.infer_schema:
+        from schemasaurus_spark.schema.infer import infer_schema
+
+        inferred = infer_schema(df, columns=cols, enum_max=args.enum_max)
+        write_text_file(
+            spark, f"{out}/inferred_schema.json", json.dumps(inferred, indent=2)
+        )
+        summary["inferred_schema"] = {
+            "columns": sorted(inferred["properties"]),
+            "required": sorted(
+                c for c, s in inferred["properties"].items() if s.get("required")
+            ),
+            "enums": sorted(
+                c for c, s in inferred["properties"].items() if "enum" in s
+            ),
         }
 
     write_text_file(spark, f"{out}/summary.json", json.dumps(summary, indent=2))

@@ -60,3 +60,34 @@ def test_profile_submit_end_to_end(spark, tmp_path, monkeypatch):
     assert verdicts and all(v.passed for v in verdicts), [
         (v.rule_id, v.value) for v in verdicts if not v.passed
     ]
+
+
+def test_profile_submit_infer_schema_roundtrip(spark, tmp_path, monkeypatch):
+    """--infer-schema writes a draft-4 artifact the VALIDATORS accept: the
+    corpus that produced it validates clean under it (the soundness loop,
+    through the CLI surface)."""
+    import jobs.profile_submit as cli
+
+    out = str(tmp_path / "profile_infer")
+    monkeypatch.setattr(cli, "build_session", lambda: spark)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "profile_submit.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--infer-schema",
+        ],
+    )
+    cli.main()
+
+    inferred = json.loads(open(f"{out}/inferred_schema.json").read())
+    summary = json.loads(open(f"{out}/summary.json").read())
+    assert summary["inferred_schema"]["columns"] == sorted(inferred["properties"])
+    assert "lang" in summary["inferred_schema"]["enums"]
+
+    from schemasaurus_spark.schema.columns import validate_dataframe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert validate_dataframe(docs, inferred).where("NOT valid").count() == 0
