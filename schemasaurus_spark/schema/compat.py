@@ -202,20 +202,29 @@ def _node_delta(old: dict, new: dict, path: str, deltas: list) -> None:
     for name in sorted(oreq - nreq):
         deltas.append(Delta(path, "required", "widening", name, None))
 
-    # ---- additionalProperties flag
+    # ---- additionalProperties: three-valued lattice False < {schema} < True.
+    # A schema-valued additionalProperties is enforced by the validators
+    # (columns.py additional-property dispatch), so it must participate in
+    # the ordering — two differing schema values are statically incomparable
+    # (same treatment as the _OPAQUE keywords), never silently equal.
     oap = old.get("additionalProperties", True)
     nap = new.get("additionalProperties", True)
-    oap_f, nap_f = oap is not False, nap is not False
-    if oap_f != nap_f:
-        deltas.append(
-            Delta(
-                path,
-                "additionalProperties",
-                "narrowing" if not nap_f else "widening",
-                oap,
-                nap,
-            )
-        )
+    if oap != nap:
+        oap_dict, nap_dict = isinstance(oap, dict), isinstance(nap, dict)
+        if oap_dict and nap_dict:
+            kind = "incomparable"  # differing subschemas: not statically ordered
+        elif nap is False:
+            kind = "narrowing"  # anything -> forbidden
+        elif oap is False:
+            kind = "widening"  # forbidden -> anything permitted is a superset
+        elif nap_dict:
+            kind = "narrowing"  # unconstrained (True/absent) -> constrained
+        elif oap_dict:
+            kind = "widening"  # constrained -> unconstrained (True/absent)
+        else:
+            kind = None  # True vs absent: same accept-set, no delta
+        if kind is not None:
+            deltas.append(Delta(path, "additionalProperties", kind, oap, nap))
 
     # ---- opaque combinators: equality or bust
     for kw in _OPAQUE:
@@ -239,9 +248,18 @@ def _node_delta(old: dict, new: dict, path: str, deltas: list) -> None:
                 deltas.append(Delta(child, "properties", "narrowing", None, nsub))
             # required-ness itself was already reported above
         else:
-            # property undeclared in new: values become unconstrained —
-            # widening unless new additionalProperties forbids the key
-            kind = "narrowing" if nap is False else "widening"
+            # property undeclared in new: the key's values fall through to
+            # new additionalProperties — widening only when that is
+            # unconstrained (True/absent); forbidden (False) narrows; a
+            # schema-valued additionalProperties re-validates the values
+            # against an arbitrary subschema, which is not statically
+            # ordered against the removed declaration
+            if nap is False:
+                kind = "narrowing"
+            elif isinstance(nap, dict):
+                kind = "incomparable"
+            else:
+                kind = "widening"
             deltas.append(Delta(child, "properties", kind, osub, None))
 
     # ---- recurse: items (homogeneous dict form; tuple forms are opaque)

@@ -52,6 +52,7 @@ __all__ = ["infer_schema", "schema_constraint_rows"]
 
 _INT = (ByteType, ShortType, IntegerType, LongType)
 _NUM = (FloatType, DoubleType)
+_INF = float("inf")
 
 
 def infer_schema(
@@ -77,7 +78,15 @@ def infer_schema(
     for name, dtype in cols:
         c = F.col(name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"_nulls_{name}"))
-        if isinstance(dtype, _INT + _NUM):
+        if isinstance(dtype, _NUM):
+            # NaN sorts above every number in Spark's max, and json.dumps
+            # would emit the non-JSON tokens NaN/Infinity — aggregate the
+            # bounds over finite values only; a column with no finite
+            # values falls back to type-only constraints below
+            finite = F.when(~F.isnan(c) & ~c.isin(_INF, -_INF), c)
+            aggs.append(F.min(finite).alias(f"_min_{name}"))
+            aggs.append(F.max(finite).alias(f"_max_{name}"))
+        elif isinstance(dtype, _INT):
             aggs.append(F.min(c).alias(f"_min_{name}"))
             aggs.append(F.max(c).alias(f"_max_{name}"))
         elif isinstance(dtype, StringType):
@@ -106,8 +115,9 @@ def infer_schema(
         if non_null > 0:
             if isinstance(dtype, _INT + _NUM):
                 mn, mx = row[f"_min_{name}"], row[f"_max_{name}"]
-                sub["minimum"] = int(mn) if isinstance(dtype, _INT) else float(mn)
-                sub["maximum"] = int(mx) if isinstance(dtype, _INT) else float(mx)
+                if mn is not None:  # None: no finite values -> type-only
+                    sub["minimum"] = int(mn) if isinstance(dtype, _INT) else float(mn)
+                    sub["maximum"] = int(mx) if isinstance(dtype, _INT) else float(mx)
             elif isinstance(dtype, StringType):
                 sub["minLength"] = int(row[f"_minl_{name}"])
                 sub["maxLength"] = int(row[f"_maxl_{name}"])

@@ -37,6 +37,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    """Only a genuinely absent path means 'no data yet'.  Any other read
+    failure (transient IO/auth, corrupt footer) must FAIL the micro-batch:
+    treating it as empty state would make components_sink diff the batch
+    against nothing and overwrite the delta partition with wrong rows —
+    silent log corruption instead of a retryable error."""
+    cond = getattr(exc, "getErrorClass", lambda: None)()
+    if cond and "PATH_NOT_FOUND" in cond:
+        return True
+    return "Path does not exist" in str(exc)
 
 from schemasaurus_spark.operators.dedup import (
     _apply_component_remap,
@@ -71,11 +84,15 @@ def read_assignment(
         if uptos:
             start = max(uptos)
             base = bases.where(F.col("upto") == start).select("id", "comp_id")
-    except Exception:
-        pass  # no compaction yet
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
+        # no compaction yet
     try:
         deltas = spark.read.parquet(f"{out_dir}/delta")
-    except Exception:
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
         return base  # no batches yet
     deltas = deltas.where(F.col("batch_id") > start)
     if before_batch is not None:

@@ -276,3 +276,57 @@ def test_nested_items_recursion():
     assert schema_delta(t, t) == []
     t2 = {"items": [{"type": "integer"}]}
     assert _kinds(t, t2)[("/items", "items")] == "incomparable"
+
+
+def test_schema_valued_additional_properties_is_not_invisible():
+    """ADVICE r4 (high): schema-form additionalProperties participates in
+    the ordering — the validators enforce it, so the analyzer must see it.
+
+    Witness instance {"x": "hello"}: valid under old, invalid under new —
+    is_backward_compatible must NOT return True."""
+    old = {"type": "object", "additionalProperties": {"type": "string"}}
+    new = {"type": "object", "additionalProperties": {"type": "integer"}}
+    assert _kinds(old, new)[("", "additionalProperties")] == "incomparable"
+    assert not is_backward_compatible(old, new)
+    # differential witness against the parity walker
+    assert new_validator(old)({"x": "hello"})["valid"]
+    assert not new_validator(new)({"x": "hello"})["valid"]
+
+    # True/absent -> schema: constrains previously-free keys -> narrowing
+    assert (
+        _kinds({"type": "object"}, new)[("", "additionalProperties")]
+        == "narrowing"
+    )
+    # schema -> True/absent: drops the constraint -> widening, compatible
+    assert (
+        _kinds(old, {"type": "object"})[("", "additionalProperties")]
+        == "widening"
+    )
+    assert is_backward_compatible(old, {"type": "object"})
+    # False -> schema: old forbade extras entirely, so every old-valid
+    # instance (no extras) trivially satisfies the subschema -> widening
+    closed = {"type": "object", "additionalProperties": False}
+    assert _kinds(closed, new)[("", "additionalProperties")] == "widening"
+    assert is_backward_compatible(closed, new)
+    # schema -> False -> narrowing
+    assert _kinds(new, closed)[("", "additionalProperties")] == "narrowing"
+    # equal subschemas -> no delta at all
+    assert schema_delta(old, {"type": "object", "additionalProperties": {"type": "string"}}) == []
+
+
+def test_property_removed_under_schema_valued_additional_properties():
+    """ADVICE r4 (high): a property removed from `properties` whose values
+    fall through to a schema-valued additionalProperties can regress —
+    must be flagged incomparable, not widening.
+
+    Witness: {"a": "x"} valid under old, invalid under new."""
+    old = {
+        "type": "object",
+        "properties": {"a": {"type": "string"}},
+        "additionalProperties": {"type": "integer"},
+    }
+    new = {"type": "object", "additionalProperties": {"type": "integer"}}
+    assert _kinds(old, new)[("/a", "properties")] == "incomparable"
+    assert not is_backward_compatible(old, new)
+    assert new_validator(old)({"a": "x"})["valid"]
+    assert not new_validator(new)({"a": "x"})["valid"]

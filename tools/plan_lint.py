@@ -9,6 +9,10 @@
 * ``bnlj``                        (BroadcastNestedLoopJoin — fine for
                                    broadcast-1-row/array probes, worth
                                    eyeballing when it appears)
+* ``global_windows``              (WindowExec with NO partitionBy — a
+                                   single-task global sort; only legal
+                                   over provably metadata/k-sized frames,
+                                   enforced via _GLOBAL_WINDOW_ALLOW)
 
 The lint inspects ``executedPlan`` BEFORE any action where possible
 (iterative operators that materialize during plan construction — CC,
@@ -29,6 +33,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from schemasaurus_spark.session import get_spark
+
+# Queries allowed to plan partition-less WindowExec nodes, with the max
+# count each may carry.  Every entry must be justified: the frame under
+# the window is METADATA- or K-SIZED by construction (top-k tables,
+# per-category skew summaries, quantile grids), never corpus-derived.
+_GLOBAL_WINDOW_ALLOW: dict = {
+    "doc_token_topk": 1,  # k-sized top-k table rank
+    "event_user_skew": 2,  # per-user count summary (bounded by user count)
+    "event_session_paths": 1,  # k-sized path top-k
+    "event_value_ks_drift": 2,  # quantile-grid CDF frames (grid-sized)
+}
+
+
+def _global_window_count(plan: str) -> int:
+    """Window nodes whose partition spec is empty: the physical string is
+    ``Window [exprs], [part], [order]`` (3 top-level bracket groups) when
+    partitioned, ``Window [exprs], [order]`` (2 groups) when not."""
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        depth = groups = 0
+        for ch in line[idx:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
 
 
 def main() -> None:
@@ -56,9 +93,15 @@ def main() -> None:
             "arrow_python": plan.count("ArrowEvalPython")
             + plan.count("MapInPandas")
             + plan.count("FlatMapGroupsInPandas"),
-            "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+            # ReusedExchange re-reads a prior shuffle's output, it is not a
+            # new shuffle — subtract it so the count reviewers justify is
+            # real data movement only (ADVICE r4)
+            "exchanges": plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange"),
             "broadcasts": plan.count("BroadcastExchange"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "global_windows": _global_window_count(plan),
         }
         report[name] = row
         flags = []
@@ -68,9 +111,13 @@ def main() -> None:
         if row["row_python"]:
             flags.append("ROW_PYTHON")
             bad.append(name)
+        if row["global_windows"] > _GLOBAL_WINDOW_ALLOW.get(name, 0):
+            flags.append("GLOBAL_WINDOW")
+            bad.append(name)
         print(
             f"{name:40s} shuffles={row['exchanges']:2d} bcast={row['broadcasts']:2d}"
             f" bnlj={row['bnlj']}"
+            + (f" gwin={row['global_windows']}" if row["global_windows"] else "")
             + (f" arrow_py={row['arrow_python']}" if row["arrow_python"] else "")
             + ("  <-- " + ",".join(flags) if flags else "")
         )
