@@ -20,22 +20,23 @@ AUC = (2·R_pos − P·(P+1)) / (2·P·N) — exact int64 numerator/denominator,
 one IEEE division, round-6.
 
 Scale shape: the per-score aggregate is the only corpus-sized pass; the
-sweep then runs over DISTINCT scores, so quantize continuous scorers
-upstream (the int64 fixed-point scores of operators/classify.py are
-already discrete; for raw doubles round to a grid first) — the
-post-aggregate window is a single ordered pass over that bounded table
-(fine for the ≤10^6 distinct thresholds anyone plots; it is
-metadata-sized, not corpus-sized).  Int64 bounds: P·(P+1) and 2·P·N
-overflow past ~2·10^9 positives — at that scale evaluate on a
-deterministic sample (operators/sampling.py), which is statistically
-what a curve is for anyway.
+sweep then runs over DISTINCT scores via the exact two-phase
+range-bucketed cumsum of operators/prefix.py (per-bucket partitioned
+windows + broadcast bucket offsets — NO partition-less WindowExec), so a
+CONTINUOUS double scorer whose distinct table approaches corpus size
+hash-distributes across the cluster instead of serializing through one
+task.  Int64 bounds: P·(P+1) and 2·P·N overflow past ~2·10^9 positives —
+at that scale evaluate on a deterministic sample (operators/sampling.py),
+which is statistically what a curve is for anyway.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+from schemasaurus_spark.operators.prefix import exclusive_prefix
 
 
 def _per_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
@@ -61,13 +62,14 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     totals = per.agg(
         F.sum("n_pos").alias("_p"), F.sum("n_tot").alias("_n_all")
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.select(
+    pre = exclusive_prefix(per, "score", ["n_pos", "n_tot"], ascending=False)
+    cum = pre.select(
         F.col("score").alias("threshold"),
-        F.sum("n_pos").over(w).alias("tp"),
-        (F.sum("n_tot").over(w) - F.sum("n_pos").over(w)).alias("fp"),
+        (F.col("_cum_n_pos") + F.col("n_pos")).alias("tp"),
+        (
+            (F.col("_cum_n_tot") + F.col("n_tot"))
+            - (F.col("_cum_n_pos") + F.col("n_pos"))
+        ).alias("fp"),
     ).crossJoin(broadcast(totals))
     prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
     rec = F.when(
@@ -92,13 +94,10 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     AUC (probability a random positive outscores a random negative, ties
     counting half).  NULL auc when either class is empty."""
     per = _per_score(df, score_col, label_col)
-    w_below = Window.orderBy(F.col("score").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = per.select(
+    ranked = exclusive_prefix(per, "score", ["n_tot"], ascending=True).select(
         "n_pos",
         "n_tot",
-        F.coalesce(F.sum("n_tot").over(w_below), F.lit(0)).alias("below"),
+        F.col("_cum_n_tot").alias("below"),
     )
     agg = ranked.agg(
         F.sum(
@@ -140,21 +139,18 @@ def calibration_table(
     ``n_pos * 10000 DIV n`` — everything int64, zero float math.
 
     Scale shape: same as the PR sweep — ONE map-side-combined
-    per-distinct-score aggregate over the corpus, then window cumsums
-    on the distinct-score table (metadata-sized for quantized scorers);
-    output is <= n_bins rows."""
+    per-distinct-score aggregate over the corpus, then the range-bucketed
+    exact cumsum of operators/prefix.py on the distinct-score table (no
+    partition-less window); output is <= n_bins rows."""
     if n_bins < 1:
         raise ValueError(f"calibration_table: n_bins must be >= 1, got {n_bins}")
     per = _per_score(df, score_col, label_col)
     totals = per.agg(F.sum("n_tot").alias("_n_all"))
-    w_below = Window.orderBy(F.col("score").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    binned = per.select(
+    binned = exclusive_prefix(per, "score", ["n_tot"], ascending=True).select(
         "score",
         "n_pos",
         "n_tot",
-        F.coalesce(F.sum("n_tot").over(w_below), F.lit(0)).alias("_below"),
+        F.col("_cum_n_tot").alias("_below"),
     ).crossJoin(broadcast(totals))
     agg = (
         binned.select(

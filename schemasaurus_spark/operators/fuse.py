@@ -26,18 +26,22 @@ is the §2E curation-pipeline scoring stage (FineWeb/DCLM-style filters
 combine exactly such signals before thresholding).
 
 Scale shape (10^12 docs): per signal, ONE map-side-combined
-``groupBy(value)`` count (distinct-value table), two window cumsums over
-that table (metadata-sized for quantized signals, worst-case
-distinct-sized), and one join back on the value key — Catalyst plans a
-shuffle join per signal; the fuse itself is a projection.  Weights and
-thresholds stay integer end-to-end, so downstream gates replay in any
-engine.  Int64 bound: 2*n*10000 must fit — fine to ~4*10^14 rows.
+``groupBy(value)`` count (distinct-value table), then the EXACT
+two-phase range-bucketed cumsum of operators/prefix.py over that table —
+per-bucket partitioned windows + broadcast bucket offsets, NO
+partition-less WindowExec, so a continuous double signal (distinct ~=
+corpus) hash-distributes instead of serializing through one task — and
+one join back on the value key.  Weights and thresholds stay integer
+end-to-end, so downstream gates replay in any engine.  Int64 bound:
+2*n*10000 must fit — fine to ~4*10^14 rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from schemasaurus_spark.operators.prefix import exclusive_prefix
 
 
 def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
@@ -49,13 +53,10 @@ def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
         .groupBy(F.col(col).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_n_eq"))
     )
-    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = per.select(
+    ranked = exclusive_prefix(per, "_v", ["_n_eq"], ascending=True).select(
         "_v",
         "_n_eq",
-        F.coalesce(F.sum("_n_eq").over(w), F.lit(0)).alias("_n_lt"),
+        F.col("_cum__n_eq").alias("_n_lt"),
     ).crossJoin(
         per.agg(F.sum("_n_eq").alias("_n_all"))
     )

@@ -2,11 +2,19 @@
 ``__spark_entry__.queries()`` entry against its DuckDB oracle at a given
 sf dir and report row-count / column-set / order-insensitive value-hash
 matches.  Usage:  python tools/check_contract.py [sf_dir] [query ...]
+                  [--summary-json PATH]
+
+The last line is a machine-readable JSON summary (ok/rows_only/failed
+counts + the authoritative registry size, always len(queries())) so the
+driver — which samples only ~50 rows per round — can ingest a full-sweep
+verdict; ``--summary-json`` additionally writes it to a file (the
+CONTRACT_rN.json artifact committed per session).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -38,8 +46,14 @@ def canon(df_pandas) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    summary_path = None
+    if "--summary-json" in argv:
+        i = argv.index("--summary-json")
+        summary_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check_contract")
     con = duckdb.connect()
     for t in TABLES:
@@ -48,6 +62,8 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_ok = n_rows_only = 0
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -60,6 +76,7 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
+            n_rows_only += 1
             print(f"ok(rows-only) {name}: {len(sdf)} rows  [{dt:.1f}s]")
             continue
         try:
@@ -73,6 +90,8 @@ def main():
         status = "ok" if (sn, sc, sh) == (on, oc, oh) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        else:
+            n_ok += 1
         print(f"{status}    {name}: spark({sn} rows, {sh}) oracle({on} rows, {oh})  [{dt:.1f}s]")
         if status == "FAIL":
             if sc != oc:
@@ -86,6 +105,19 @@ def main():
                 for a, b in diffs:
                     print(f"      spark : {a[:200]}\n      oracle: {b[:200]}")
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    summary = {
+        "registry_count": len(qs),
+        "checked": n_ok + n_rows_only + len(failures),
+        "hash_ok": n_ok,
+        "rows_only_ok": n_rows_only,
+        "failed": sorted(failures),
+        "sf_dir": sf_dir,
+        "wall_sec": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(summary))
+    if summary_path:
+        with open(summary_path, "w") as fh:
+            json.dump(summary, fh, indent=1)
     spark.stop()
     sys.exit(1 if failures else 0)
 
