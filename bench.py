@@ -101,156 +101,19 @@ def main():
     run("interleave_profile", lambda: force(interleave_profile(docs)))
 
     # -- contract queries over the sf testdata tables -----------------------
-    for name in [
-        "doc_validation_violations",
-        "doc_versioned_validation",
-        "doc_schema_migration",
-        "doc_migration_breaking",
-        "northrule_schema_migration",
-        "doc_column_stats",
-        "doc_text_profile",
-        "doc_quality",
-        "doc_lang_id",
-        "doc_nb_classify",
-        "doc_nb_pr_curve",
-        "doc_nb_auc",
-        "doc_nb_confusion",
-        "doc_nb_agreement",
-        "doc_exact_dup_groups",
-        "doc_substring_dup_spans",
-        "doc_passage_removal",
-        "doc_decontamination",
-        "doc_repetition_profile",
-        "doc_pii_redaction",
-        "doc_pseudonymized",
-        "doc_packing",
-        "doc_split_assignment",
-        "doc_weighted_sample",
-        "doc_zorder_layout",
-        "doc_skipping_profile",
-        "doc_quota_cap",
-        "doc_latest_revision",
-        "doc_scd2_history",
-        "doc_quality_cube",
-        "doc_quality_gate",
-        "doc_constraint_suggestions",
-        "doc_inferred_schema",
-        "doc_fd_profile",
-        "doc_corr_profile",
-        "doc_concentration_profile",
-        "doc_embedding_coverage",
-        "doc_corpus_diff",
-        "doc_dataset_checksum",
-        "doc_source_mix",
-        "doc_token_topk",
-        "doc_distinctive_terms",
-        "doc_collocations",
-        "doc_novelty_profile",
-        "doc_heavy_tokens",
-        "doc_lm_score",
-        "lineitem_dup_rows",
-        "doc_training_corpus",
-        "doc_mixed_corpus",
-        "minhash_near_dups",
-        "doc_incremental_dedup",
-        "doc_bloom_novelty",
-        "doc_bm25_search",
-        "doc_ngram_jaccard_dups",
-        "doc_editdist_dups",
-        "doc_split_leakage",
-        "doc_component_splits",
-        "doc_incremental_components",
-        "simhash_near_dups",
-        "embedding_topk",
-        "embedding_ann_lsh",
-        "embedding_near_dups",
-        "embedding_decontamination",
-        "embedding_ivf_topk",
-        "embedding_int8_topk",
-        "embedding_pq_topk",
-        "embedding_ivfpq_topk",
-        "embedding_centroid_drift",
-        "host_authority_rank",
-        "doc_link_graph",
-        "doc_anchor_text",
-        "doc_bpe_merges",
-        "table_compaction_plan",
-        "doc_source_overlap",
-        "event_props_validation",
-        "event_props_normalization",
-        "event_props_schema_profile",
-        "event_props_schema_conformance",
-        "event_props_schema_drift",
-        "event_value_quartiles",
-        "event_value_ks_drift",
-        "event_value_psi_drift",
-        "event_value_outliers",
-        "event_value_benford",
-        "event_freshness",
-        "event_funnel",
-        "event_attribution",
-        "event_retention",
-        "event_volume_anomalies",
-        "doc_k_anonymity",
-        "doc_k_suppression",
-        "doc_markup_removal",
-        "doc_url_dedup",
-        "event_user_skew",
-        "event_windowed_counts",
-        "event_sessionization",
-        "event_trailing_stats",
-        "event_resample",
-        "event_asof_join",
-        "event_range_join",
-        "event_interval_overlap",
-        "media_image_features",
-        "media_png_features",
-        "media_wav_features",
-        "media_audio_near_dups",
-        "media_jpeg_features",
-        "media_mjpeg_frames",
-        "media_phash_near_dups",
-        "doc_chunking",
-        "doc_dsir_scores",
-        "doc_dsir_sample",
-        "doc_boilerplate_lines",
-        "doc_boilerplate_clean",
-        "northrule_span_packing",
-        "northrule_caption_contexts",
-        "embedding_semantic_dups",
-        "doc_context_profile",
-        "host_communities",
-        "doc_nb_calibration",
-        "northrule_span_repair_log",
-        "northrule_repaired_sequence",
-        "media_png_thumbnails",
-        "doc_fused_quality",
-        "event_value_winsorized",
-        "northrule_span_lang",
-        "northrule_training_text",
-        "doc_script_profile",
-        "doc_license_profile",
-        "northrule_media_reuse",
-        "event_value_cusum",
-        "northrule_span_boilerplate",
-        "northrule_span_clean",
-        "northrule_layout_templates",
-        "northrule_curated_corpus",
-        "northrule_media_orphans",
-        "northrule_template_quota",
-        "doc_fertility_by_lang",
-        "doc_storage_by_source",
-        "northrule_violation_rollup",
-        "embedding_ann_recall",
-        "embedding_ivf_recall",
-        "doc_oov_profile",
-        "host_triangle_stats",
-        "doc_graph_k_core",
-        "customer_linkage",
-        "event_session_paths",
-        "event_value_bands",
-        "doc_readability",
-    ]:
+    # registry-driven (authoritative count = len(queries()) — no hand-kept
+    # list to drift); entries already measured by a dedicated section above
+    # on the generated interleaved corpus are skipped WITH the reason
+    # carried into the output JSON (no silent caps)
+    bench_skip = {
+        "northrule_violations": "measured as validate_spans_violations on the generated corpus",
+        "northrule_verdicts": "measured as validate_spans_verdicts on the generated corpus",
+        "northrule_span_integrity": "measured as span_integrity on the generated corpus",
+        "northrule_interleave_profile": "measured as interleave_profile on the generated corpus",
+    }
+    for name in qs:
+        if name in bench_skip:
+            continue
         run(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     # -- scale ladder rung: the two heaviest operators at 2x the corpus -----
@@ -290,6 +153,8 @@ def main():
                 "n_docs_validated": n_docs,
                 "validate_docs_per_sec": round(n_docs / validate_sec, 1),
                 "cpus": cpus,
+                "registry_count": len(qs),
+                "bench_skipped": bench_skip,
             }
         )
     )
