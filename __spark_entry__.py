@@ -6527,6 +6527,75 @@ LEFT JOIN r_punct p ON b.n_punct = p._v
 """
 
 
+def doc_fused_quality_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score fusion on a CONTINUOUS double signal — the round-4 verdict's
+    cliff case: punct_ratio + a doc_id*1e-12 jitter makes the signal
+    tie-free, so the distinct-value table is EXACTLY corpus-sized and the
+    old partition-less window would serialize the whole corpus through
+    one task.  With operators/prefix.py the cumsum hash-distributes; the
+    ladder entry (tools/scale_ladder.py) pins the linear wall.  The
+    jitter is the standard tie-breaking trick of rank fusion and the
+    worst case for the prefix machinery by construction.  All division /
+    addition is single-expression IEEE double, identical in DuckDB."""
+    from schemasaurus_spark.operators.fuse import fuse_rank_scores
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            (F.col("n_chars") > 0) & F.col("text").isNotNull(),
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.col("n_chars")
+            + F.col("doc_id") * F.lit(1e-12),
+        ).alias("punct_jit"),
+    )
+    return fuse_rank_scores(docs, {"punct_jit": 2, "n_chars": 1})
+
+
+_FUSED_CONTINUOUS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 AND text IS NOT NULL
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / n_chars + doc_id * 1e-12
+         END AS punct_jit
+  FROM documents
+),
+r_jit AS (
+  SELECT _v, CASE WHEN _n_all > 1
+                  THEN ((2 * _n_lt + _n_eq - 1) * 5000) // (_n_all - 1)
+                  ELSE 5000 END AS bp
+  FROM (SELECT punct_jit AS _v, count(*) AS _n_eq,
+               coalesce(sum(count(*)) OVER (ORDER BY punct_jit ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _n_lt,
+               sum(count(*)) OVER () AS _n_all
+        FROM base WHERE punct_jit IS NOT NULL GROUP BY punct_jit)
+),
+r_chars AS (
+  SELECT _v, CASE WHEN _n_all > 1
+                  THEN ((2 * _n_lt + _n_eq - 1) * 5000) // (_n_all - 1)
+                  ELSE 5000 END AS bp
+  FROM (SELECT n_chars AS _v, count(*) AS _n_eq,
+               coalesce(sum(count(*)) OVER (ORDER BY n_chars ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _n_lt,
+               sum(count(*)) OVER () AS _n_all
+        FROM base WHERE n_chars IS NOT NULL GROUP BY n_chars)
+)
+SELECT b.doc_id,
+       CAST(j.bp AS BIGINT) AS punct_jit_bp,
+       CAST(c.bp AS BIGINT) AS n_chars_bp,
+       CASE WHEN (CASE WHEN j.bp IS NOT NULL THEN 2 ELSE 0 END
+                 + CASE WHEN c.bp IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN CAST((coalesce(j.bp, 0) * 2 + coalesce(c.bp, 0) * 1)
+                 // (CASE WHEN j.bp IS NOT NULL THEN 2 ELSE 0 END
+                     + CASE WHEN c.bp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       END AS fused_bp
+FROM base b
+LEFT JOIN r_jit j ON b.punct_jit = j._v
+LEFT JOIN r_chars c ON b.n_chars = c._v
+"""
+
+
 def _nr_damaged_docs(spark: SparkSession) -> DataFrame:
     """The generated interleaved corpus with DETERMINISTIC damage planted
     on span index 1, keyed by the doc_id's last digit: bad offsets
@@ -8313,6 +8382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "northrule_repaired_sequence": northrule_repaired_sequence,
         "media_png_thumbnails": media_png_thumbnails,
         "doc_fused_quality": doc_fused_quality,
+        "doc_fused_quality_continuous": doc_fused_quality_continuous,
         "event_value_winsorized": event_value_winsorized,
         "northrule_span_lang": northrule_span_lang,
         "northrule_training_text": northrule_training_text,
@@ -8483,6 +8553,7 @@ def oracle_sql() -> dict[str, str]:
         "northrule_repaired_sequence": _repaired_sequence_oracle_sql(),
         "media_png_thumbnails": _MEDIA_PNG_THUMB_ORACLE,
         "doc_fused_quality": _FUSED_QUALITY_ORACLE,
+        "doc_fused_quality_continuous": _FUSED_CONTINUOUS_ORACLE,
         "event_value_winsorized": _WINSORIZE_ORACLE,
         "northrule_span_lang": _span_lang_oracle_sql(),
         "northrule_training_text": _TRAINING_TEXT_ORACLE,

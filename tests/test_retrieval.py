@@ -125,3 +125,36 @@ def test_oracle_sql_matches_duckdb(spark, docs):
     assert list(got.columns) == list(want.columns)
     for col in got.columns:
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_hard_coded_external_scores():
+    """VERDICT r4 #9 (oracle independence): the contract oracle SQL is
+    GENERATED from the same folded constants (`bm25_oracle_sql`), so a
+    shared formula-constant bug would pass it.  These literals were
+    computed OUTSIDE the module (textbook Okapi BM25, ln(1+(N-df+0.5)/
+    (df+0.5)), k1=1.2, b=0.75, avgdl=13/4) and are pasted as numbers —
+    nothing here imports or re-derives the engine's score expression."""
+    corpus = [
+        (1, "spark spark runs fast"),
+        (2, "spark is a engine"),
+        (3, "fast data engine"),
+        (4, "hello world"),
+    ]
+    expected = {
+        ("spark", 1): (2, 4, 2, 0.894989),
+        ("spark", 2): (1, 4, 2, 0.633355),
+        ("fast", 1): (1, 4, 2, 0.633355),
+        ("fast", 3): (1, 3, 2, 0.715668),
+        ("engine", 2): (1, 4, 2, 0.633355),
+        ("engine", 3): (1, 3, 2, 0.715668),
+    }
+    from schemasaurus_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = bm25_term_scores(df, ["spark", "fast", "engine"]).collect()
+    got = {
+        (r.term, r.doc_id): (r.tf, r.dl, r.df_docs, round(r.score, 6))
+        for r in rows
+    }
+    assert got == expected

@@ -156,6 +156,19 @@ QUERIES = [
     # per doc); per-token probes are O(log vocab) binary search, scan
     # dominates: linear
     "doc_oov_profile",
+    # round 5: continuous-signal score fusion — the doc_id*1e-12 jitter
+    # makes the signal tie-free, so the distinct-value table is EXACTLY
+    # corpus-sized and grows k-fold (cipher preserves punct ratios but
+    # doc_ids shift per copy).  This is the round-4 verdict's cliff case:
+    # the old partition-less window would funnel the k-fold distinct
+    # table through ONE task; prefix.exclusive_prefix must hold the wall
+    # linear (exponent ~1)
+    "doc_fused_quality_continuous",
+    # round 5: k-core decomposition — like PageRank/communities the host
+    # node domain is CONSTANT in k (source x doc_id-residue hosts), edge
+    # distinctness saturates, so per-round peel work is constant and only
+    # the edge-derivation scan grows k-fold: wall tracks the scan, not k
+    "doc_graph_k_core",
 ]
 
 
