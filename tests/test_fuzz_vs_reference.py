@@ -241,3 +241,90 @@ def test_fuzz_ref_chains_and_tuples_vs_reference(seed):
             instances.append(inst)
         groups.append({"schema": schema, "instances": instances})
     _assert_groups_match_reference(groups, seed)
+
+
+def pattern_props_schema(rng):
+    """Round-5 space extension (verdict item #6): patternProperties x
+    additionalProperties interplay — overlapping patterns, a declared
+    property that also matches a pattern, and all three
+    additionalProperties modes over the leftover keys."""
+    pats = {}
+    for p in rng.sample(["^x", "^[xy]$", "q$", "^[a-z]{2}$"], rng.randint(1, 2)):
+        pats[p] = field_schema(rng, rng.choice(["i", "s", "n"]), depth=1)
+    base = {"type": "object", "patternProperties": pats}
+    if rng.random() < 0.6:
+        # declared property that may ALSO match a pattern (x matches ^x)
+        base["properties"] = {
+            rng.choice(["x", "zz"]): field_schema(rng, rng.choice(["i", "s"]), depth=1)
+        }
+    r = rng.random()
+    if r < 0.35:
+        base["additionalProperties"] = False
+    elif r < 0.6:
+        base["additionalProperties"] = field_schema(rng, rng.choice(["i", "s"]), depth=1)
+    return base
+
+
+# objects shaped to hit declared keys, pattern-matched keys (x/xy/yq/ab)
+# and leftover keys, with wrong-typed values throughout
+PATTERNISH_KEYS = ["x", "y", "xy", "yq", "ab", "zz", "other", "q"]
+
+
+def gen_pattern_object(rng):
+    obj = {}
+    for k in rng.sample(PATTERNISH_KEYS, rng.randint(0, 5)):
+        obj[k] = rng.choice(MIXED)
+    return obj
+
+
+def nested_tuple_schema(rng, depth=2):
+    """Round-5 space extension: tuple-in-tuple chains with an
+    ``additionalItems`` mode at EVERY level (absent / false / schema,
+    where the schema tail may itself be a nested tuple)."""
+    if depth == 0:
+        return field_schema(rng, rng.choice(["i", "s", "n"]), depth=1)
+    slots = [nested_tuple_schema(rng, depth - 1) for _ in range(rng.randint(1, 2))]
+    base = {"type": "array", "items": slots}
+    r = rng.random()
+    if r < 0.35:
+        base["additionalItems"] = False
+    elif r < 0.65:
+        base["additionalItems"] = nested_tuple_schema(rng, depth - 1)
+    if rng.random() < 0.3:
+        base["minItems"] = rng.randint(0, 2)
+    return base
+
+
+def gen_nested_array(rng, depth=3):
+    if depth == 0 or rng.random() < 0.35:
+        return rng.choice(MIXED)
+    return [gen_nested_array(rng, depth - 1) for _ in range(rng.randint(0, 3))]
+
+
+@pytest.mark.parametrize("seed", [21, 210, 2121])
+def test_fuzz_pattern_props_and_nested_tuples_vs_reference(seed):
+    """Round-5 extension of the generated space (verdict item #6, in lieu
+    of the unvendorable official suite): patternProperties interacting
+    with declared properties and every additionalProperties mode, plus
+    tuple-in-tuple chains carrying additionalItems at every level.  Same
+    oracle: the live reference under node."""
+    rng = random.Random(seed)
+    groups = []
+    for _ in range(12):
+        schema = root_schema(rng)
+        schema["properties"]["pp"] = pattern_props_schema(rng)
+        if rng.random() < 0.7:
+            schema["properties"]["nt"] = nested_tuple_schema(
+                rng, rng.randint(1, 3)
+            )
+        schema = with_defaults(rng, schema)
+        instances = []
+        for _ in range(10):
+            inst = gen_mixed_instance(rng)
+            if rng.random() < 0.8:
+                inst["pp"] = gen_pattern_object(rng)
+            if rng.random() < 0.7:
+                inst["nt"] = gen_nested_array(rng)
+            instances.append(inst)
+        groups.append({"schema": schema, "instances": instances})
+    _assert_groups_match_reference(groups, seed)

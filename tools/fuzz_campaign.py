@@ -54,11 +54,37 @@ def ref_tuple_family(seed: int) -> list:
     return groups
 
 
+def pattern_nested_family(seed: int) -> list:
+    """Round 5: patternProperties x additionalProperties interplay +
+    tuple-in-tuple chains with additionalItems at every level."""
+    rng = random.Random(seed)
+    groups = []
+    for _ in range(12):
+        schema = root_schema(rng)
+        schema["properties"]["pp"] = fz.pattern_props_schema(rng)
+        if rng.random() < 0.7:
+            schema["properties"]["nt"] = fz.nested_tuple_schema(
+                rng, rng.randint(1, 3)
+            )
+        schema = fz.with_defaults(rng, schema)
+        instances = []
+        for _ in range(10):
+            inst = fz.gen_mixed_instance(rng)
+            if rng.random() < 0.8:
+                inst["pp"] = fz.gen_pattern_object(rng)
+            if rng.random() < 0.7:
+                inst["nt"] = fz.gen_nested_array(rng)
+            instances.append(inst)
+        groups.append({"schema": schema, "instances": instances})
+    return groups
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     for name, gen, base in [
         ("mixed", mixed_family, 1000),
         ("ref/tuple", ref_tuple_family, 2000),
+        ("pattern/nested", pattern_nested_family, 3000),
     ]:
         t0 = time.time()
         ng = 0

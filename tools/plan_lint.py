@@ -49,22 +49,32 @@ _GLOBAL_WINDOW_ALLOW: dict = {
 def _global_window_count(plan: str) -> int:
     """Window nodes whose partition spec is empty: the physical string is
     ``Window [exprs], [part], [order]`` (3 top-level bracket groups) when
-    partitioned, ``Window [exprs], [order]`` (2 groups) when not."""
+    partitioned+ordered, ``Window [exprs], [spec]`` (2 groups) when only
+    one spec is present — and that lone spec is an ORDER spec (the
+    single-task-sort case this lint exists for) iff it carries the
+    canonicalized ASC/DESC direction markers; a partition-only window
+    (``partitionBy(k)`` with no orderBy, e.g. per-group totals) also
+    prints 2 groups but is hash-distributed and fine."""
     n = 0
     for line in plan.splitlines():
         idx = line.find("Window [")
         if idx < 0:
             continue
-        depth = groups = 0
+        depth = 0
+        groups: list = []
         for ch in line[idx:]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append([])
                 depth += 1
-            elif ch == "]":
+            if depth > 0:
+                groups[-1].append(ch)
+            if ch == "]":
                 depth -= 1
-        if groups == 2:
-            n += 1
+        if len(groups) == 2:
+            last = "".join(groups[-1])
+            if " ASC " in last or " DESC " in last:
+                n += 1
     return n
 
 
