@@ -11,6 +11,9 @@ Usage:
 
 Recorded runs: 2026-08-18, 250 seeds/family (500 total, 6,000 schema
 groups, 60,000 instances): 0 divergences in 147 s.
+2026-08-21 (round 5, with the pattern/nested family added): 250
+seeds/family x 3 families (9,000 groups, 90,000 instances):
+0 divergences in 153 s.
 """
 
 from __future__ import annotations
