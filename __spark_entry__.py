@@ -8242,7 +8242,129 @@ FROM feats
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER is deliberate (round-5 verdict #4): the driver's
+    correctness gate samples a prefix (~50 rows), so entries that had no
+    driver-side green row through round 4 come FIRST, cheapest first
+    (one-scan rows), followed by the previously-driver-checked set.
+    The FULL registry is swept locally every session regardless
+    (tools/check_contract.py --summary-json -> CONTRACT_rN.json)."""
     return {
+        "northrule_span_sequence": northrule_span_sequence,
+        "doc_weighted_sample": doc_weighted_sample,
+        "northrule_training_text": northrule_training_text,
+        "doc_storage_by_source": doc_storage_by_source,
+        "media_image_features": media_image_features,
+        "media_png_features": media_png_features,
+        "northrule_dangling_media": northrule_dangling_media,
+        "doc_skipping_profile": doc_skipping_profile,
+        "doc_dataset_checksum": doc_dataset_checksum,
+        "media_wav_features": media_wav_features,
+        "doc_k_suppression": doc_k_suppression,
+        "event_attribution": event_attribution,
+        "doc_k_anonymity": doc_k_anonymity,
+        "doc_context_profile": doc_context_profile,
+        "media_png_thumbnails": media_png_thumbnails,
+        "doc_fertility_by_lang": doc_fertility_by_lang,
+        "northrule_media_orphans": northrule_media_orphans,
+        "doc_markup_removal": doc_markup_removal,
+        "doc_link_graph": doc_link_graph,
+        "northrule_span_boilerplate": northrule_span_boilerplate,
+        "event_interval_overlap": event_interval_overlap,
+        "northrule_layout_templates": northrule_layout_templates,
+        "event_freshness": event_freshness,
+        "event_windowed_counts": event_windowed_counts,
+        "event_user_skew": event_user_skew,
+        "northrule_span_packing": northrule_span_packing,
+        "event_type_chi2_drift": event_type_chi2_drift,
+        "event_retention": event_retention,
+        "event_range_join": event_range_join,
+        "doc_zorder_layout": doc_zorder_layout,
+        "event_value_psi_drift": event_value_psi_drift,
+        "doc_versioned_validation": doc_versioned_validation,
+        "northrule_media_reuse": northrule_media_reuse,
+        "doc_anchor_text": doc_anchor_text,
+        "media_jpeg_features": media_jpeg_features,
+        "event_value_benford": event_value_benford,
+        "event_value_ks_drift": event_value_ks_drift,
+        "embedding_centroid_drift": embedding_centroid_drift,
+        "event_value_cusum": event_value_cusum,
+        "event_value_outliers": event_value_outliers,
+        "doc_license_profile": doc_license_profile,
+        "event_trailing_stats": event_trailing_stats,
+        "doc_concentration_profile": doc_concentration_profile,
+        "event_value_quartiles": event_value_quartiles,
+        "event_volume_anomalies": event_volume_anomalies,
+        "event_sessionization": event_sessionization,
+        "table_compaction_plan": table_compaction_plan,
+        "media_mjpeg_frames": media_mjpeg_frames,
+        "doc_url_dedup": doc_url_dedup,
+        "event_resample": event_resample,
+        "doc_fd_profile": doc_fd_profile,
+        "doc_boilerplate_lines": doc_boilerplate_lines,
+        "doc_collocations": doc_collocations,
+        "event_value_winsorized": event_value_winsorized,
+        "northrule_template_quota": northrule_template_quota,
+        "event_value_bands": event_value_bands,
+        "doc_constraint_suggestions": doc_constraint_suggestions,
+        "doc_corr_profile": doc_corr_profile,
+        "doc_inferred_schema": doc_inferred_schema,
+        "doc_script_profile": doc_script_profile,
+        "event_session_paths": event_session_paths,
+        "doc_heavy_tokens": doc_heavy_tokens,
+        "northrule_span_clean": northrule_span_clean,
+        "doc_readability": doc_readability,
+        "doc_bm25_search": doc_bm25_search,
+        "event_props_schema_drift": event_props_schema_drift,
+        "media_audio_near_dups": media_audio_near_dups,
+        "doc_boilerplate_clean": doc_boilerplate_clean,
+        "host_triangle_stats": host_triangle_stats,
+        "event_asof_join": event_asof_join,
+        "northrule_repaired_sequence": northrule_repaired_sequence,
+        "event_funnel": event_funnel,
+        "media_phash_near_dups": media_phash_near_dups,
+        "northrule_span_repair_log": northrule_span_repair_log,
+        "event_props_schema_profile": event_props_schema_profile,
+        "northrule_schema_migration": northrule_schema_migration,
+        "embedding_pq_topk": embedding_pq_topk,
+        "embedding_ann_recall": embedding_ann_recall,
+        "northrule_violation_rollup": northrule_violation_rollup,
+        "doc_bpe_merges": doc_bpe_merges,
+        "northrule_curated_corpus": northrule_curated_corpus,
+        "host_communities": host_communities,
+        "northrule_caption_contexts": northrule_caption_contexts,
+        "doc_dsir_sample": doc_dsir_sample,
+        "embedding_int8_topk": embedding_int8_topk,
+        "event_props_schema_conformance": event_props_schema_conformance,
+        "doc_dsir_scores": doc_dsir_scores,
+        "event_props_normalization": event_props_normalization,
+        "event_props_validation": event_props_validation,
+        "simhash_near_dups": simhash_near_dups,
+        "doc_source_overlap": doc_source_overlap,
+        "doc_bloom_novelty": doc_bloom_novelty,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "doc_fused_quality_continuous": doc_fused_quality_continuous,
+        "customer_linkage": customer_linkage,
+        "northrule_violations": northrule_violations,
+        "northrule_verdicts": northrule_verdicts,
+        "northrule_span_integrity": northrule_span_integrity,
+        "northrule_interleave_profile": northrule_interleave_profile,
+        "embedding_ivf_recall": embedding_ivf_recall,
+        "embedding_ivfpq_topk": embedding_ivfpq_topk,
+        "doc_fused_quality": doc_fused_quality,
+        "host_authority_rank": host_authority_rank,
+        "doc_graph_k_core": doc_graph_k_core,
+        "embedding_semantic_dups": embedding_semantic_dups,
+        "doc_nb_calibration": doc_nb_calibration,
+        "doc_editdist_dups": doc_editdist_dups,
+        "doc_split_leakage": doc_split_leakage,
+        "doc_oov_profile": doc_oov_profile,
+        "doc_component_splits": doc_component_splits,
+        "doc_mixed_corpus": doc_mixed_corpus,
+        "doc_dup_components": doc_dup_components,
+        "doc_training_corpus": doc_training_corpus,
+        "doc_incremental_components": doc_incremental_components,
+        "northrule_span_lang": northrule_span_lang,
+        "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
         "doc_validation_violations": doc_validation_violations,
         "doc_schema_migration": doc_schema_migration,
         "doc_migration_breaking": doc_migration_breaking,
@@ -8293,122 +8415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": embedding_decontamination,
         "minhash_near_dups": minhash_near_dups,
         "doc_incremental_dedup": doc_incremental_dedup,
-        "doc_bloom_novelty": doc_bloom_novelty,
-        "doc_bm25_search": doc_bm25_search,
-        "doc_ngram_jaccard_dups": doc_ngram_jaccard_dups,
-        "doc_dup_components": doc_dup_components,
-        "doc_incremental_components": doc_incremental_components,
-        "doc_training_corpus": doc_training_corpus,
-        "doc_mixed_corpus": doc_mixed_corpus,
-        "simhash_near_dups": simhash_near_dups,
-        "embedding_ivf_topk": embedding_ivf_topk,
-        "embedding_pq_topk": embedding_pq_topk,
-        "embedding_ivfpq_topk": embedding_ivfpq_topk,
-        "event_windowed_counts": event_windowed_counts,
-        "event_sessionization": event_sessionization,
-        "event_asof_join": event_asof_join,
-        "event_range_join": event_range_join,
-        "event_interval_overlap": event_interval_overlap,
-        "media_image_features": media_image_features,
-        "media_png_features": media_png_features,
-        "media_wav_features": media_wav_features,
-        "media_jpeg_features": media_jpeg_features,
-        "media_mjpeg_frames": media_mjpeg_frames,
-        "media_phash_near_dups": media_phash_near_dups,
-        "northrule_violations": northrule_violations,
-        "northrule_schema_migration": northrule_schema_migration,
-        "northrule_verdicts": northrule_verdicts,
-        "northrule_span_sequence": northrule_span_sequence,
-        "northrule_dangling_media": northrule_dangling_media,
-        "northrule_span_integrity": northrule_span_integrity,
-        "northrule_interleave_profile": northrule_interleave_profile,
-        "northrule_caption_contexts": northrule_caption_contexts,
-        "event_value_quartiles": event_value_quartiles,
-        "event_props_validation": event_props_validation,
-        "event_props_normalization": event_props_normalization,
-        "event_props_schema_profile": event_props_schema_profile,
-        "event_props_schema_conformance": event_props_schema_conformance,
-        "event_type_chi2_drift": event_type_chi2_drift,
-        "event_value_ks_drift": event_value_ks_drift,
-        "event_value_psi_drift": event_value_psi_drift,
-        "doc_constraint_suggestions": doc_constraint_suggestions,
-        "doc_editdist_dups": doc_editdist_dups,
-        "event_props_schema_drift": event_props_schema_drift,
-        "doc_fd_profile": doc_fd_profile,
-        "doc_zorder_layout": doc_zorder_layout,
-        "doc_skipping_profile": doc_skipping_profile,
-        "doc_heavy_tokens": doc_heavy_tokens,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_dataset_checksum": doc_dataset_checksum,
-        "doc_corr_profile": doc_corr_profile,
-        "event_value_outliers": event_value_outliers,
-        "doc_split_leakage": doc_split_leakage,
-        "doc_versioned_validation": doc_versioned_validation,
-        "doc_k_anonymity": doc_k_anonymity,
-        "doc_k_suppression": doc_k_suppression,
-        "doc_component_splits": doc_component_splits,
-        "embedding_int8_topk": embedding_int8_topk,
-        "doc_markup_removal": doc_markup_removal,
-        "event_user_skew": event_user_skew,
-        "doc_concentration_profile": doc_concentration_profile,
-        "event_value_benford": event_value_benford,
-        "event_freshness": event_freshness,
-        "event_volume_anomalies": event_volume_anomalies,
-        "media_audio_near_dups": media_audio_near_dups,
-        "doc_url_dedup": doc_url_dedup,
-        "embedding_centroid_drift": embedding_centroid_drift,
-        "host_authority_rank": host_authority_rank,
-        "doc_link_graph": doc_link_graph,
-        "doc_anchor_text": doc_anchor_text,
-        "event_trailing_stats": event_trailing_stats,
-        "event_resample": event_resample,
-        "doc_bpe_merges": doc_bpe_merges,
-        "table_compaction_plan": table_compaction_plan,
-        "doc_source_overlap": doc_source_overlap,
-        "event_funnel": event_funnel,
-        "event_attribution": event_attribution,
-        "event_retention": event_retention,
-        "doc_collocations": doc_collocations,
-        "doc_dsir_scores": doc_dsir_scores,
-        "doc_dsir_sample": doc_dsir_sample,
-        "northrule_span_packing": northrule_span_packing,
-        "doc_boilerplate_lines": doc_boilerplate_lines,
-        "doc_boilerplate_clean": doc_boilerplate_clean,
-        "embedding_semantic_dups": embedding_semantic_dups,
-        "doc_context_profile": doc_context_profile,
-        "host_communities": host_communities,
-        "doc_nb_calibration": doc_nb_calibration,
-        "northrule_span_repair_log": northrule_span_repair_log,
-        "northrule_repaired_sequence": northrule_repaired_sequence,
-        "media_png_thumbnails": media_png_thumbnails,
-        "doc_fused_quality": doc_fused_quality,
-        "doc_fused_quality_continuous": doc_fused_quality_continuous,
-        "event_value_winsorized": event_value_winsorized,
-        "northrule_span_lang": northrule_span_lang,
-        "northrule_training_text": northrule_training_text,
-        "doc_script_profile": doc_script_profile,
-        "doc_license_profile": doc_license_profile,
-        "northrule_media_reuse": northrule_media_reuse,
-        "event_value_cusum": event_value_cusum,
-        "northrule_span_boilerplate": northrule_span_boilerplate,
-        "northrule_span_clean": northrule_span_clean,
-        "northrule_layout_templates": northrule_layout_templates,
-        "northrule_curated_corpus": northrule_curated_corpus,
-        "northrule_media_orphans": northrule_media_orphans,
-        "northrule_template_quota": northrule_template_quota,
-        "doc_fertility_by_lang": doc_fertility_by_lang,
-        "doc_storage_by_source": doc_storage_by_source,
-        "northrule_violation_rollup": northrule_violation_rollup,
-        "embedding_ann_recall": embedding_ann_recall,
-        "embedding_ivf_recall": embedding_ivf_recall,
-        "doc_oov_profile": doc_oov_profile,
-        "host_triangle_stats": host_triangle_stats,
-        "doc_graph_k_core": doc_graph_k_core,
-        "customer_linkage": customer_linkage,
-        "doc_inferred_schema": doc_inferred_schema,
-        "event_session_paths": event_session_paths,
-        "event_value_bands": event_value_bands,
-        "doc_readability": doc_readability,
     }
 
 
