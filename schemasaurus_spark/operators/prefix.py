@@ -62,13 +62,30 @@ def exclusive_prefix(
     order_col: str,
     sum_cols: list[str],
     ascending: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     out_prefix: str = "_cum_",
 ) -> DataFrame:
     """Append ``<out_prefix><c>`` for each ``c`` in ``sum_cols``: the EXACT
     exclusive prefix sum of ``c`` over rows strictly before this row in
     ``order_col`` order (``ascending=False`` orders descending).  Requires
-    distinct ``order_col`` values (per-distinct-value tables)."""
+    distinct ``order_col`` values (per-distinct-value tables).
+
+    ``n_buckets`` defaults to ``clamp(2 * defaultParallelism, 64, 1024)``:
+    the bucketed-cumsum stage runs ONE task per bucket, so a fixed small B
+    would cap that stage's parallelism on a large cluster (64 tasks on
+    1000 executors); 2x total cores keeps every executor busy while the
+    offsets theta-join stays <= 1024^2 broadcast pairs.
+
+    Cost note (the declared trade): the bounds aggregate evaluates
+    ``per``'s lineage once BEFORE the main job — the same
+    sample-then-shuffle shape as Spark's own ``repartitionByRange`` /
+    global sort (RangePartitioner's sampling pass).  Two passes
+    hash-distributed beat one pass serialized through a single task;
+    callers composing many prefix calls over the SAME ``per`` should
+    persist it."""
+    if n_buckets is None:
+        par = per.sparkSession.sparkContext.defaultParallelism
+        n_buckets = max(64, min(1024, 2 * par))
     if n_buckets < 1:
         raise ValueError(f"exclusive_prefix: n_buckets must be >= 1, got {n_buckets}")
 
