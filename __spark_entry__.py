@@ -369,7 +369,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         token_count(t).cast("long").alias("n_tokens"),
-        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("long").alias("punct_chars"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9 \t\n\x0B\f\r]", "")).cast("long").alias("punct_chars"),
         F.length(t).cast("long").alias("len_chars"),
         fingerprint(t).alias("fingerprint"),
     )
@@ -379,7 +379,7 @@ _TEXT_PROFILE_ORACLE = r"""
 SELECT doc_id,
        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-       CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS punct_chars,
        CAST(length(text) AS BIGINT) AS len_chars,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
 FROM documents
@@ -401,7 +401,7 @@ WITH base AS (
          CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
          CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
                    / length(text) END AS pr,
          CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
               ELSE CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
@@ -6462,7 +6462,7 @@ def doc_fused_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         token_count(F.col("text")).alias("n_tokens"),
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9 \t\n\x0B\f\r]", "")).alias("n_punct"),
     )
     return fuse_rank_scores(docs, {"n_chars": 1, "n_tokens": 2, "n_punct": 1})
 
@@ -6473,7 +6473,7 @@ WITH base AS (
          CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
          CASE WHEN text IS NULL THEN NULL
-              ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) END
+              ELSE length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) END
            AS n_punct
   FROM documents
 ),
@@ -6544,7 +6544,7 @@ def doc_fused_quality_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.when(
             (F.col("n_chars") > 0) & F.col("text").isNotNull(),
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
             / F.col("n_chars")
             + F.col("doc_id") * F.lit(1e-12),
         ).alias("punct_jit"),
@@ -6556,7 +6556,7 @@ _FUSED_CONTINUOUS_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, n_chars,
          CASE WHEN n_chars > 0 AND text IS NOT NULL
-              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+              THEN length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))
                    / n_chars + doc_id * 1e-12
          END AS punct_jit
   FROM documents

@@ -44,10 +44,10 @@ from pyspark.sql import functions as F
 from schemasaurus_spark.operators.prefix import exclusive_prefix
 
 
-def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
-    """Append ``out`` (default ``<col>_bp``): the exact midrank basis
-    points of ``col`` among its non-NULL values (NULL in -> NULL out)."""
-    out = out or f"{col}_bp"
+def _rank_table(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(``_v``, ``out``): the midrank-bp lookup table of ``col``'s
+    non-NULL values, built from ``df`` directly (NOT from any
+    progressively-joined frame — see fuse_rank_scores)."""
     per = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("_v"))
@@ -60,13 +60,20 @@ def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     ).crossJoin(
         per.agg(F.sum("_n_eq").alias("_n_all"))
     )
-    ranked = ranked.select(
+    return ranked.select(
         "_v",
         F.when(F.col("_n_all") > 1,
                F.expr("((2 * _n_lt + _n_eq - 1) * 5000) DIV (_n_all - 1)"))
         .otherwise(F.lit(5000))
         .alias(out),
     )
+
+
+def rank_bp(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Append ``out`` (default ``<col>_bp``): the exact midrank basis
+    points of ``col`` among its non-NULL values (NULL in -> NULL out)."""
+    out = out or f"{col}_bp"
+    ranked = _rank_table(df, col, out)
     return df.join(ranked, df[col] == ranked["_v"], "left").drop("_v")
 
 
@@ -80,9 +87,16 @@ def fuse_rank_scores(
     bad = {c: w for c, w in weights.items() if int(w) <= 0}
     if bad:
         raise ValueError(f"fuse_rank_scores: weights must be positive ints: {bad}")
-    out = df
+    # every signal's rank table derives from the SAME thin base projection
+    # — never from the progressively-joined frame (round-5 review: that
+    # chaining made signal k's eager bounds pass re-run all k-1 prior
+    # rank joins, O(k^2) corpus work; now each bounds pass costs one
+    # groupBy over the base projection)
+    base = df.select(id_col, *weights)
+    out = base
     for c in weights:
-        out = rank_bp(out, c)
+        ranked = _rank_table(base, c, f"{c}_bp")
+        out = out.join(ranked, out[c] == ranked["_v"], "left").drop("_v")
     num = None
     den = None
     for c, w in weights.items():

@@ -25,10 +25,10 @@ How (exact, no approximation in the RESULT):
    the cluster, each task sorts ~1/B of the distinct values.
 3. **Offsets**: per-bucket totals (``groupBy(bucket)`` — map-side
    combined, <= B rows), then each bucket's starting offset as a
-   broadcast theta-join against the strictly-earlier buckets (B^2 <= 4096
-   pairs, BroadcastNestedLoopJoin over two metadata frames) — no window
-   at all, so the plan lint's GLOBAL_WINDOW rule stays silent by
-   construction rather than by allowlist.
+   broadcast theta-join against the strictly-earlier buckets (B^2 pairs,
+   <= 1024^2 at the default cap — a BroadcastNestedLoopJoin over two
+   metadata frames) — no window at all, so the plan lint's GLOBAL_WINDOW
+   rule stays silent by construction rather than by allowlist.
 4. **Add back**: broadcast-join offsets on bucket id; exclusive prefix =
    local exclusive cumsum + bucket offset.  All int64, bit-identical to
    the single-window formulation.
@@ -48,9 +48,7 @@ single-value JSON-Schema walker).
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -105,9 +103,39 @@ def exclusive_prefix(
 
     v = F.col(order_col)
     if bounds:
-        bkt = reduce(
-            lambda a, b: a + b,
-            [F.when(v > F.lit(b), 1).otherwise(0) for b in bounds],
+        # bucket = count of bounds strictly below v, via a FIXED-DEPTH
+        # binary search over the sorted literal bounds array (the
+        # arrays.py idiom): O(log B) per row instead of an O(B) chain of
+        # B-1 CASE branches — which at the parallelism-scaled default
+        # (up to 1023 bounds) would be ~1023 comparisons per row of a
+        # corpus-sized table and risk the 64KB codegen method cliff
+        # (round-5 review finding).  lower_bound loop: first index in
+        # [1, nb+1] whose bound >= v; that index minus 1 is the bucket.
+        arr = F.array(*[F.lit(b) for b in bounds])
+        nb = len(bounds)
+        steps = (nb + 1).bit_length()
+
+        def bsearch_step(acc: Column, _i: Column) -> Column:
+            lo, hi = acc["lo"], acc["hi"]
+            live = lo < hi
+            mid = F.floor((lo + hi) / 2).cast("int")
+            less = F.element_at(arr, mid) < v
+            return F.when(~live, acc).otherwise(
+                F.struct(
+                    F.when(less, mid + 1).otherwise(lo).alias("lo"),
+                    F.when(less, hi).otherwise(mid).alias("hi"),
+                )
+            )
+
+        init = F.struct(
+            F.lit(1).cast("int").alias("lo"),
+            F.lit(nb + 1).cast("int").alias("hi"),
+        )
+        bkt = F.aggregate(
+            F.sequence(F.lit(1), F.lit(steps)),
+            init,
+            bsearch_step,
+            lambda acc: acc["lo"] - 1,
         )
     else:
         bkt = F.lit(0)

@@ -42,7 +42,7 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 \t\n\x0B\f\r]", "")
     return F.when(text.isNull() | (F.length(text) == 0), F.lit(0.0)).otherwise(
         F.length(stripped) / F.length(text)
     )
@@ -136,7 +136,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         t.alias("_t"),
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subword_tokens"),
-        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).alias("_punct"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9 \t\n\x0B\f\r]", "")).alias("_punct"),
         F.split(F.lower(t), r"\s+").alias("_words"),
         fingerprint(t).alias("fingerprint"),
     ).withColumn(

@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 
 
 def tokens_expr(text_col: str) -> Column:
-    """Lowercased whitespace tokens of ``text_col`` as an array column."""
+    """Lowercased whitespace tokens of ``text_col`` as an array column.
+
+    Known engine-divergence caveat (round-5 review): Java's ``\\s``
+    includes vertical tab (\\x0B), RE2's does not — a document containing
+    \\x0B would tokenize differently under a DuckDB ``\\s+`` replay.  The
+    generated corpora contain none (166/166 oracle hashes pass), and the
+    declared tokenization is Java-``\\s+``; oracle authors replaying
+    tokenization on \\x0B-bearing data must use the explicit class
+    ``[ \\t\\n\\x0B\\f\\r]+`` on both sides (the punct-class sites already
+    do — text.py / __spark_entry__.py)."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 

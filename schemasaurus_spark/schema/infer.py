@@ -81,11 +81,20 @@ def infer_schema(
         if isinstance(dtype, _NUM):
             # NaN sorts above every number in Spark's max, and json.dumps
             # would emit the non-JSON tokens NaN/Infinity — aggregate the
-            # bounds over finite values only; a column with no finite
-            # values falls back to type-only constraints below
+            # bounds over finite values only.  A column with ANY
+            # non-finite value gets NO bounds at all (type-only): the
+            # validators treat NaN/Inf as greater than any finite
+            # maximum, so finite-only bounds would REJECT the very rows
+            # that produced them, breaking the every-observed-row-
+            # validates soundness contract (round-5 review finding).
             finite = F.when(~F.isnan(c) & ~c.isin(_INF, -_INF), c)
             aggs.append(F.min(finite).alias(f"_min_{name}"))
             aggs.append(F.max(finite).alias(f"_max_{name}"))
+            aggs.append(
+                F.sum((F.isnan(c) | c.isin(_INF, -_INF)).cast("long")).alias(
+                    f"_nonfin_{name}"
+                )
+            )
         elif isinstance(dtype, _INT):
             aggs.append(F.min(c).alias(f"_min_{name}"))
             aggs.append(F.max(c).alias(f"_max_{name}"))
@@ -115,7 +124,12 @@ def infer_schema(
         if non_null > 0:
             if isinstance(dtype, _INT + _NUM):
                 mn, mx = row[f"_min_{name}"], row[f"_max_{name}"]
-                if mn is not None:  # None: no finite values -> type-only
+                nonfin = (
+                    row[f"_nonfin_{name}"] if isinstance(dtype, _NUM) else 0
+                )
+                # bounds only when every observed value is finite —
+                # otherwise type-only (soundness; see aggregate comment)
+                if mn is not None and not nonfin:
                     sub["minimum"] = int(mn) if isinstance(dtype, _INT) else float(mn)
                     sub["maximum"] = int(mx) if isinstance(dtype, _INT) else float(mx)
             elif isinstance(dtype, StringType):

@@ -93,3 +93,38 @@ def test_validation(spark):
     flat = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError):
         infer_schema(flat, enum_max=-1)
+
+
+def test_nonfinite_float_columns_stay_json_and_sound(spark):
+    """Round-5 fixes: (a) NaN/Inf must never reach minimum/maximum (the
+    JSON tokens NaN/Infinity break every draft-4 consumer), and (b) a
+    column MIXING finite and non-finite values gets NO bounds at all —
+    finite-only bounds would reject the very rows that produced them
+    (validators sort NaN/Inf above any finite maximum)."""
+    import json
+
+    from schemasaurus_spark import new_validator
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, 2.5), (4, float("inf"))],
+        "id long, x double",
+    )
+    s = infer_schema(df)
+    sub = s["properties"]["x"]
+    assert "minimum" not in sub and "maximum" not in sub  # mixed -> type-only
+    json.dumps(s)  # never emits NaN/Infinity tokens
+    # soundness round-trip: every producing row validates (NaN/Inf are
+    # draft-4 numbers as far as `type` goes; no bounds to violate)
+    v = new_validator(s)
+    for r in df.collect():
+        assert v({"id": r["id"], "x": r["x"]})["valid"], r
+    # all-non-finite column: same type-only fallback
+    df2 = spark.createDataFrame(
+        [(1, float("nan")), (2, float("-inf"))], "id long, x double"
+    )
+    sub2 = infer_schema(df2)["properties"]["x"]
+    assert "minimum" not in sub2 and "maximum" not in sub2
+    # pure-finite column still gets exact bounds
+    df3 = spark.createDataFrame([(1, 1.5), (2, 7.25)], "id long, x double")
+    sub3 = infer_schema(df3)["properties"]["x"]
+    assert sub3["minimum"] == 1.5 and sub3["maximum"] == 7.25

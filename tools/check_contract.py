@@ -50,6 +50,8 @@ def main():
     summary_path = None
     if "--summary-json" in argv:
         i = argv.index("--summary-json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_contract.py [sf_dir] [query ...] --summary-json PATH")
         summary_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

@@ -46,6 +46,28 @@ _GLOBAL_WINDOW_ALLOW: dict = {
 }
 
 
+def _exchange_counts(plan: str) -> tuple[int, int]:
+    """(shuffle_exchanges, broadcast_exchanges) by NODE, not substring.
+
+    Substring counting (ADVICE r4, refined in round-5 review) is wrong
+    twice over: a ``ReusedExchange [...], Exchange hashpartitioning(...)``
+    line embeds its child's description, so it contains "Exchange" twice
+    (and a reused broadcast embeds "BroadcastExchange"), and
+    ``BroadcastExchange``/``ReusedExchange`` themselves contain the
+    substring "Exchange".  Classify per line by the node label instead:
+    a line whose label starts with ``Exchange `` is one real shuffle; one
+    starting with ``BroadcastExchange`` is one broadcast; ``Reused*`` and
+    ``ShuffleQueryStage``/``BroadcastQueryStage`` wrappers are neither."""
+    shuffles = broadcasts = 0
+    for line in plan.splitlines():
+        label = line.lstrip(" +-*:|")
+        if label.startswith("Exchange "):
+            shuffles += 1
+        elif label.startswith("BroadcastExchange"):
+            broadcasts += 1
+    return shuffles, broadcasts
+
+
 def _global_window_count(plan: str) -> int:
     """Window nodes whose partition spec is empty: the physical string is
     ``Window [exprs], [part], [order]`` (3 top-level bracket groups) when
@@ -97,19 +119,15 @@ def main() -> None:
             bad.append(name)
             print(f"ERROR {name}: {type(ex).__name__}")
             continue
+        shuffles, broadcasts = _exchange_counts(plan)
         row = {
             "cartesian": plan.count("CartesianProduct"),
             "row_python": plan.count("BatchEvalPython"),
             "arrow_python": plan.count("ArrowEvalPython")
             + plan.count("MapInPandas")
             + plan.count("FlatMapGroupsInPandas"),
-            # ReusedExchange re-reads a prior shuffle's output, it is not a
-            # new shuffle — subtract it so the count reviewers justify is
-            # real data movement only (ADVICE r4)
-            "exchanges": plan.count("Exchange")
-            - plan.count("BroadcastExchange")
-            - plan.count("ReusedExchange"),
-            "broadcasts": plan.count("BroadcastExchange"),
+            "exchanges": shuffles,
+            "broadcasts": broadcasts,
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "global_windows": _global_window_count(plan),
         }
