@@ -110,6 +110,13 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        # judge each plan standalone: persisted frames pinned by an
+        # EARLIER query substitute InMemoryRelation subtrees into later
+        # plans, and the cached subtree's own exchanges then render (and
+        # count) inside this query's plan — the metric would depend on
+        # registry order (observed: minhash 51 -> 119 after the round-5
+        # reorder put it after doc_dup_components)
+        spark.catalog.clearCache()
         try:
             plan = (
                 fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
