@@ -52,6 +52,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from schemasaurus_spark.operators.dedup import _pin
+
 __all__ = ["exclusive_prefix"]
 
 
@@ -74,20 +76,22 @@ def exclusive_prefix(
     1000 executors); 2x total cores keeps every executor busy while the
     offsets theta-join stays <= 1024^2 broadcast pairs.
 
-    Cost note (the declared trade): the bounds aggregate evaluates
-    ``per``'s lineage once BEFORE the main job — the same
-    sample-then-shuffle shape as Spark's own ``repartitionByRange`` /
-    global sort (RangePartitioner's sampling pass).  Two passes
-    hash-distributed beat one pass serialized through a single task;
-    callers composing many prefix calls over the SAME ``per`` should
-    persist it."""
+    Cost note: the bounds aggregate evaluates ``per`` BEFORE the main
+    job — the same sample-then-shuffle shape as Spark's own
+    ``repartitionByRange`` (RangePartitioner's sampling pass).  ``per``
+    is pinned (dedup._pin: MEMORY_AND_DISK, released by an enclosing
+    ``pin_scope`` or LRU — the LSH family's idiom), so the bounds job
+    MATERIALIZES the cache and the main job reads it instead of
+    recomputing the lineage."""
     if n_buckets is None:
         par = per.sparkSession.sparkContext.defaultParallelism
         n_buckets = max(64, min(1024, 2 * par))
     if n_buckets < 1:
         raise ValueError(f"exclusive_prefix: n_buckets must be >= 1, got {n_buckets}")
 
-    # ---- 1. equal-mass range bounds (metadata collect; balance-only)
+    # ---- 1. equal-mass range bounds (metadata collect; balance-only);
+    # pin first so this job builds the cache the main plan reuses
+    per = _pin(per)
     bounds: list = []
     if n_buckets > 1:
         fracs = [i / n_buckets for i in range(1, n_buckets)]
